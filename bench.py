@@ -1,0 +1,67 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes fully via the noop sink (no driver collect), so
+timings measure the distributed plan, not result serialization. A
+warmup action absorbs JVM/codegen startup before the first timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_lake_with_spark_spark import queries as q  # noqa: E402
+from data_lake_with_spark_spark.session import get_spark  # noqa: E402
+from data_lake_with_spark_spark.sources.catalog import load_table  # noqa: E402
+
+#: Benchmarked queries: the full oracle-checked registry minus the
+#: staging-heavy streaming/multimodal demos (exercised in tests).
+SKIP = {"q33_streaming_hourly", "q34_multimodal_features"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf: float | str = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+        )
+    except ValueError:
+        sf = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name="dlws-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: full scan of the largest table through an exchange
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in q.queries().items():
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

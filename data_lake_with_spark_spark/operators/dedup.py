@@ -1,0 +1,307 @@
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline dedup family, each designed as a shuffle-
+conscious DataFrame composition:
+
+- :func:`exact_dedup` — normalize → md5 fingerprint → keep min id per
+  fingerprint. One shuffle on the fingerprint; the groupBy is the
+  classic hash-dedup that scales linearly.
+- :func:`minhash_signatures` / :func:`minhash_candidate_pairs` /
+  :func:`minhash_dedup` — MinHash+LSH: shingle → per-doc minimum of a
+  keyed-md5 hash family → band → bucket-join. Only documents sharing
+  a band bucket are ever paired, so the quadratic pair space is never
+  materialized — the scale path for fuzzy dedup.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via
+  shingle-explode + self-join on shingle (inverted-index join). Exact
+  but heavier; use as the verifier behind MinHash candidates.
+- :func:`simhash` — 16-bit SimHash over whitespace tokens with a
+  portable md5-derived per-token hash; near-dups share (or nearly
+  share) a fingerprint.
+
+Portability: every hash here is md5-based (functions/texthash.py) so
+the DuckDB oracle reproduces identical values — engine-native hashes
+(xxhash64 vs DuckDB hash) would diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
+from data_lake_with_spark_spark.operators.text import fingerprint
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one survivor (min id) per normalized fingerprint."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — the inverted-index base."""
+    return (
+        df.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash function j, the minimum of
+    md5(f"{j}:" + shingle) over the doc's shingle set.
+
+    Computed as a PURE PROJECTION — ``array_min(transform(shingles,
+    md5))`` per row via higher-order functions — so there is NO
+    explode and NO shuffle (min over the duplicated shingle array
+    equals min over the distinct set). At 100 TB this stays fused
+    into the scan stage; the explode+groupBy formulation shuffles the
+    entire shingle fan-out.
+
+    Docs shorter than ``shingle_k`` (no shingles) are dropped,
+    matching the SQL-oracle formulation.
+    """
+    shingles = char_shingles(F.col(text_col), shingle_k)
+
+    def hash_fn(j: int):
+        # NB: must be a SINGLE-parameter lambda — a second (even
+        # defaulted) parameter makes pyspark treat it as an
+        # (element, index) lambda and pass the array index through it.
+        return lambda s: keyed_md5(j, s)
+
+    cols = [
+        F.array_min(F.transform(shingles, hash_fn(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return df.where(F.length(text_col) >= shingle_k).select(F.col(id_col), *cols)
+
+
+def minhash_bands(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band_idx, band_key) — band_key concatenates ``rows_per_band``
+    signature components; docs agreeing on ANY band are candidates."""
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), deduped across bands.
+
+    The self-join keys on (band, band_key): at scale this is a shuffle
+    on the bucket key with bucket sizes ~ collision rate, never the
+    full cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = minhash_bands(sig, id_col, bands, rows_per_band)
+    a = banded.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "band_key"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Greedy MinHash dedup: drop any doc LSH-matched to a lower id.
+
+    (Single-link transitive closure would need iterative connected
+    components; greedy drop-higher-id is the standard one-pass
+    approximation used by large-scale dedup pipelines.)
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, shingle_k, bands)
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for a GIVEN candidate-pair set
+    (id_a, id_b) — the scale path behind MinHash: candidates come from
+    LSH, exact verification touches only those pairs.
+
+    Per-doc distinct shingle sets are materialized once
+    (``array_distinct`` projection — no explode), the candidate join
+    fetches two arrays per pair, and the intersection is a JVM-side
+    ``array_intersect``. Cost is O(|pairs| · shingles/doc), never the
+    inverted-index blow-up (sum over shingles of doc-frequency²).
+    """
+    sets = df.where(F.length(text_col) >= shingle_k).select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("shs"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+            F.size("shs_a").alias("sz_a"),
+            F.size("shs_b").alias("sz_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_jaccard_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The full fuzzy-dedup pipeline: LSH candidates → exact Jaccard
+    verify ≥ threshold. This is the composition a 100 TB dedup run
+    uses end-to-end."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, shingle_k, bands)
+    return jaccard_verify_pairs(df, cands, id_col, text_col, shingle_k, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+
+    Inverted-index self-join: |A∩B| from the join, |A|,|B| from a
+    per-doc count, J = inter/(|A|+|B|-inter). Pass ``prefilter``
+    (id_a,id_b candidate pairs, e.g. from MinHash) to bound the join
+    at scale.
+    """
+    sh = _shingle_frame(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sh"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("sh"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, on="sh", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if prefilter is not None:
+        inter = inter.join(prefilter, on=["id_a", "id_b"], how="left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash fingerprint over whitespace tokens.
+
+    Token hash = first 32 bits of md5 (portable). Bit b of the
+    fingerprint is 1 iff sum over tokens of (±1 by token-hash bit b)
+    is positive. All ``bits`` sums run as one groupBy with map-side
+    combine — a single shuffle regardless of bit width.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    Brute-force within-frame pairing; at scale, bucket first with
+    similarity.lsh_sign_buckets and pair within buckets only.
+    """
+    from data_lake_with_spark_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cos")
+    ).where(F.col("cos") >= threshold)

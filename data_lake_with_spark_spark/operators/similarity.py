@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`brute_force_topk` — the exact baseline: broadcast the query
+  set against the corpus, JVM-side cosine via higher-order functions
+  (zip_with + aggregate — no Python in the hot path), per-query top-k
+  via a window. Cost O(|Q|·N·d) but embarrassingly parallel; with a
+  broadcast query side there is exactly one shuffle (the top-k
+  window on query id).
+- :func:`lsh_sign_buckets` / :func:`bucketed_topk` — the scale path:
+  sign-LSH bucket key from fixed dimensions, search only within the
+  query's bucket. Recall trades against bucket count; at 100 TB the
+  bucket key becomes the partition/bucketing key so candidate
+  generation is a co-partitioned join, not a cross join.
+
+All arithmetic is double-precision sequential over the array in index
+order, so the DuckDB oracle (list_zip/list_transform/list_sum lambda
+pipeline) reproduces values to rounding (results rounded to 6 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float> columns, JVM-side.
+
+    Casts to double before multiplying so Spark and DuckDB accumulate
+    identically; ``aggregate`` folds sequentially in array order.
+    """
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate({b}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos, rank), self-matches excluded.
+    The query side is broadcast — the corpus never shuffles for the
+    join; ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("cv", "qv"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket key: the sign bits of fixed coordinates
+    (1-indexed). For roughly isotropic embeddings this is random-
+    hyperplane LSH with axis-aligned planes — deterministic, portable
+    to the SQL oracle, and computable at scan time (no shuffle).
+    """
+    parts = [
+        F.when(F.element_at(F.col(vec_col), d) > 0, "1").otherwise("0") for d in dims
+    ]
+    return df.withColumn(bucket_col, F.concat(*parts))
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    The equi-join on bucket replaces the cross join — at scale, write
+    the corpus bucketed/partitioned by ``bucket`` and the probe is a
+    partition-pruned co-located join.
+    """
+    cb = lsh_sign_buckets(corpus, vec_col, dims).select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qb = lsh_sign_buckets(queries, vec_col, dims).select(
+        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("cv", "qv"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,928 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) as a (Spark callable, DuckDB oracle
+SQL) pair over the /root/testdata tables.
+
+Portability rules that make the value-hash oracle hold:
+
+- **Float aggregates go through exact decimal sums**: both engines
+  round the identical input double to DECIMAL(18,6) (deterministic:
+  a tie at the half-ulp boundary is a measure-zero event for data
+  doubles), sum exactly, and cast back to double — so SUM/AVG are
+  bit-identical regardless of accumulation order. Plain double sums
+  would diverge in the low bits between engines.
+- **Hashes are md5-based** (functions/texthash.py): identical hex in
+  Spark and DuckDB; numeric variants via hex-prefix parsing.
+- **Temporal**: Spark ``dayofweek`` is 1=Sunday, DuckDB's is
+  0=Sunday (oracle adds 1); ``weekofyear`` is ISO in both; the
+  events table's TIMESTAMP(NANOS) column is truncated to µs
+  identically on both sides (sources/catalog.py).
+- **Ties**: every top-k/rank orders by the rounded value plus an id
+  tiebreaker in BOTH engines, so rounding-created ties resolve
+  identically.
+- ``count(*)`` is cast to BIGINT in the oracle (DuckDB counts are
+  already BIGINT; sums of ints would be HUGEINT and are cast too).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.functions.keys import deterministic_id
+from data_lake_with_spark_spark.operators import dedup, relational, similarity, text, windows
+from data_lake_with_spark_spark.sources.catalog import load_table, register_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --- portability helpers --------------------------------------------------
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact (decimal-routed) sum of a double column, as double."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _osum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Exact-sum / count average, as double (identical both engines)."""
+    return (
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def _oavg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*) AS {alias}"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- A. reference-surface relational queries ------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy agg (F-ops + D1)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return relational.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+O_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity', 'sum_qty')},
+       {_osum('l_extendedprice', 'sum_base_price')},
+       {_osum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_oavg('l_quantity', 'avg_qty')},
+       {_oavg('l_extendedprice', 'avg_price')},
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter (pushdown) → scalar agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND "
+            "l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+O_Q02 = f"""
+SELECT {_osum('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q03_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: projection + full-row distinct (etl.py:92,236)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.distinct_rows(li.select("l_returnflag", "l_linestatus"))
+
+
+O_Q03 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q04_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 shape: inner join with a 2-term condition (equi + theta),
+    small side broadcast (etl.py:267-270)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = relational.inner_join(
+        li,
+        part,
+        on=[li["l_partkey"] == part["p_partkey"], li["l_quantity"] > part["p_size"]],
+        broadcast_right=True,
+    )
+    return relational.aggregate(
+        joined, ["p_brand"], [F.count(F.lit(1)).alias("n_lines")]
+    )
+
+
+O_Q04 = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+"""
+
+
+def q05_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-chain join: customer ⋈ nation ⋈ region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = relational.inner_join(
+        relational.inner_join(
+            c, n, on=[c["c_nationkey"] == n["n_nationkey"]], broadcast_right=True
+        ),
+        r,
+        on=[F.col("n_regionkey") == r["r_regionkey"]],
+        broadcast_right=True,
+    )
+    return relational.aggregate(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        ],
+    )
+
+
+O_Q05 = f"""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_osum('c_acctbal', 'total_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: global top-k (TakeOrderedAndProject, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return relational.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+O_Q06 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q07_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: window row_number, keyed dedup (latest order per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    return windows.latest_per_key(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+
+
+O_Q07 = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having ≥1 URGENT order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return relational.semi_join(
+        c.select("c_custkey", "c_name"), o, on=[c["c_custkey"] == o["o_custkey"]]
+    )
+
+
+O_Q08 = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no 'P'-status order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return relational.anti_join(
+        c.select("c_custkey", "c_name"), o, on=[c["c_custkey"] == o["o_custkey"]]
+    )
+
+
+O_Q09 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q10_orders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: EXCEPT (distinct) — orders with a returned line but no
+    accepted line."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    return relational.except_distinct(r, a)
+
+
+O_Q10 = """
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+def q11_orders_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: INTERSECT (distinct) — orders with both returned and
+    accepted lines."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    return relational.intersect_distinct(r, a)
+
+
+O_Q11 = """
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+def q12_flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The songplays build re-expressed on testdata (etl.py:186-308):
+    filter fact events → broadcast-enrich with the customer dim →
+    deterministic surrogate id → date parts for partitioning."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    c = _t(spark, sf_dir, "customer")
+    joined = e.join(F.broadcast(c), on=[e["user_id"] == c["c_custkey"]], how="inner")
+    return joined.select(
+        deterministic_id("event_id").alias("play_id"),
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+        F.col("user_id"),
+        F.col("c_name"),
+        F.col("c_mktsegment"),
+        F.col("value"),
+        F.month("ts").alias("month"),
+        F.year("ts").alias("year"),
+    )
+
+
+O_Q12 = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS play_id,
+       event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_time,
+       user_id, c_name, c_mktsegment, value,
+       CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
+       CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS year
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+"""
+
+
+def q13_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: COUNT(*) scalar (nb cell 44)."""
+    return relational.count_rows(_t(spark, sf_dir, "lineitem"))
+
+
+O_Q13 = "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape) over a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), on=[li["l_partkey"] == p["p_partkey"]])
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(18,6)")).cast("double")
+            / F.sum(disc.cast("decimal(18,6)")).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+O_Q14 = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q15_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, group, top-k by revenue."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    joined = (
+        li.join(o, on=[li["l_orderkey"] == o["o_orderkey"]])
+        .join(F.broadcast(c), on=[o["o_custkey"] == c["c_custkey"]])
+    )
+    grouped = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return relational.top_k(
+        grouped, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10
+    )
+
+
+O_Q15 = f"""
+SELECT o_orderkey, o_orderdate,
+       {_osum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q16_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: UNION (distinct) of two filtered projections."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.where(F.col("event_type") == "click").select("user_id")
+    viewers = e.where(F.col("event_type") == "view").select("user_id")
+    return relational.distinct_rows(relational.union_all(clickers, viewers))
+
+
+O_Q16 = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+def q17_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of streaming sessions):
+    per-session event counts."""
+    e = _t(spark, sf_dir, "events")
+    sess = windows.sessionize(e, "user_id", "ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+O_Q17 = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q18_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup on the event stream."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+
+
+O_Q18 = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, {_osum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def q19_time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's time-dim build (etl.py:229-236) on events.ts:
+    G1-G6 date parts + the H2 start_time string, distinct."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+        F.hour("ts").alias("hour"),
+        F.dayofmonth("ts").alias("day"),
+        F.weekofyear("ts").alias("week"),
+        F.month("ts").alias("month"),
+        F.year("ts").alias("year"),
+        F.dayofweek("ts").alias("weekday"),
+    ).distinct()
+
+
+O_Q19 = """
+SELECT DISTINCT CAST(ts AS TIMESTAMP) AS ts,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_time,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+       CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS INTEGER) AS day,
+       CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INTEGER) AS week,
+       CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
+       CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS year,
+       CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS weekday
+FROM events
+"""
+
+
+def q20_string_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 parity (etl.py:282-297): join the fact to a deduplicated
+    time dimension on a second-resolution STRING key to fetch
+    month/year — reproduced exactly, including the string key."""
+    e = _t(spark, sf_dir, "events")
+    fact = e.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_time")
+    )
+    time_dim = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+            F.month("ts").alias("month"),
+            F.year("ts").alias("year"),
+        )
+        .distinct()
+    )
+    return relational.enrich_join(fact, time_dim, on="start_time")
+
+
+O_Q20 = """
+WITH fact AS (
+  SELECT event_id,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_time
+  FROM events),
+time_dim AS (
+  SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_time,
+         CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
+         CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS year
+  FROM events)
+SELECT fact.start_time AS start_time, event_id, month, year
+FROM fact JOIN time_dim USING (start_time)
+"""
+
+
+# --- B. training-data-pipeline extensions ---------------------------------
+
+
+def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+O_Q21 = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_N = 4
+_SHINGLE_K = 10
+
+_O_SHINGLES = f"""
+  SELECT DISTINCT doc_id, substr(text, g, {_SHINGLE_K}) AS sh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - {_SHINGLE_K - 1})) AS g) s
+  WHERE len(text) >= {_SHINGLE_K}
+"""
+
+_O_SIG_COLS = ", ".join(
+    f"MIN(md5('{j}:' || sh)) AS mh{j}" for j in range(_MINHASH_N)
+)
+
+
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K
+    )
+
+
+O_Q22 = f"""
+WITH sh AS ({_O_SHINGLES})
+SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id
+"""
+
+
+def q23_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+
+
+O_Q23 = f"""
+WITH sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q24_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline: MinHash-LSH candidates → exact
+    n-gram-Jaccard verification (the 100 TB composition; the naive
+    all-pairs inverted-index join is quadratic in hot-shingle
+    document frequency)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_dedup_pairs(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2, threshold=0.2
+    )
+
+
+O_Q24 = f"""
+WITH sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT i.id_a, i.id_b,
+         round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
+WHERE jaccard >= 0.2
+"""
+
+_SIMHASH_BITS = 16
+
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=_SIMHASH_BITS)
+
+
+_O_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_O_FP = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+
+O_Q25 = f"""
+WITH tok AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)),
+s AS (SELECT doc_id, {_O_BIT_SUMS} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({_O_FP} AS BIGINT) AS simhash FROM s
+"""
+
+_O_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+O_Q26 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_O_COS.format(a='c.embedding', b='q.qv')} AS cos
+  FROM embeddings c, q WHERE c.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+_LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)
+_O_BUCKET = " || ".join(
+    f"(CASE WHEN embedding[{d}] > 0 THEN '1' ELSE '0' END)" for d in _LSH_DIMS
+)
+
+
+def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, dims=_LSH_DIMS
+    )
+
+
+O_Q27 = f"""
+WITH b AS (SELECT vec_id, embedding, {_O_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT bucket, vec_id AS query_id, embedding AS qv FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_O_COS.format(a='c.embedding', b='q.qv')} AS cos
+  FROM b c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_scores(d).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred"
+    )
+
+
+def _o_lang_score(lang: str, words: tuple[str, ...]) -> str:
+    terms = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+    )
+    return f"CAST({terms} AS INTEGER) AS score_{lang}"
+
+
+_O_LANG_COLS = ", ".join(
+    _o_lang_score(lang, words) for lang, words in text.LANG_MARKERS.items()
+)
+_O_LANG_BEST = "greatest(score_en, score_es, score_fr, score_de)"
+_O_LANG_PRED = (
+    f"CASE WHEN {_O_LANG_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_O_LANG_BEST} THEN '{lang}'"
+        for lang in text.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+O_Q28 = f"""
+WITH scored AS (SELECT doc_id, {_O_LANG_COLS} FROM documents)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       {_O_LANG_PRED} AS lang_pred
+FROM scored
+"""
+
+
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_score(d).select(
+        "doc_id",
+        "n_chars_measured",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "n_tokens",
+        "quality",
+    )
+
+
+def _o_ratio(pattern: str, alias: str) -> str:
+    return (
+        f"round((len(text) - len(regexp_replace(text, '{pattern}', '', 'g')))"
+        f" / CAST(len(text) AS DOUBLE), 6) AS {alias}"
+    )
+
+
+O_Q29 = f"""
+WITH c AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_measured,
+         {_o_ratio('[.,;:!?]', 'punct_ratio')},
+         {_o_ratio('[0-9]', 'digit_ratio')},
+         {_o_ratio('[A-Z]', 'upper_ratio')},
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_chars_measured, punct_ratio, digit_ratio, upper_ratio, n_tokens,
+       round(0.5 * least(n_chars_measured / 500.0, 1.0)
+           + 0.5 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 6) AS quality
+FROM c
+"""
+
+
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"\s", ""))).cast(
+            "bigint"
+        ).alias("n_whitespace"),
+    )
+
+
+O_Q30 = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars_measured,
+       CAST(len(text) - len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         AS n_whitespace
+FROM documents
+"""
+
+
+def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text.fingerprint(d).select("doc_id", "fp")
+
+
+O_Q31 = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q32_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: temp-view + spark.sql entry point (nb cells 44,48)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+        """
+    )
+
+
+O_Q32 = f"""
+SELECT c_mktsegment, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_osum('o_totalprice', 'total_price')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
+# --- C. non-SQL-expressible surfaces (rows-only checks) -------------------
+
+
+def q33_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation, driven availableNow
+    over a file stream staged from the events table; returns the
+    final batch result. No oracle (streaming; driver rows-only)."""
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        read_event_stream,
+        windowed_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_")
+    e.coalesce(4).write.mode("overwrite").json(stage)
+    stream = read_event_stream(spark, stage)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    name = "dlws_stream_hourly"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents→fake binary assets→mapInPandas
+    feature extraction. No oracle (binary/pandas path; rows-only)."""
+    from data_lake_with_spark_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("double").alias("meta_duration_s"),
+    )
+    return extract_features(assets)
+
+
+# --- registry -------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, O_Q01),
+    "q02_revenue_filter": (q02_revenue_filter, O_Q02),
+    "q03_distinct_flags": (q03_distinct_flags, O_Q03),
+    "q04_join_composite": (q04_join_composite, O_Q04),
+    "q05_region_rollup": (q05_region_rollup, O_Q05),
+    "q06_topk_orders": (q06_topk_orders, O_Q06),
+    "q07_latest_order_per_customer": (q07_latest_order_per_customer, O_Q07),
+    "q08_semi_join": (q08_semi_join, O_Q08),
+    "q09_anti_join": (q09_anti_join, O_Q09),
+    "q10_orders_except": (q10_orders_except, O_Q10),
+    "q11_orders_intersect": (q11_orders_intersect, O_Q11),
+    "q12_flagship_enrichment": (q12_flagship_enrichment, O_Q12),
+    "q13_count_lineitem": (q13_count_lineitem, O_Q13),
+    "q14_promo_share": (q14_promo_share, O_Q14),
+    "q15_segment_top_orders": (q15_segment_top_orders, O_Q15),
+    "q16_union_users": (q16_union_users, O_Q16),
+    "q17_sessionize": (q17_sessionize, O_Q17),
+    "q18_hourly_rollup": (q18_hourly_rollup, O_Q18),
+    "q19_time_dimension": (q19_time_dimension, O_Q19),
+    "q20_string_time_join": (q20_string_time_join, O_Q20),
+    "q21_exact_dedup": (q21_exact_dedup, O_Q21),
+    "q22_minhash_signatures": (q22_minhash_signatures, O_Q22),
+    "q23_minhash_pairs": (q23_minhash_pairs, O_Q23),
+    "q24_jaccard_verify": (q24_jaccard_verify, O_Q24),
+    "q25_simhash": (q25_simhash, O_Q25),
+    "q26_embedding_topk": (q26_embedding_topk, O_Q26),
+    "q27_ann_lsh": (q27_ann_lsh, O_Q27),
+    "q28_lang_id": (q28_lang_id, O_Q28),
+    "q29_quality_score": (q29_quality_score, O_Q29),
+    "q30_token_stats": (q30_token_stats, O_Q30),
+    "q31_fingerprint": (q31_fingerprint, O_Q31),
+    "q32_sql_entrypoint": (q32_sql_entrypoint, O_Q32),
+    "q33_streaming_hourly": (q33_streaming_hourly, None),
+    "q34_multimodal_features": (q34_multimodal_features, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,98 @@
+"""SparkSession factory.
+
+Mirrors the reference's session surface (``/root/reference/etl.py:27-39``:
+``SparkSession.builder...getOrCreate()`` plus the committer conf at
+``etl.py:37``) but with scale-oriented defaults the reference lacks:
+
+- AQE on (runtime re-planning, skew-join splitting, partition
+  coalescing) — the reference's title/artist join has hot + null-heavy
+  keys (SURVEY.md §4), which AQE's skew handling absorbs at scale.
+- UTC session timezone so temporal derivations are deterministic and
+  match the DuckDB oracle regardless of host timezone.
+- Arrow enabled for any pandas-UDF path (extensions only; the core
+  pipeline is 100% JVM-side).
+- ``mapreduce.fileoutputcommitter.algorithm.version=2`` kept for parity
+  (``etl.py:37``); on real object stores prefer the S3A magic committer
+  or a lakehouse table format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that can only be applied while building a new session.
+_BUILD_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Parity with reference etl.py:37 (fast task commit on rename-based FS).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # The driver-generated events table stores TIMESTAMP(NANOS) which
+    # Spark's vectorized parquet reader rejects; read as long + convert
+    # (see sources/catalog.py). Harmless for all other tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Runtime-settable confs an externally provided session may be missing.
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "data_lake_with_spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``); on a real cluster pass ``yarn``/``k8s://...`` or let
+    spark-submit set it. ``shuffle_partitions`` defaults to 32 locally;
+    at 100 TB size it to ~2-3× total executor cores with AQE coalescing
+    the tail.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    if master.startswith("local"):
+        # single-JVM mode: the driver heap IS the executor heap;
+        # the 1g default OOMs at sf0.1 (only applies on first JVM launch)
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
+    for k, v in _BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_runtime_confs(spark)
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session.
+
+    The driver harness hands us its own SparkSession; queries must be
+    deterministic under it, so set what can still be set (timezone,
+    nanos handling, AQE). Build-time confs are left alone.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session; readers fall back per-table
+    return spark

@@ -1,0 +1,55 @@
+"""Source readers (SURVEY.md §2 A1-A5).
+
+The reference reads NDJSON from S3 with either an explicit StructType
+(``/root/reference/etl.py:76,177`` — op A1) or full schema inference
+(``etl.py:261`` — op A2, an anti-pattern: a second complete scan of
+the data just to rediscover a known schema), and reads back its own
+partitioned parquet with partition discovery
+(``data_profiling.ipynb`` cells 46-47 — op A4).
+
+Scale notes:
+- Always prefer :func:`read_json_explicit`; inference is a full extra
+  pass over 100 TB.
+- Glob patterns (op A3, ``etl.py:53,147``) are honoured by passing
+  them in ``path``; at scale prefer Hive-style partition dirs so
+  Catalyst can prune partitions instead of listing the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json_explicit(
+    spark: SparkSession, path: str, schema: StructType, multiline: bool = False
+) -> DataFrame:
+    """NDJSON scan with a declared schema (op A1, etl.py:76/177).
+
+    Extra JSON keys are dropped, missing keys become null — the same
+    semantics as the reference's ``spark.read.json(path, schema=...)``.
+    """
+    return spark.read.schema(schema).option("multiLine", multiline).json(path)
+
+
+def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """NDJSON scan with schema inference (op A2, etl.py:261).
+
+    Kept for surface parity; avoid in pipelines — it re-reads the data
+    once just to infer. The star-schema plan reuses the A1 frame
+    instead (plans/star_schema.py).
+    """
+    return spark.read.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Parquet scan with partition discovery (op A4, nb cells 46-47).
+
+    Partition columns encoded in directory names are recovered
+    automatically; passing ``schema`` skips footer merging on very
+    wide/many-file datasets.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

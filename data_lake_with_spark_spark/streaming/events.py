@@ -1,0 +1,156 @@
+"""Structured Streaming over the events stream.
+
+The reference is pure batch (SURVEY §2 I5) — its "stream-shaped" data
+(user event logs) is processed as daily files. This module is the
+north-star streaming surface: the same event pipeline expressed as
+``readStream → transform → writeStream`` with event-time semantics.
+
+Components:
+- :func:`read_event_stream` — file-source stream over a directory of
+  parquet event files (schema pinned; new files picked up per batch).
+- :func:`windowed_counts` — watermarked tumbling/sliding window
+  aggregation (late data beyond the watermark dropped, state bounded).
+- :func:`session_counts` — native ``session_window`` gap sessions,
+  the streaming twin of operators/windows.sessionize.
+- :func:`running_user_totals` — custom stateful aggregation via
+  ``applyInPandasWithState`` (per-user running totals with timeout) —
+  the escape hatch for operators Spark's built-ins can't express.
+
+Scale notes: state stores partition by group key; watermarks bound
+state size; at 100 TB/day the source would be Kafka with the same
+transform graph (source/sink swap only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Event schema for streaming reads (events.parquet re-written to a
+#: stream dir by tests; ts as TIMESTAMP, not the nanos wart).
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", StringType()),  # ISO string in stream files
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-source stream with a pinned schema (no inference races)."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA).format(fmt)
+    df = reader.load(path)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked (sliding) window counts per event_type."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows keyed by user (gap-based)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int = 3600_000) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total via applyInPandasWithState (GroupState), emitting one update
+    row per batch per active user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> "object":
+    """Drive a stream into an in-memory sink (test/debug harness)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

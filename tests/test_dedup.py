@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today!"),  # near-dup of 1
+    (3, "completely different content about spark query engines and columnar io"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    rows = {r["doc_id"]: r["n_dupes"] for r in out.collect()}
+    # 1, 2, 4 normalize identically (punctuation stripped) → min id 1 survives
+    assert rows[1] == 3
+    assert rows[3] == 1
+    assert out.count() == 2
+
+
+def test_minhash_signature_identical_for_identical_docs(spark):
+    sig = dedup.minhash_signatures(_docs(spark), num_hashes=4, shingle_k=5)
+    rows = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"]) for r in sig.collect()}
+    assert rows[1] == rows[4]
+    assert rows[1] != rows[3]
+
+
+def test_minhash_pairs_find_near_dups(spark):
+    pairs = dedup.minhash_candidate_pairs(
+        _docs(spark), num_hashes=4, shingle_k=5, bands=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got  # near-dup shares min shingles
+    assert (1, 3) not in got
+
+
+def test_minhash_dedup_drops_higher_ids(spark):
+    out = dedup.minhash_dedup(_docs(spark), num_hashes=4, shingle_k=5, bands=2)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 3 in ids
+    assert 4 not in ids
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), shingle_k=5, threshold=0.0)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 4)] == 1.0
+    assert rows[(1, 2)] > 0.9
+    assert (1, 3) not in rows or rows[(1, 3)] < 0.1
+
+
+def test_ngram_jaccard_prefilter_bounds_join(spark):
+    pre = spark.createDataFrame([(1, 4)], ["id_a", "id_b"])
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark), shingle_k=5, threshold=0.0, prefilter=pre
+    )
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 4)}
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    out = dedup.simhash(_docs(spark), bits=16)
+    rows = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert rows[1] == rows[4]
+    ham_near = bin(rows[1] ^ rows[2]).count("1")
+    ham_far = bin(rows[1] ^ rows[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = dedup.embedding_near_dup_pairs(emb, threshold=0.99)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}

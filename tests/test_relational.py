@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators import relational as R
+from data_lake_with_spark_spark.operators import windows as W
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_filter_eq_and_project(spark):
+    df = _df(spark, [("NextSong", 1), ("Home", 2), ("NextSong", 3)], ["page", "x"])
+    out = R.project(R.filter_eq(df, "page", "NextSong"), "x")
+    assert sorted(r["x"] for r in out.collect()) == [1, 3]
+
+
+def test_inner_join_two_conditions_null_keys_never_match(spark):
+    # E1 semantics (etl.py:267-270): SQL nulls never satisfy equality
+    logs = _df(spark, [("a", "t"), (None, "t"), ("a", None)], ["artist", "song"])
+    songs = _df(spark, [("a", "t", "S1")], ["artist_name", "title", "song_id"])
+    out = R.inner_join(
+        logs,
+        songs,
+        on=[logs["song"] == songs["title"], logs["artist"] == songs["artist_name"]],
+        broadcast_right=True,
+    )
+    assert out.count() == 1
+
+
+def test_join_duplicates_multiply(spark):
+    # E1 semantics: dupes on either side multiply
+    left = _df(spark, [("k", 1), ("k", 2)], ["k", "a"])
+    right = _df(spark, [("k", 10), ("k", 20)], ["k", "b"])
+    out = left.join(right, "k")
+    assert out.count() == 4
+
+
+def test_semi_anti_partition_rows(spark):
+    cust = _df(spark, [(1,), (2,), (3,)], ["id"])
+    orders = _df(spark, [(1,), (1,), (3,)], ["id"])
+    semi = R.semi_join(cust, orders, on="id")
+    anti = R.anti_join(cust, orders, on="id")
+    assert sorted(r["id"] for r in semi.collect()) == [1, 3]
+    assert [r["id"] for r in anti.collect()] == [2]
+    assert semi.count() + anti.count() == cust.count()
+
+
+def test_distinct_and_dedup_by_key(spark):
+    df = _df(spark, [(1, "a"), (1, "a"), (1, "b")], ["k", "v"])
+    assert R.distinct_rows(df).count() == 2
+    assert R.dedup_by_key(df, ["k"]).count() == 1
+
+
+def test_set_ops(spark):
+    a = _df(spark, [(1,), (2,), (2,), (3,)], ["x"])
+    b = _df(spark, [(2,), (4,)], ["x"])
+    assert sorted(r["x"] for r in R.except_distinct(a, b).collect()) == [1, 3]
+    assert [r["x"] for r in R.intersect_distinct(a, b).collect()] == [2]
+    assert R.union_all(a, b).count() == 6
+
+
+def test_top_k_is_take_ordered(spark):
+    df = _df(spark, [(i, i % 3) for i in range(100)], ["x", "y"])
+    out = R.top_k(df, [F.col("x").desc()], 5)
+    assert [r["x"] for r in out.collect()] == [99, 98, 97, 96, 95]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_per_key(spark):
+    df = _df(
+        spark,
+        [("u1", 1, "free"), ("u1", 2, "paid"), ("u2", 5, "free")],
+        ["user", "ts", "level"],
+    )
+    out = W.latest_per_key(df, ["user"], [F.col("ts").desc()])
+    got = {r["user"]: r["level"] for r in out.collect()}
+    assert got == {"u1": "paid", "u2": "free"}
+
+
+def test_sessionize_gap(spark):
+    from datetime import datetime
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0, 0)),
+        ("u", datetime(2024, 1, 1, 0, 10, 0)),
+        ("u", datetime(2024, 1, 1, 2, 0, 0)),  # > 30 min gap → new session
+        ("v", datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = W.sessionize(df, "user_id", "ts", gap_seconds=1800)
+    sessions = {
+        (r["user_id"], r["session_id"]) for r in out.collect()
+    }
+    assert sessions == {("u", 1), ("u", 2), ("v", 1)}

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators import similarity
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_cosine_expr_matches_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"]
+    )
+    got = df.select(similarity.cosine_expr("a", "b").alias("c")).first()["c"]
+    expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - expect) < 1e-12
+
+
+def test_brute_force_topk_ranks_correctly(spark):
+    emb = _emb(spark)
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(
+        ((r["rank"], r["neighbor_id"]) for r in out.collect())
+    )
+    # nearest to e0: v1 (cos≈0.994), then v4 (0.707), then v2 (0.0)
+    assert rows == [(1, 1), (2, 4), (3, 2)]
+
+
+def test_bucketed_topk_searches_within_bucket_only(spark):
+    emb = _emb(spark)
+    out = similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=5, dims=(1,)
+    )
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    # dim-1 sign bucket of v0 is '1' → v3 (-1,...) lands in bucket '0'
+    assert 3 not in neighbors
+    assert 1 in neighbors and 4 in neighbors
+
+
+def test_lsh_bucket_is_deterministic(spark):
+    emb = _emb(spark)
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_sign_buckets(emb, dims=(1, 2)).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_sign_buckets(emb, dims=(1, 2)).collect()}
+    assert b1 == b2
+    assert b1[0] == "10"
+    assert b1[3] == "00"
