@@ -1,0 +1,72 @@
+"""Sinks (SURVEY.md §2 B1-B3).
+
+The reference writes parquet three ways (``/root/reference/etl.py``):
+overwrite+partitioned (B1: etl.py:99-102, 242-245, 305-308),
+overwrite unpartitioned (B2: etl.py:126-128, 204-206), with the v2
+output committer (B3: etl.py:37 — set session-wide in session.py).
+
+Scale additions the reference lacks:
+
+- :func:`write_partitioned` guards against the small-files problem
+  (etl.py:101 partitions songs by (year, artist_id) — at catalog
+  scale that is millions of tiny directories): optional per-partition
+  file targeting via a repartition on the partition keys.
+- :func:`write_bucketed` persists a bucketed table so repeated
+  equi-joins/aggregations on the bucket key skip their shuffle
+  entirely (requires saveAsTable — bucket metadata lives in the
+  catalog, not the directory layout).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """B2: plain overwrite parquet write (etl.py:126-128)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    compact: bool = True,
+) -> None:
+    """B1: Hive-style partitioned parquet write (etl.py:99-102).
+
+    ``compact=True`` repartitions by the partition columns first so
+    each output directory gets one file per shuffle partition that
+    holds that key — without it, every input task writes a file into
+    every partition dir it touches (tasks × partitions small files).
+    """
+    out = df.repartition(*partition_cols) if compact else df
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table.
+
+    Joins between two tables bucketed the same way on the join key
+    run shuffle-free (SortMergeJoin reads co-located buckets); at
+    100 TB this converts every repeated fact⋈fact join from a full
+    shuffle into a local merge.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
