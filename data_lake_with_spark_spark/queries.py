@@ -517,6 +517,226 @@ FROM fact JOIN time_dim USING (start_time)
 """
 
 
+# --- A2. wider relational surface (absent from the reference; SURVEY.md
+# §2 notes I2-I4 as engine-completeness items) ------------------------------
+
+
+def q35_left_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-coalescing aggregate: every order with
+    its count of returned lines, zero when none."""
+    o = _t(spark, sf_dir, "orders")
+    r_lines = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    joined = relational.left_join(
+        o.select("o_orderkey", "o_orderstatus"),
+        r_lines,
+        on=[o["o_orderkey"] == r_lines["l_orderkey"]],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("n_r"), F.lit(0)).cast("bigint").alias("n_returned_lines"),
+    )
+
+
+O_Q35 = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(COALESCE(n_r, 0) AS BIGINT) AS n_returned_lines
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n_r FROM lineitem
+  WHERE l_returnflag = 'R' GROUP BY l_orderkey
+) r ON o_orderkey = l_orderkey
+"""
+
+
+def q36_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join reconciliation of two aggregates with
+    partially-overlapping key domains."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_custkey") >= 100) & (F.col("o_custkey") < 300)
+    )
+    by_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    by_cust = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "total_spend"))
+    joined = by_user.join(
+        by_cust, on=[by_user["user_id"] == by_cust["o_custkey"]], how="full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("o_custkey")).alias("id"),
+        F.col("n_events"),
+        F.col("total_spend"),
+    )
+
+
+O_Q36 = f"""
+WITH by_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
+by_cust AS (
+  SELECT o_custkey, {_osum('o_totalprice', 'total_spend')} FROM orders
+  WHERE o_custkey >= 100 AND o_custkey < 300 GROUP BY o_custkey)
+SELECT COALESCE(user_id, o_custkey) AS id, n_events, total_spend
+FROM by_user FULL JOIN by_cust ON user_id = o_custkey
+"""
+
+
+def q37_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region → nation → grand total) over the dim chain —
+    subtotal rows carry NULL group keys in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), on=[c["c_nationkey"] == n["n_nationkey"]]
+    ).join(F.broadcast(r), on=[F.col("n_regionkey") == r["r_regionkey"]])
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
+O_Q37 = f"""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_osum('c_acctbal', 'total_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q38_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+O_Q38 = f"""
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_osum('o_totalprice', 'total_price')}
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q39_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity matrix linestatus × returnflag (explicit pivot
+    values keep the plan a single pass, no distinct-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )
+
+
+O_Q39 = """
+SELECT l_linestatus,
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+                AS DECIMAL(18,6))) AS DOUBLE) AS "A",
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+                AS DECIMAL(18,6))) AS DOUBLE) AS "N",
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+                AS DECIMAL(18,6))) AS DOUBLE) AS "R"
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (J3): (region,nation),
+    (region), and grand total in one shuffle pass."""
+    register_views(spark, sf_dir, ("customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+O_Q40 = f"""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_osum('c_acctbal', 'total_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+def q41_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers richer than their nation's
+    average), decorrelated the Spark-first way: one aggregate +
+    broadcast re-join instead of a per-row subquery."""
+    c = _t(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        davg(F.col("c_acctbal"), "nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), on="c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+O_Q41 = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+  FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+"""
+
+
+def q42_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-stage exact
+    distinct aggregate (partial dedup map-side, final count)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+O_Q42 = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per order status —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("_p"))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("_p")[0], 6).alias("p50_price"),
+            F.round(F.col("_p")[1], 6).alias("p90_price"),
+        )
+    )
+
+
+O_Q43 = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # --- B. training-data-pipeline extensions ---------------------------------
 
 
@@ -917,6 +1137,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q32_sql_entrypoint": (q32_sql_entrypoint, O_Q32),
     "q33_streaming_hourly": (q33_streaming_hourly, None),
     "q34_multimodal_features": (q34_multimodal_features, None),
+    "q35_left_join_coverage": (q35_left_join_coverage, O_Q35),
+    "q36_full_outer_reconcile": (q36_full_outer_reconcile, O_Q36),
+    "q37_rollup_revenue": (q37_rollup_revenue, O_Q37),
+    "q38_cube_orders": (q38_cube_orders, O_Q38),
+    "q39_pivot_returnflag": (q39_pivot_returnflag, O_Q39),
+    "q40_grouping_sets": (q40_grouping_sets, O_Q40),
+    "q41_above_nation_avg": (q41_above_nation_avg, O_Q41),
+    "q42_distinct_users": (q42_distinct_users, O_Q42),
+    "q43_percentiles": (q43_percentiles, O_Q43),
 }
 
 
