@@ -291,17 +291,77 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    bucket_dims: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    Brute-force within-frame pairing; at scale, bucket first with
-    similarity.lsh_sign_buckets and pair within buckets only.
+    With ``bucket_dims=None``: brute-force all-pairs (exact baseline;
+    O(N²·d) — fine for a corpus sample, never for 100 TB). With
+    ``bucket_dims``: sign-LSH bucketing (similarity.lsh_sign_buckets)
+    restricts pairing to same-bucket candidates — the scale path; the
+    cross join becomes an equi-join whose shuffle key is the bucket.
     """
-    from data_lake_with_spark_spark.operators.similarity import cosine_expr
+    from data_lake_with_spark_spark.operators.similarity import (
+        cosine_expr,
+        lsh_sign_buckets,
+    )
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    if bucket_dims is None:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = lsh_sign_buckets(emb, vec_col, bucket_dims)
+        a = bucketed.select(
+            "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = bucketed.select(
+            "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        pairs = a.join(b, on="bucket", how="inner").where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cos")
     ).where(F.col("cos") >= threshold)
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Word-token-set Jaccard similarity for all pairs sharing ≥1
+    token (the bag-of-words twin of the char-shingle Jaccard).
+
+    Same inverted-index self-join shape as ngram_jaccard_pairs; word
+    tokens give a much smaller index than char shingles. At scale,
+    drop top-document-frequency tokens (stop-token pruning) before
+    the self-join — hot tokens dominate the pair fan-out.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).distinct()
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("tok"), F.col(id_col).alias("id_a"))
+    b = tok.select(F.col("tok"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, on="tok", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

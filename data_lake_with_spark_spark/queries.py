@@ -1100,6 +1100,265 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets)
 
 
+# --- A3. temporal joins / near-dup / windows (batch 2; placed after
+# section B so the shared oracle fragments (_O_COS, _LSH_DIMS, _O_BUCKET)
+# are defined) -------------------------------------------------------------
+
+
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event matched to the
+    user's most recent purchase at-or-before it — union-sort
+    formulation, one shuffle, no range explosion."""
+    from data_lake_with_spark_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = windows.latest_per_key(
+        e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        ),
+        ["p_user", "p_ts"],
+        [F.col("purchase_id").desc()],
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_on=["user_id"],
+        right_on=["p_user"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id", "purchase_value"],
+    )
+
+
+O_Q44 = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id AS p_user,
+         CAST(ts AS TIMESTAMP) AS p_ts, value AS purchase_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_value
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+"""
+
+
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/asof.py): lineitems
+    shipped inside each order's 7-day window, aggregated per order.
+    Bucketed equi-join prefilter — never a nested loop."""
+    from data_lake_with_spark_spark.operators.asof import points_in_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select("l_linenumber", "l_shipdate")
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("win_end"),
+    )
+    hits = points_in_intervals(li, iv, "l_shipdate", "win_start", "win_end")
+    return hits.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped_in_window")
+    )
+
+
+O_Q45 = """
+SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped_in_window
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey
+"""
+
+
+def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+_O_PAIR_COS = _O_COS.format(a="a.embedding", b="b.embedding")
+
+O_Q46 = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_O_PAIR_COS} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_O_PAIR_COS} >= 0.3
+"""
+
+
+def q47_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, sign-LSH-bucketed scale path: candidates
+    restricted to same-bucket pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, threshold=0.3, bucket_dims=_LSH_DIMS
+    )
+
+
+O_Q47 = f"""
+WITH b AS (SELECT vec_id, embedding, {_O_BUCKET} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_O_PAIR_COS} AS cos
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_O_PAIR_COS} >= 0.3
+"""
+
+
+def q48_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-token-set Jaccard pairs (bag-of-words near-dup)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.token_jaccard_pairs(d, threshold=0.4)
+
+
+O_Q48 = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT i.id_a, i.id_b, round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b)
+WHERE jaccard >= 0.4
+"""
+
+
+def q49_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function kernel (I6 surface): case mapping, substring,
+    concat, length, LIKE filter — all codegen'd built-ins."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+    )
+
+
+O_Q49 = """
+SELECT c_custkey, upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       CAST(len(c_name) AS INTEGER) AS name_len,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+FROM customer WHERE c_name LIKE '%1%'
+"""
+
+
+def q50_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed moving aggregate: 7-day-row moving average of daily
+    revenue per order status (frame: 6 preceding .. current). Exact
+    decimal sums inside the frame keep both engines bit-identical."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderstatus", F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderstatus",
+        "day",
+        F.col("_rev").cast("double").alias("day_revenue"),
+        (F.sum("_rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "ma7"
+        ),
+    )
+
+
+O_Q50 = """
+WITH daily AS (
+  SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, day, CAST(rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q51_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed sum: running spend per customer over their
+    order history."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+O_Q51 = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+FROM orders
+"""
+
+
+def q52_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic sampling (~1/8 of lineitem): portable
+    md5-prefix predicate — reproducible across engines and runs,
+    unlike ``df.sample`` (rng) or TABLESAMPLE (physical layout)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.where(F.substring(F.md5(key), 1, 1).isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+O_Q52 = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count per event type — the
+    sketch aggregate a 100 TB pipeline uses instead of exact distinct.
+    No oracle: HLL estimates are engine-specific (driver rows-only)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1146,6 +1405,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q41_above_nation_avg": (q41_above_nation_avg, O_Q41),
     "q42_distinct_users": (q42_distinct_users, O_Q42),
     "q43_percentiles": (q43_percentiles, O_Q43),
+    "q44_asof_join": (q44_asof_join, O_Q44),
+    "q45_range_join": (q45_range_join, O_Q45),
+    "q46_embedding_near_dup": (q46_embedding_near_dup, O_Q46),
+    "q47_embedding_near_dup_lsh": (q47_embedding_near_dup_lsh, O_Q47),
+    "q48_token_jaccard": (q48_token_jaccard, O_Q48),
+    "q49_string_functions": (q49_string_functions, O_Q49),
+    "q50_moving_average": (q50_moving_average, O_Q50),
+    "q51_running_total": (q51_running_total, O_Q51),
+    "q52_deterministic_sample": (q52_deterministic_sample, O_Q52),
+    "q53_approx_distinct": (q53_approx_distinct, None),
 }
 
 

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators.asof import asof_join, points_in_intervals
+
+
+def _ts(day: int, hour: int = 0) -> datetime:
+    return datetime(2024, 1, day, hour)
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(2, 12)),
+            (2, "A", _ts(5)),
+            (3, "B", _ts(3)),
+            (4, "C", _ts(4)),  # no quote for C
+        ],
+        ["trade_id", "sym", "t_ts"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1), 10.0),
+            ("A", _ts(2, 12), 11.0),  # exactly at trade 1's ts
+            ("A", _ts(4), 12.0),
+            ("B", _ts(3, 1), 20.0),  # after B's only trade
+        ],
+        ["sym", "q_ts", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, ["sym"], ["sym"], "t_ts", "q_ts", right_cols=["px"]
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    # trade 1: exact-ts quote matches (inclusive); trade 2 (Jan 5): latest
+    # at-or-before is the Jan 4 quote; trade 3 and 4: no quote → dropped
+    assert got == {1: 11.0, 2: 12.0}
+
+
+def test_asof_strict_excludes_exact_ts(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades,
+        quotes,
+        ["sym"],
+        ["sym"],
+        "t_ts",
+        "q_ts",
+        right_cols=["px"],
+        allow_exact_matches=False,
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 12.0}
+
+
+def test_asof_left_keeps_unmatched(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, ["sym"], ["sym"], "t_ts", "q_ts", right_cols=["px"], how="left"
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got[3] is None and got[4] is None and len(got) == 4
+
+
+def test_points_in_intervals_half_open(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(3, 12)), (3, _ts(5)), (4, _ts(9))],
+        ["pt_id", "p_ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts(3), _ts(5)), (200, _ts(1), _ts(2))],
+        ["iv_id", "start", "end"],
+    )
+    out = points_in_intervals(points, intervals, "p_ts", "start", "end")
+    got = {(r["pt_id"], r["iv_id"]) for r in out.collect()}
+    # pt 3 at day 5 is NOT in [3,5) (end exclusive); pt 1 at day 1 IS in [1,2)
+    assert got == {(2, 100), (1, 200)}
+
+
+def test_points_in_intervals_matches_naive_join_on_events(spark, sf_dir):
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_linenumber", "l_shipdate")
+    iv = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    fast = points_in_intervals(li, iv, "l_shipdate", "s", "e").count()
+    naive = li.join(
+        iv, (li["l_shipdate"] >= iv["s"]) & (li["l_shipdate"] < iv["e"])
+    ).count()
+    assert fast == naive
