@@ -28,6 +28,19 @@ def keyed_md5(key: int, col: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{key}:"), col))
 
 
+def md5_slice(j: int, col: Column) -> Column:
+    """Hash function j (0..3) as hex digits [8j, 8j+8) of ONE md5.
+
+    A 128-bit md5 yields four independent 32-bit hash values, so a
+    4-member MinHash family costs one digest per shingle instead of
+    four — the md5 is the dominant cost of signature computation.
+    DuckDB twin: ``substr(md5(s), 8*j+1, 8)``.
+    """
+    if not 0 <= j <= 3:
+        raise ValueError("md5_slice supports j in 0..3 (128-bit digest)")
+    return F.substring(F.md5(col), 8 * j + 1, 8)
+
+
 def md5_int32(col: Column) -> Column:
     """First 32 bits of md5 as a non-negative bigint (portable)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

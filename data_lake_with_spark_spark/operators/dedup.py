@@ -61,26 +61,54 @@ def minhash_signatures(
     """Per-doc MinHash signature: for hash function j, the minimum of
     md5(f"{j}:" + shingle) over the doc's shingle set.
 
-    Computed as a PURE PROJECTION — ``array_min(transform(shingles,
-    md5))`` per row via higher-order functions — so there is NO
-    explode and NO shuffle (min over the duplicated shingle array
-    equals min over the distinct set). At 100 TB this stays fused
-    into the scan stage; the explode+groupBy formulation shuffles the
-    entire shingle fan-out.
+    For num_hashes ≤ 4 the family is the four 32-bit hex slices of
+    ONE md5 per shingle (see functions/texthash.md5_slice) — one
+    digest instead of four, and the digest is materialized in a
+    projection BELOW the aggregate so it's computed exactly once per
+    shingle, inside whole-stage codegen. (The tempting no-shuffle
+    formulation — ``array_min(transform(shingles, hash))`` — runs the
+    hash in an interpreted higher-order lambda, once per hash
+    function, ~4-8× slower; the explode's shuffle is harmless
+    because map-side combine reduces it to |docs|×num_hashes rows.)
 
     Docs shorter than ``shingle_k`` (no shingles) are dropped,
     matching the SQL-oracle formulation.
     """
+    if num_hashes <= 4:
+        # Position explode (int sequence) + scalar substring + md5:
+        # everything after the explode is whole-stage-codegen'd; no
+        # interpreted array-of-strings is ever built.
+        # Hash-repartition by id first: a corpus read from few/small
+        # files otherwise runs the whole explode+hash pipeline in one
+        # task (input-split parallelism, not row parallelism).
+        exploded = (
+            df.where(F.length(text_col) >= shingle_k)
+            .repartition(F.col(id_col))
+            .select(
+                F.col(id_col),
+                F.col(text_col).alias("_txt"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.length(text_col) - F.lit(shingle_k - 1)
+                    )
+                ).alias("_i"),
+            )
+            .select(
+                F.col(id_col),
+                F.md5(F.expr(f"substring(_txt, _i, {shingle_k})")).alias("_d"),
+            )
+        )
+        cols = [
+            F.min(F.substring(F.col("_d"), 8 * j + 1, 8)).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+        return exploded.groupBy(id_col).agg(*cols)
+
     shingles = char_shingles(F.col(text_col), shingle_k)
-
-    def hash_fn(j: int):
-        # NB: must be a SINGLE-parameter lambda — a second (even
-        # defaulted) parameter makes pyspark treat it as an
-        # (element, index) lambda and pass the array index through it.
-        return lambda s: keyed_md5(j, s)
-
     cols = [
-        F.array_min(F.transform(shingles, hash_fn(j))).alias(f"mh{j}")
+        F.array_min(
+            F.transform(shingles, (lambda jj: lambda s: keyed_md5(jj, s))(j))
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return df.where(F.length(text_col) >= shingle_k).select(F.col(id_col), *cols)
@@ -117,19 +145,29 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands.
 
-    The self-join keys on (band, band_key): at scale this is a shuffle
-    on the bucket key with bucket sizes ~ collision rate, never the
-    full cross product.
+    One shuffle on the bucket key into ``collect_list``, then pairs
+    expand inside each bucket array — the signature lineage runs ONCE
+    (a band self-join would recompute it per side: Spark's exchange
+    reuse does not fire across the differently-aliased branches).
+    Bucket sizes ~ collision rate, so the expansion is bounded; a
+    pathologically hot bucket (⇒ quadratic pairs) is inherent to LSH
+    itself, not this formulation.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = minhash_bands(sig, id_col, bands, rows_per_band)
-    a = banded.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = banded.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, on=["band", "band_key"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 
@@ -257,6 +295,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def token_jaccard_blas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+    block_by: list[str] | None = None,
+) -> DataFrame:
+    """Exact within-block token-set Jaccard via per-block GEMM.
+
+    Each block (applyInPandas group) builds a docs×vocab 0/1 matrix;
+    ``M @ M.T`` yields all pairwise intersection counts in one BLAS
+    call — exact (counts ≤ vocab size are exact in float32) and ~10×
+    the inverted-index/verify path on dense corpora where most pairs
+    genuinely exceed the threshold (there, candidate pruning can't
+    win by construction).
+
+    Choose by block shape: blocks that fit a worker (≲100k docs) →
+    this; larger blocks → token_jaccard_pairs(prefix_filter=True);
+    web-scale approximate → minhash_candidate_pairs.
+    """
+    import numpy as np
+    import re as _re
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+    block = list(block_by) if block_by else []
+
+    def run(pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        token_sets = [
+            set(_re.split(r"\s+", t.strip())) if t is not None else set()
+            for t in pdf[text_col]
+        ]
+        vocab: dict[str, int] = {}
+        for s in token_sets:
+            for t in s:
+                vocab.setdefault(t, len(vocab))
+        m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
+        for i, s in enumerate(token_sets):
+            for t in s:
+                m[i, vocab[t]] = 1.0
+        inter = m @ m.T
+        sz = m.sum(axis=1)
+        union = sz[:, None] + sz[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.round(
+                np.where(union > 0, inter.astype(np.float64) / union, 0.0), 6
+            )
+        keep = (jac >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "jaccard": jac[ai, bi]}
+        )
+
+    if block:
+        return df.select(id_col, text_col, *block).groupBy(*block).applyInPandas(
+            lambda _key, pdf: run(pdf), out_schema
+        )
+    return df.select(id_col, text_col).groupBy(F.lit(1)).applyInPandas(
+        lambda _key, pdf: run(pdf), out_schema
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
@@ -329,24 +444,104 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.0,
+    block_by: list[str] | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Word-token-set Jaccard similarity for all pairs sharing ≥1
-    token (the bag-of-words twin of the char-shingle Jaccard).
+    """Word-token-set Jaccard similarity join (bag-of-words twin of
+    the char-shingle Jaccard). EXACT results (within blocks).
 
-    Same inverted-index self-join shape as ngram_jaccard_pairs; word
-    tokens give a much smaller index than char shingles. At scale,
-    drop top-document-frequency tokens (stop-token pruning) before
-    the self-join — hot tokens dominate the pair fan-out.
+    Two scale levers, both semantics-preserving:
+
+    - ``block_by``: restrict pairing to rows sharing the blocking
+      key(s) (e.g. language) — the first move of every production
+      similarity join; cross-block pairs are definitionally out of
+      scope.
+    - ``prefix_filter=True`` (requires threshold > 0): PPJoin-style
+      prefix filtering (Xiao et al., WWW'08). Tokens are globally
+      ordered by ascending document frequency; a pair with
+      J ≥ t must share a token within each side's first
+      ``|A| - ceil(t·|A|) + 1`` tokens, so the inverted index is
+      built over those (rare-token) prefixes only — hot stop-tokens
+      never enter the candidate join, which is what makes the naive
+      index quadratic. Candidates are then verified exactly on the
+      full token sets (array_intersect, JVM-side).
+
+    Without either lever this is the naive inverted-index self-join —
+    fine for samples, quadratic in hot-token document frequency at
+    scale.
     """
+    block = list(block_by) if block_by else []
     tok = df.select(
         F.col(id_col),
+        *[F.col(c) for c in block],
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).distinct()
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select(F.col("tok"), F.col(id_col).alias("id_a"))
-    b = tok.select(F.col("tok"), F.col(id_col).alias("id_b"))
+
+    if prefix_filter:
+        if threshold <= 0:
+            raise ValueError("prefix_filter requires threshold > 0")
+        from pyspark.sql import Window
+
+        dfreq = tok.groupBy(*block, "tok").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            tok.join(dfreq, on=block + ["tok"])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("_df", "tok")
+                ),
+            )
+            .join(sizes, on=id_col)
+        )
+        index = ranked.where(
+            F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        ).select(*block, "tok", F.col(id_col))
+        a = index.select(
+            *block, "tok", F.col(id_col).alias("id_a")
+        )
+        b = index.select(
+            *block, "tok", F.col(id_col).alias("id_b")
+        )
+        cands = (
+            a.join(b, on=block + ["tok"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sets = df.select(
+            F.col(id_col),
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_set"),
+        )
+        verified = (
+            cands.join(
+                sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("inter"),
+                F.size("_sa").alias("sz_a"),
+                F.size("_sb").alias("sz_b"),
+            )
+        )
+        return verified.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+
+    a = tok.select(*block, "tok", F.col(id_col).alias("id_a"))
+    b = tok.select(*block, "tok", F.col(id_col).alias("id_b"))
     inter = (
-        a.join(b, on="tok", how="inner")
+        a.join(b, on=block + ["tok"], how="inner")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

