@@ -79,6 +79,74 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Coarse quantizer: a deterministic subset of corpus vectors
+    (``id % centroid_mod == 0``) serves as centroids (portable to the
+    SQL oracle; production would k-means them — the plumbing is
+    identical). Every corpus vector is assigned to its nearest
+    centroid (one broadcast join against the small centroid set);
+    each query probes its ``nprobe`` nearest centroids and scores
+    only those inverted lists.
+
+    At scale the corpus is written partitioned/bucketed by
+    ``cent_id``, so a probe reads nprobe/n_centroids of the data —
+    the IVF pruning effect — and assignment is a scan-fused broadcast
+    argmax, never a shuffle of the corpus. Ties (after 6dp rounding)
+    break on centroid id then neighbor id, keeping results
+    deterministic across engines.
+    """
+    cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("cv", "cent_v"), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("cent_id", "neighbor_id", "cv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v"), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= nprobe)
+        .select("cent_id", "query_id", "qv")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("cv", "qv"), 6).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )
+
+
 def all_pairs_blas(
     emb: DataFrame,
     threshold: float,

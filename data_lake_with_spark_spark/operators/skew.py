@@ -51,6 +51,36 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, Column],
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys.
+
+    Phase 1 groups by (keys, salt) computing partial sums/counts;
+    phase 2 re-aggregates by keys alone. For decomposable aggregates
+    over exact types (counts, decimal sums) the result is identical
+    to the direct ``groupBy(keys)`` — this pattern matters when hot
+    keys would overflow a single reducer's partial-agg hash table or
+    produce one giant final partition. ``sums`` maps output column
+    name → a sum-able input expression (summed exactly as given in
+    phase 1, then re-summed in phase 2).
+    """
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+    partial = salted.groupBy(*list(keys), SALT_COL).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(expr).alias(f"__s_{name}") for name, expr in sums.items()],
+    )
+    return partial.groupBy(*list(keys)).agg(
+        F.sum("__n").alias("n"),
+        *[F.sum(f"__s_{name}").alias(name) for name in sums],
+    )
+
+
 def explain_shuffles(df: DataFrame) -> str:
     """Return the formatted physical plan (debug aid: count the
     Exchange nodes you expected — and the ones you didn't)."""

@@ -1380,6 +1380,110 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (similarity.ivf_topk):
+    deterministic coarse centroids, nearest-centroid inverted lists,
+    nprobe-limited probing."""
+    from data_lake_with_spark_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_mod=50, nprobe=4
+    )
+
+
+_O_COS_EC = _O_COS.format(a="e.embedding", b="c.cv")
+
+O_Q54 = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT cent_id, neighbor_id, cv2 FROM (
+    SELECT c.cent_id, e.vec_id AS neighbor_id, e.embedding AS cv2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+probes AS (
+  SELECT cent_id, query_id, qv FROM (
+    SELECT c.cent_id, e.vec_id AS query_id, e.embedding AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_O_COS.format(a='a.cv2', b='p.qv')} AS cos
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE p.query_id != a.neighbor_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q55_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5-hot-key events table
+    (operators/skew.py) — identical results to a direct groupBy, but
+    hot keys never concentrate in one reducer."""
+    from data_lake_with_spark_spark.operators.skew import salted_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {"total_value": F.col("value").cast("decimal(18,6)")},
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+O_Q55 = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {_osum('value', 'total_value')}
+FROM events GROUP BY event_type
+"""
+
+
+def q56_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (hypertable continuous-
+    aggregate shape): the daily aggregate is computed FROM the hourly
+    one — exact for decomposable aggregates, and at scale the hourly
+    materialization is reused by every coarser resolution instead of
+    re-scanning the raw events."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+O_Q56 = f"""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {_osum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1436,6 +1540,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q51_running_total": (q51_running_total, O_Q51),
     "q52_deterministic_sample": (q52_deterministic_sample, O_Q52),
     "q53_approx_distinct": (q53_approx_distinct, None),
+    "q54_ann_ivf": (q54_ann_ivf, O_Q54),
+    "q55_salted_aggregation": (q55_salted_aggregation, O_Q55),
+    "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),
 }
 
 
