@@ -1,0 +1,87 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the right ROWS come back; these prove the
+right PLAN produces them — the properties that decide whether a query
+survives a 100× scale-up: filters reaching the parquet scan, column
+pruning, broadcast strategy for dim joins, top-k lowering to
+TakeOrderedAndProject, and no Python evaluation inside relational
+hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lake_with_spark_spark import queries as Q
+from data_lake_with_spark_spark.operators.skew import explain_shuffles
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    return explain_shuffles(Q.queries()[name](spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "q02_revenue_filter")
+    assert "PushedFilters: [" in p
+    # at least the discount range predicate must push down
+    assert "l_discount" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_in_scan_schema(spark, sf_dir):
+    p = plan(spark, sf_dir, "q03_distinct_flags")
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read and "l_linestatus" in read
+    assert "l_extendedprice" not in read  # untouched columns never read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("q05_region_rollup", "q12_flagship_enrichment"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_topk_lowers_to_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "q06_topk_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort stage
+
+
+def test_no_python_eval_in_relational_paths(spark, sf_dir):
+    for name in (
+        "q01_pricing_summary",
+        "q12_flagship_enrichment",
+        "q19_time_dimension",
+        "q44_asof_join",
+        "q45_range_join",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: the agg must run as partial_sum below the
+    exchange and final sum above it, so the shuffle carries one row
+    per (partition, group), not per input row."""
+    p = plan(spark, sf_dir, "q01_pricing_summary")
+    # partial_sum only ever appears in the below-exchange HashAggregate
+    assert "partial_sum" in p and "Exchange" in p
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The union-sort as-of join shuffles each side once on the match
+    key (plus the pre-dedup of the right side) — there must be no
+    join Exchange pair on top (that would mean Spark planned it as a
+    real join, i.e. the range-explosion shape)."""
+    p = plan(spark, sf_dir, "q44_asof_join")
+    assert "Join" not in p  # no join operator at all: window over union
+    assert p.count("Exchange") <= 4
+
+
+@pytest.mark.parametrize(
+    "name", ["q21_exact_dedup", "q22_minhash_signatures", "q31_fingerprint"]
+)
+def test_text_pipelines_stay_jvm_side(spark, sf_dir, name):
+    p = plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p, name
