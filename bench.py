@@ -24,7 +24,11 @@ from data_lake_with_spark_spark.sources.catalog import load_table  # noqa: E402
 
 #: Benchmarked queries: the full oracle-checked registry minus the
 #: staging-heavy streaming/multimodal demos (exercised in tests).
-SKIP = {"q33_streaming_hourly", "q34_multimodal_features"}
+SKIP = {
+    "q33_streaming_hourly",
+    "q34_multimodal_features",
+    "q57_streaming_sessions",
+}
 
 
 def main() -> None:

@@ -1,0 +1,68 @@
+"""Data profiling (SURVEY.md §2 J4 / §5: the reference's entire
+correctness methodology is interactive profiling — printSchema,
+null-pattern eyeballing, count/distinct spot checks in
+``data_profiling.ipynb``). This operator turns that workflow into one
+engine pass: per-column row/null/distinct counts and min/max, for any
+column subset, in a SINGLE aggregate over the data (no per-column
+scans).
+
+Numeric min/max surface as double, string min/max as-is; each column
+becomes one output row via an explode of the one-row aggregate —
+cheap regardless of table size, since the explode happens after the
+aggregation has reduced everything to a single row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def summarize(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per profiled column:
+    (column, n, n_null, n_distinct, min_num, max_num, min_str, max_str).
+    """
+    dtypes = dict(df.dtypes)
+    cols = cols or list(dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_smin_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_smax_{c}"))
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in cols:
+        numeric = _is_numeric(dtypes[c])
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if numeric else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"_max_{c}") if numeric else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (F.lit(None).cast("string") if numeric else F.col(f"_smin_{c}")).alias(
+                    "min_str"
+                ),
+                (F.lit(None).cast("string") if numeric else F.col(f"_smax_{c}")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("_p")).select("_p.*")

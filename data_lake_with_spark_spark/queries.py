@@ -1484,6 +1484,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming native session windows (gap-based, keyed
+    by user) over a staged file stream — the streaming twin of q17.
+    No oracle (streaming; driver rows-only)."""
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        read_event_stream,
+        session_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_sess_")
+    e.coalesce(4).write.mode("overwrite").json(stage)
+    stream = read_event_stream(spark, stage)
+    agg = session_counts(stream, gap="30 minutes", watermark="2 hours")
+    name = "dlws_stream_sessions"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def q58_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (operators/profile.py — the
+    reference's data_profiling.ipynb workflow as one engine op)."""
+    from data_lake_with_spark_spark.operators.profile import summarize
+
+    c = _t(spark, sf_dir, "customer")
+    return summarize(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
+def _o_profile(col: str, numeric: bool) -> str:
+    if numeric:
+        mm = (
+            f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        )
+    else:
+        mm = (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"MIN({col}) AS min_str, MAX({col}) AS max_str"
+        )
+    return (
+        f"SELECT '{col}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, {mm} "
+        "FROM customer"
+    )
+
+
+O_Q58 = " UNION ALL ".join(
+    [
+        _o_profile("c_custkey", True),
+        _o_profile("c_name", False),
+        _o_profile("c_nationkey", True),
+        _o_profile("c_acctbal", True),
+        _o_profile("c_mktsegment", False),
+    ]
+)
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1543,6 +1619,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q54_ann_ivf": (q54_ann_ivf, O_Q54),
     "q55_salted_aggregation": (q55_salted_aggregation, O_Q55),
     "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),
+    "q57_streaming_sessions": (q57_streaming_sessions, None),
+    "q58_profile_columns": (q58_profile_columns, O_Q58),
 }
 
 

@@ -29,6 +29,7 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
         "q33_streaming_hourly",
         "q34_multimodal_features",
         "q53_approx_distinct",
+        "q57_streaming_sessions",
     }
 
 
