@@ -1560,6 +1560,130 @@ O_Q58 = " UNION ALL ".join(
 )
 
 
+def q59_having_global_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group totals kept only when exceeding a
+    fraction of the GLOBAL total — the scalar subquery broadcast as a
+    1-row cross join (never recomputed per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity"), "part_value")
+    )
+    total = li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity"), "total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    # scale-invariant threshold: parts carrying > 1.2x the average share
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value")
+            > F.lit(1.2) * F.col("total_value") / F.col("n_parts")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+O_Q59 = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_osum('l_extendedprice * l_quantity', 'part_value')}
+  FROM lineitem GROUP BY l_partkey),
+tot AS (
+  SELECT {_osum('l_extendedprice * l_quantity', 't')},
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem)
+SELECT l_partkey, part_value FROM per_part, tot
+WHERE part_value > 1.2 * t / n_parts
+"""
+
+
+def q60_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a filtered key set (anti join) +
+    distinct-count aggregate per group."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad_parts = p.where(F.col("p_type") == "PROMO").select("p_partkey")
+    kept = li.join(
+        bad_parts, on=[li["l_partkey"] == bad_parts["p_partkey"]], how="left_anti"
+    )
+    joined = kept.join(F.broadcast(p), on=[kept["l_partkey"] == p["p_partkey"]])
+    return joined.groupBy("p_brand").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+O_Q60 = """
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+GROUP BY p_brand
+"""
+
+
+def q61_in_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (IN over a HAVING subquery), then enriched."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, on=[o["o_orderkey"] == big["l_orderkey"]])
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+    )
+
+
+O_Q61 = f"""
+WITH big AS (
+  SELECT l_orderkey, {_osum('l_quantity', 'sum_qty')}
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150)
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
+def q62_country_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: substring-derived grouping key, a global avg
+    scalar subquery as filter, and an anti join (customers with no
+    orders), aggregated per code."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal"), "avg_bal")
+    )
+    rich = (
+        c.withColumn("code", F.expr("right(c_name, 2)"))
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    no_orders = rich.join(
+        o, on=[rich["c_custkey"] == o["o_custkey"]], how="left_anti"
+    )
+    return no_orders.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal"), "total_bal"),
+    )
+
+
+O_Q62 = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT right(c_name, 2) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_osum('c_acctbal', 'total_bal')}
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1621,6 +1745,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),
     "q57_streaming_sessions": (q57_streaming_sessions, None),
     "q58_profile_columns": (q58_profile_columns, O_Q58),
+    "q59_having_global_scalar": (q59_having_global_scalar, O_Q59),
+    "q60_not_in_subquery": (q60_not_in_subquery, O_Q60),
+    "q61_in_having_subquery": (q61_in_having_subquery, O_Q61),
+    "q62_country_code_balance": (q62_country_code_balance, O_Q62),
 }
 
 
