@@ -42,8 +42,15 @@ def main() -> None:
     spark = get_spark(app_name="dlws-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: full scan of the largest table through an exchange
-    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
+    # warmup: full scan of the largest table through an exchange and
+    # the noop sink, plus one Arrow batch so the Python worker pool
+    # (mapInPandas queries) is already started when timing begins.
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in q.queries().items():

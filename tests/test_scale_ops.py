@@ -1,0 +1,108 @@
+"""Unit tests for the scale-path operators added after round-1 core:
+GEMM/BLAS similarity variants must equal their naive twins; salted
+aggregation must equal direct aggregation; profiler counts must match
+hand-computed facts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators import dedup
+from data_lake_with_spark_spark.operators.profile import summarize
+from data_lake_with_spark_spark.operators.similarity import all_pairs_blas, ivf_topk
+from data_lake_with_spark_spark.operators.skew import salted_aggregate
+
+DOCS = [
+    (1, "en", "alpha beta gamma delta"),
+    (2, "en", "alpha beta gamma delta epsilon"),
+    (3, "en", "zeta eta theta iota kappa"),
+    (4, "fr", "alpha beta gamma delta"),  # same text, other block
+    (5, "fr", "un deux trois quatre"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "lang", "text"])
+
+
+def test_token_jaccard_blas_equals_naive_within_blocks(spark):
+    naive = dedup.token_jaccard_pairs(
+        _docs(spark), threshold=0.1, block_by=["lang"]
+    )
+    blas = dedup.token_jaccard_blas(_docs(spark), threshold=0.1, block_by=["lang"])
+    as_set = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    got = as_set(blas)
+    assert got == as_set(naive)
+    # cross-block pair (1,4) must be absent despite identical text
+    assert not any(a == 1 and b == 4 for a, b, _ in got)
+
+
+def test_token_jaccard_prefix_filter_equals_naive(spark):
+    naive = dedup.token_jaccard_pairs(_docs(spark), threshold=0.5, block_by=["lang"])
+    pf = dedup.token_jaccard_pairs(
+        _docs(spark), threshold=0.5, block_by=["lang"], prefix_filter=True
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    assert as_set(pf) == as_set(naive)
+
+
+def _emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+
+def test_all_pairs_blas_equals_crossjoin_pairs(spark):
+    emb = _emb(spark)
+    blas = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in all_pairs_blas(emb, threshold=0.5).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    assert blas == naive
+    assert (0, 1, 0.993884) in {(a, b, round(c, 6)) for a, b, c in blas}
+
+
+def test_ivf_topk_finds_same_cluster_neighbor(spark):
+    emb = _emb(spark)
+    out = ivf_topk(
+        emb, emb.where(F.col("vec_id") == 1), k=2, centroid_mod=2, nprobe=2
+    )
+    rows = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in out.collect()}
+    # vec 0 is vec 1's nearest neighbor and must rank first
+    assert (1, 0, 1) in rows
+
+
+def test_salted_aggregate_equals_direct(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 3.0), ("a", 4.0)], ["k", "v"]
+    )
+    out = salted_aggregate(
+        df, ["k"], {"total": F.col("v").cast("decimal(18,6)")}, salt=4
+    )
+    got = {
+        r["k"]: (r["n"], float(r["total"])) for r in out.collect()
+    }
+    assert got == {"a": (3, 8.0), "b": (1, 3.0)}
+
+
+def test_summarize_counts_and_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, -1.0), (2, "y", None)], ["id", "s", "v"]
+    )
+    rows = {r["column"]: r for r in summarize(df).collect()}
+    assert rows["id"]["n"] == 3 and rows["id"]["n_distinct"] == 2
+    assert rows["s"]["n_null"] == 1 and rows["s"]["min_str"] == "x"
+    assert rows["v"]["min_num"] == -1.0 and rows["v"]["max_num"] == 2.0
