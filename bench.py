@@ -28,6 +28,7 @@ SKIP = {
     "q33_streaming_hourly",
     "q34_multimodal_features",
     "q57_streaming_sessions",
+    "q64_frame_sampling",
 }
 
 

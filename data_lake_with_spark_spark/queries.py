@@ -1684,6 +1684,55 @@ GROUP BY 1
 """
 
 
+def q63_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: documents surviving greedy MinHash-LSH
+    dedup (any doc LSH-paired with a lower id is dropped)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    ).select("doc_id", "lang", "source")
+
+
+O_Q63 = f"""
+WITH sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+),
+dupes AS (
+  SELECT DISTINCT b.doc_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+"""
+
+
+def q64_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: fake video assets → mapInPandas
+    frame sampling (1 row per sampled frame) → per-asset frame counts.
+    No oracle (binary/pandas path; rows-only)."""
+    from data_lake_with_spark_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.col("n_chars") / 100.0).cast("double").alias("meta_duration_s"),
+    )
+    frames = sample_frames(assets, every_s=1.0)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_s").alias("last_frame_ts"),
+    )
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1749,6 +1798,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q60_not_in_subquery": (q60_not_in_subquery, O_Q60),
     "q61_in_having_subquery": (q61_in_having_subquery, O_Q61),
     "q62_country_code_balance": (q62_country_code_balance, O_Q62),
+    "q63_minhash_dedup": (q63_minhash_dedup, O_Q63),
+    "q64_frame_sampling": (q64_frame_sampling, None),
 }
 
 
