@@ -57,3 +57,33 @@ def test_register_views_sql_roundtrip(spark, sf_dir):
         "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
     ).first()["n"]
     assert n == 25
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must SortMergeJoin without
+    any Exchange — the 100 TB repeated-join payoff of write_bucketed."""
+    from data_lake_with_spark_spark.operators.skew import explain_shuffles
+    from data_lake_with_spark_spark.sources.catalog import load_table
+    from data_lake_with_spark_spark.sources.sinks import read_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"]
+    )
+    bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        plan = explain_shuffles(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
