@@ -1733,6 +1733,62 @@ def q64_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (I6 surface): extract a field from the
+    events.props JSON string column and aggregate it — scan-time JSON
+    parsing stays inside codegen (get_json_object), no UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_Q65 = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q66_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions (I6 surface) over the embedding
+    column: size, element access, max, and a sequential fold over a
+    slice — all JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.round(
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x as double))"
+            ),
+            6,
+        ).alias("head8_sum"),
+    )
+
+
+O_Q66 = """
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS head8_sum
+FROM embeddings
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1800,6 +1856,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q62_country_code_balance": (q62_country_code_balance, O_Q62),
     "q63_minhash_dedup": (q63_minhash_dedup, O_Q63),
     "q64_frame_sampling": (q64_frame_sampling, None),
+    "q65_json_extract": (q65_json_extract, O_Q65),
+    "q66_array_functions": (q66_array_functions, O_Q66),
 }
 
 
