@@ -29,6 +29,7 @@ SKIP = {
     "q34_multimodal_features",
     "q57_streaming_sessions",
     "q64_frame_sampling",
+    "q70_streaming_enriched",
 }
 
 

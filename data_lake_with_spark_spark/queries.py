@@ -1789,6 +1789,125 @@ FROM embeddings
 """
 
 
+def q67_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (the one join type left): the full
+    region × nation grid with a membership flag."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey"))).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_member"),
+    )
+
+
+O_Q67 = """
+SELECT r_name, n_name, n_regionkey = r_regionkey AS is_member
+FROM region CROSS JOIN nation
+"""
+
+
+def q68_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic kernel: day difference to a fixed date,
+    interval shift, month truncation, month extraction-by-arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+        ).cast("int").alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.last_day(F.col("o_orderdate")).cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+O_Q68 = """
+SELECT o_orderkey,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+         AS days_since_epoch_start,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+FROM orders
+"""
+
+
+def q69_null_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling / conditional kernel: coalesce, nullif,
+    least/greatest, CASE — over a left join that manufactures nulls."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice"), "spend")
+    )
+    joined = c.join(o, on=[c["c_custkey"] == o["o_custkey"]], how="left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend_or_zero"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_non_building"),
+        F.least(F.col("c_acctbal"), F.coalesce(F.col("spend"), F.lit(0.0))).alias(
+            "min_bal_spend"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("nonneg_bal"),
+        F.when(F.col("spend").isNull(), "inactive")
+        .when(F.col("spend") > 500000, "whale")
+        .otherwise("active")
+        .alias("tier"),
+    )
+
+
+O_Q69 = f"""
+WITH sp AS (
+  SELECT o_custkey, {_osum('o_totalprice', 'spend')} FROM orders GROUP BY o_custkey)
+SELECT c_custkey,
+       COALESCE(spend, 0.0) AS spend_or_zero,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_non_building,
+       LEAST(c_acctbal, COALESCE(spend, 0.0)) AS min_bal_spend,
+       GREATEST(c_acctbal, 0.0) AS nonneg_bal,
+       CASE WHEN spend IS NULL THEN 'inactive'
+            WHEN spend > 500000 THEN 'whale'
+            ELSE 'active' END AS tier
+FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+"""
+
+
+def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream broadcast-enriched with
+    the customer dimension per micro-batch, then windowed counts per
+    market segment. No oracle (streaming; driver rows-only)."""
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        enriched_windowed_counts,
+        read_event_stream,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_enrich_")
+    e.coalesce(4).write.mode("overwrite").json(stage)
+    stream = read_event_stream(spark, stage)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = enriched_windowed_counts(
+        stream, dim, "user_id", "c_custkey", "c_mktsegment"
+    )
+    name = "dlws_stream_enriched"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1858,6 +1977,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q64_frame_sampling": (q64_frame_sampling, None),
     "q65_json_extract": (q65_json_extract, O_Q65),
     "q66_array_functions": (q66_array_functions, O_Q66),
+    "q67_cross_join": (q67_cross_join, O_Q67),
+    "q68_date_arithmetic": (q68_date_arithmetic, O_Q68),
+    "q69_null_conditionals": (q69_null_conditionals, O_Q69),
+    "q70_streaming_enriched": (q70_streaming_enriched, None),
 }
 
 

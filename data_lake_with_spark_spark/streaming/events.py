@@ -143,6 +143,34 @@ def running_user_totals(events: DataFrame, timeout_ms: int = 3600_000) -> DataFr
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: each micro-batch
+    broadcast-joins the static dimension (no state, no shuffle of the
+    stream), then counts per (window, dim attribute). The canonical
+    'enrich events with a dimension while they flow' shape."""
+    joined = events.join(
+        F.broadcast(dim), on=events[stream_key] == dim[dim_key], how="inner"
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(group_col),
+            "n",
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "object":

@@ -31,6 +31,7 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
         "q53_approx_distinct",
         "q57_streaming_sessions",
         "q64_frame_sampling",
+        "q70_streaming_enriched",
     }
 
 
