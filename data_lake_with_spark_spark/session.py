@@ -83,6 +83,39 @@ def get_spark(
     return spark
 
 
+def s3a_confs(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    committer: str = "magic",
+) -> dict[str, str]:
+    """S3A connector configuration (SURVEY.md §2 A5; reference
+    ``etl.py:23-24,34``: hadoop-aws package + AWS creds from env).
+
+    Returns confs to pass as ``extra_conf`` to :func:`get_spark`.
+    Credentials default to the standard AWS env vars (the reference
+    exports them the same way from its ``dl.cfg``); on EC2/EKS prefer
+    the instance-profile provider and pass no keys. The reference's
+    fileoutputcommitter-v2 (etl.py:37) is superseded by the S3A
+    committers at scale — 'magic' avoids the copy-on-commit entirely.
+    """
+    confs: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if access_key and secret_key:
+        confs["spark.hadoop.fs.s3a.access.key"] = access_key
+        confs["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return confs
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session.
 

@@ -87,3 +87,17 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_session_confs_and_s3a_helper(spark):
+    from data_lake_with_spark_spark.session import s3a_confs
+
+    assert (
+        spark.conf.get(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"
+        )
+        == "2"
+    )
+    confs = s3a_confs(access_key="AK", secret_key="SK")
+    assert confs["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
