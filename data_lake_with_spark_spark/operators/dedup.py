@@ -209,9 +209,15 @@ def jaccard_verify_pairs(
     ``array_intersect``. Cost is O(|pairs| · shingles/doc), never the
     inverted-index blow-up (sum over shingles of doc-frequency²).
     """
-    sets = df.where(F.length(text_col) >= shingle_k).select(
-        F.col(id_col),
-        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("shs"),
+    # repartition: shingle-array construction is per-row CPU work that
+    # must not run in the scan's (often single) input task
+    sets = (
+        df.where(F.length(text_col) >= shingle_k)
+        .repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("shs"),
+        )
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))

@@ -1908,6 +1908,52 @@ def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q71_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide returnflag quantity matrix (q39's
+    pivot) folded back to long form — pivot and unpivot together
+    close the reshaping surface."""
+    wide = q39_pivot_returnflag(spark, sf_dir)
+    return wide.unpivot(
+        ["l_linestatus"], ["A", "N", "R"], "returnflag", "sum_qty"
+    ).where(F.col("sum_qty").isNotNull())
+
+
+O_Q71 = """
+WITH wide AS (
+  SELECT l_linestatus,
+         CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS "A",
+         CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS "N",
+         CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS "R"
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l_linestatus, returnflag, sum_qty
+FROM wide UNPIVOT (sum_qty FOR returnflag IN ("A", "N", "R"))
+"""
+
+
+def q72_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex kernel: capture-group extraction and pattern counting
+    over part names — codegen'd regexp functions, no UDF."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"(\d+)", 1).alias("first_number"),
+        F.size(F.split(F.col("p_name"), r"\s+")).cast("int").alias("n_words"),
+        F.regexp_like(F.col("p_name"), F.lit("^p")).alias("starts_with_p"),
+    )
+
+
+O_Q72 = """
+SELECT p_partkey,
+       regexp_extract(p_name, '(\\d+)', 1) AS first_number,
+       CAST(len(string_split_regex(p_name, '\\s+')) AS INTEGER) AS n_words,
+       regexp_matches(p_name, '^p') AS starts_with_p
+FROM part
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1981,6 +2027,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q68_date_arithmetic": (q68_date_arithmetic, O_Q68),
     "q69_null_conditionals": (q69_null_conditionals, O_Q69),
     "q70_streaming_enriched": (q70_streaming_enriched, None),
+    "q71_unpivot": (q71_unpivot, O_Q71),
+    "q72_regexp_extract": (q72_regexp_extract, O_Q72),
 }
 
 
