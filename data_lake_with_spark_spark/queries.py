@@ -1954,6 +1954,85 @@ FROM part
 """
 
 
+def q73_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead surface (windows.lag_delta): per-user value delta
+    between consecutive events."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return windows.lag_delta(e, ["user_id"], "ts", "value", col_name="delta").select(
+        "user_id", "event_id", F.round("delta", 6).alias("delta")
+    )
+
+
+O_Q73 = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6)
+         AS delta
+FROM events
+"""
+
+
+def q74_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank over rounded keys (ties are real after
+    rounding, so the two diverge — both computed, both checked)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round((F.col("o_totalprice") / 10000).cast("double"), 0).alias("price_bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("price_bucket").desc(), F.col("o_orderkey").asc()
+    )
+    wd = Window.partitionBy("o_orderstatus").orderBy(F.col("price_bucket").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_bucket",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(wd).alias("bucket_rank"),
+    )
+
+
+O_Q74 = """
+SELECT o_orderkey, o_orderstatus,
+       round(CAST(o_totalprice / 10000 AS DOUBLE), 0) AS price_bucket,
+       CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY round(CAST(o_totalprice / 10000 AS DOUBLE), 0) DESC,
+                         o_orderkey) AS INTEGER) AS rn,
+       CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+                ORDER BY round(CAST(o_totalprice / 10000 AS DOUBLE), 0) DESC)
+            AS INTEGER) AS bucket_rank
+FROM orders
+"""
+
+
+def q75_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of customers by balance within segment
+    (deterministic: total order via custkey tiebreak)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+O_Q75 = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+         AS balance_quartile
+FROM customer
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2029,6 +2108,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q70_streaming_enriched": (q70_streaming_enriched, None),
     "q71_unpivot": (q71_unpivot, O_Q71),
     "q72_regexp_extract": (q72_regexp_extract, O_Q72),
+    "q73_lag_delta": (q73_lag_delta, O_Q73),
+    "q74_dense_rank": (q74_dense_rank, O_Q74),
+    "q75_ntile": (q75_ntile, O_Q75),
 }
 
 
