@@ -301,6 +301,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: every node
+    labeled with the MINIMUM id reachable from it — the clustering
+    step that turns pairwise near-dup candidates into dedup groups
+    (transitive closure; the greedy drop-lower-id pass in
+    :func:`minhash_dedup` under-merges chains a-b, b-c).
+
+    Iterative min-label propagation with pointer jumping: each round
+    (a) pulls the minimum neighbor label across edges and (b) jumps
+    through the label mapping itself (``cluster := cluster[cluster]``),
+    so chains collapse in O(log diameter) rounds, not O(diameter).
+    Every round's result is cached and FULLY materialized by an
+    eager count before the next round builds on it — without full
+    materialization the lazy lineage re-executes all prior rounds
+    (short-circuiting actions like ``limit(1).count()`` leave the
+    cache partial, which is quadratic in rounds). The loop runs
+    driver-side over lazy plans — the standard Spark shape for
+    iterative algorithms. At web scale swap in the large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce"), same interface.
+
+    ``edges`` must have columns (id_a, id_b). Returns (id, cluster)
+    with cluster = min reachable id.
+    """
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster"))
+    bidir = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    bidir.cache()
+    labels.cache()
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                bidir.join(labels, on=[bidir["src"] == labels["id"]])
+                .groupBy("dst")
+                .agg(F.min("cluster").alias("n_min"))
+            )
+            pulled = (
+                labels.join(
+                    neighbor_min, on=[labels["id"] == neighbor_min["dst"]], how="left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                    ).alias("cluster"),
+                )
+            )
+            mapping = pulled.select(
+                F.col("id").alias("_mid"), F.col("cluster").alias("_mcluster")
+            )
+            new_labels = (
+                pulled.join(mapping, on=[pulled["cluster"] == mapping["_mid"]], how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("_mcluster"), F.col("cluster")),
+                    ).alias("cluster"),
+                )
+            )
+            new_labels.cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        bidir.unpersist()
+    return labels
+
+
 def token_jaccard_blas(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2033,6 +2033,44 @@ FROM customer
 """
 
 
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components (transitive closure)
+    over the MinHash-LSH candidate graph — each document labeled with
+    its cluster's minimum doc id (dedup.connected_components,
+    iterative min-label propagation)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+    return dedup.connected_components(d.select("doc_id"), pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
+O_Q76 = f"""
+WITH RECURSIVE sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2111,6 +2149,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_lag_delta": (q73_lag_delta, O_Q73),
     "q74_dense_rank": (q74_dense_rank, O_Q74),
     "q75_ntile": (q75_ntile, O_Q75),
+    "q76_dedup_clusters": (q76_dedup_clusters, O_Q76),
 }
 
 

@@ -85,3 +85,14 @@ def test_embedding_near_dup_pairs(spark):
     )
     out = dedup.embedding_near_dup_pairs(emb, threshold=0.99)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def test_connected_components_transitive_chain(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    # chain 1-2-3, pair 4-5, singleton 6: greedy drop-lower-id would
+    # miss that 3 belongs with 1; CC must label all of 1,2,3 with 1
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    from data_lake_with_spark_spark.operators.dedup import connected_components
+
+    out = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
