@@ -25,7 +25,7 @@ the DuckDB oracle reproduces identical values — engine-native hashes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
@@ -298,6 +298,41 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_star_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Linear-size dedup graph: one edge per (doc, band) linking each
+    doc to the MINIMUM doc id in its LSH bucket.
+
+    Connected components over these star edges are IDENTICAL to
+    components over the all-pairs bucket graph (a bucket is a clique
+    either way), but the edge count is O(docs x bands) instead of
+    O(sum bucket_size^2) — the scale-safe clustering input: a hot
+    bucket of B docs emits B-1 edges, not B(B-1)/2 pairs. Use
+    :func:`minhash_candidate_pairs` only when the pairs themselves
+    are the output (e.g. feeding a pairwise verifier).
+
+    One shuffle (groupBy bucket key for the per-bucket min) plus a
+    broadcast-size map join back — expressed as min-over-window so
+    Spark plans a single exchange on (band, band_key).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = minhash_bands(sig, id_col, bands, rows_per_band)
+    w = Window.partitionBy("band", "band_key")
+    return (
+        banded.withColumn("_min", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("_min"))
+        .select(F.col("_min").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
     )
 
 

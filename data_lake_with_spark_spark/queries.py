@@ -2035,14 +2035,22 @@ FROM customer
 
 def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components (transitive closure)
-    over the MinHash-LSH candidate graph — each document labeled with
-    its cluster's minimum doc id (dedup.connected_components,
-    iterative min-label propagation)."""
+    over the MinHash-LSH bucket graph — each document labeled with its
+    cluster's minimum doc id (dedup.connected_components, iterative
+    min-label propagation with pointer jumping).
+
+    The graph input is dedup.minhash_star_edges (doc -> min doc id of
+    its bucket), NOT all candidate pairs: star edges have identical
+    connectivity (every bucket is a clique either way) at O(docs x
+    bands) edges instead of O(bucket^2) pairs — on this corpus (dense:
+    median pairwise Jaccard 0.63, so LSH buckets are huge) the
+    all-pairs graph is quadratic and the star graph is what survives
+    a 100 TB scale-up."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(
+    edges = dedup.minhash_star_edges(
         d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
     )
-    return dedup.connected_components(d.select("doc_id"), pairs).select(
+    return dedup.connected_components(d.select("doc_id"), edges).select(
         F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster")
     )
 
@@ -2055,10 +2063,11 @@ banded AS (
   UNION ALL
   SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
 ),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS id_a,
+         doc_id AS id_b
+  FROM banded),
+pairs AS (SELECT DISTINCT id_a, id_b FROM star WHERE id_a <> id_b),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs),

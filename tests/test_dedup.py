@@ -87,6 +87,34 @@ def test_embedding_near_dup_pairs(spark):
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
 
 
+def test_star_edges_same_components_as_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog!"),
+            (3, "the quick brown fox jumped over the lazy dog"),
+            (4, "completely different text with no overlap at all"),
+            (5, "another unrelated document body entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    nodes = docs.select("doc_id")
+    kw = dict(num_hashes=4, shingle_k=5, bands=2)
+    pairs = dedup.minhash_candidate_pairs(docs, **kw)
+    stars = dedup.minhash_star_edges(docs, **kw)
+    # star graph has identical connectivity at linear edge count
+    cc_pairs = {
+        r["id"]: r["cluster"]
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    cc_stars = {
+        r["id"]: r["cluster"]
+        for r in dedup.connected_components(nodes, stars).collect()
+    }
+    assert cc_pairs == cc_stars
+    assert stars.count() <= pairs.count()
+
+
 def test_connected_components_transitive_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     # chain 1-2-3, pair 4-5, singleton 6: greedy drop-lower-id would
