@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
 from data_lake_with_spark_spark.operators.text import fingerprint
@@ -80,10 +81,16 @@ def minhash_signatures(
         # interpreted array-of-strings is ever built.
         # Hash-repartition by id first: a corpus read from few/small
         # files otherwise runs the whole explode+hash pipeline in one
-        # task (input-split parallelism, not row parallelism).
+        # task (input-split parallelism, not row parallelism). The
+        # partition count MUST be explicit: a bare repartition(col) is
+        # an AQE coalescing target, and on a small-bytes/high-CPU input
+        # (KBs of text that explode into millions of hashes) AQE
+        # collapses it to ONE partition and serializes the whole
+        # pipeline — observed 3.6x on a 1.5 MB corpus.
+        parts = df.sparkSession.sparkContext.defaultParallelism
         exploded = (
             df.where(F.length(text_col) >= shingle_k)
-            .repartition(F.col(id_col))
+            .repartition(parts, F.col(id_col))
             .select(
                 F.col(id_col),
                 F.col(text_col).alias("_txt"),
@@ -210,10 +217,11 @@ def jaccard_verify_pairs(
     inverted-index blow-up (sum over shingles of doc-frequency²).
     """
     # repartition: shingle-array construction is per-row CPU work that
-    # must not run in the scan's (often single) input task
+    # must not run in the scan's (often single) input task; explicit
+    # count so AQE can't coalesce the small-bytes exchange to 1 task
     sets = (
         df.where(F.length(text_col) >= shingle_k)
-        .repartition(F.col(id_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(
             F.col(id_col),
             F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("shs"),
@@ -336,17 +344,71 @@ def minhash_star_edges(
     )
 
 
+def _cc_driver_union_find(
+    nodes: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph path for :func:`connected_components`: union-find
+    over a collected edge list, labels pushed back via broadcast map
+    join. Only ids that appear in an edge need a mapping row —
+    singletons label themselves through the coalesce."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # union by min keeps find() roots == component minima
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    mapping = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    id_type = nodes.schema[id_col].dataType
+    map_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("_cc", id_type)]
+    )
+    map_df = spark.createDataFrame(mapping, map_schema)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(map_df), on="id", how="left")
+        .select("id", F.coalesce("_cc", F.col("id")).alias("cluster"))
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph: every node
     labeled with the MINIMUM id reachable from it — the clustering
     step that turns pairwise near-dup candidates into dedup groups
     (transitive closure; the greedy drop-lower-id pass in
     :func:`minhash_dedup` under-merges chains a-b, b-c).
+
+    Two regimes, split on edge count (the same collect-when-small
+    trade Spark itself makes for broadcast joins):
+
+    - ``<= collect_threshold`` edges: collect the edge list and run
+      union-find on the driver (microseconds), broadcast the
+      non-trivial labels back as a map join. Each distributed
+      iteration below costs seconds of scheduling latency regardless
+      of data size, so for graphs this small the loop is pure
+      overhead. 2M edges ≈ 32 MB on the driver.
+    - larger: iterative distributed min-label propagation (below).
+      This is the 100 TB path — star-edge inputs
+      (:func:`minhash_star_edges`) keep the edge count linear in
+      docs, and each round is a pair of shuffles over (id, label)
+      rows, never materializing anything quadratic.
 
     Iterative min-label propagation with pointer jumping: each round
     (a) pulls the minimum neighbor label across edges and (b) jumps
@@ -370,12 +432,16 @@ def connected_components(
     ``edges`` must have columns (id_a, id_b). Returns (id, cluster)
     with cluster = min reachable id.
     """
+    ed = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    if collect_threshold and ed.count() <= collect_threshold:
+        return _cc_driver_union_find(nodes, ed, id_col)
+
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     ).localCheckpoint(eager=True)
     bidir = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        ed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(ed.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )

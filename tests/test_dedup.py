@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from data_lake_with_spark_spark.operators import dedup
 
@@ -115,12 +116,20 @@ def test_star_edges_same_components_as_pairs(spark):
     assert stars.count() <= pairs.count()
 
 
-def test_connected_components_transitive_chain(spark):
+@pytest.mark.parametrize("collect_threshold", [2_000_000, 0])
+def test_connected_components_transitive_chain(spark, collect_threshold):
+    # both regimes: driver union-find (threshold covers the graph) and
+    # the distributed min-label loop (threshold=0 forces it)
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     # chain 1-2-3, pair 4-5, singleton 6: greedy drop-lower-id would
     # miss that 3 belongs with 1; CC must label all of 1,2,3 with 1
     edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
     from data_lake_with_spark_spark.operators.dedup import connected_components
 
-    out = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
+    out = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            nodes, edges, collect_threshold=collect_threshold
+        ).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
