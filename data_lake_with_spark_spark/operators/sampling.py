@@ -1,0 +1,77 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A training corpus is rarely consumed at its natural distribution —
+pipelines up/down-sample strata (language, source, quality band) to a
+target mixture. Spark's ``df.sample``/``sampleBy`` draw from an RNG
+seeded per partition, so results change under repartitioning and
+cannot be reproduced by another engine. These operators instead keep a
+row iff a hash of its stable key falls under a per-stratum threshold:
+
+- fully deterministic (same rows on every run, any partitioning,
+  any cluster size — a re-run of a 100 TB mixing job is a no-op diff);
+- embarrassingly parallel (a scan + filter; no shuffle, no state);
+- portable (md5 prefix compared as a lowercase-hex string, so an
+  external auditor — or the DuckDB oracle — selects byte-identical
+  samples).
+
+Thresholds quantize rates to 1/256ths (two hex digits). That is the
+deliberate trade for engine-portable string comparison; pass
+``precision=4`` for 1/65536ths when strata are huge and rates small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_threshold(rate: float, precision: int = 2) -> str:
+    """Lowercase-hex threshold t such that P[md5-prefix < t] ≈ rate,
+    quantized to 16**-precision. Returns the exclusive upper bound as
+    a string comparable against ``substring(md5(key), 1, precision)``.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    levels = 16**precision
+    t = round(rate * levels)
+    if t >= levels:
+        # keep-all: 'g' sorts after every hex digit, so every prefix
+        # passes; format(levels) would be precision+1 chars and break
+        # the lexicographic comparison ('ff' < '100' is False)
+        return "g" * precision
+    return format(t, f"0{precision}x")
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, rate: float, precision: int = 2
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by md5(key) prefix — stable
+    across runs, partitionings, and engines."""
+    thr = rate_threshold(rate, precision)
+    return df.where(F.substring(F.md5(key), 1, precision) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key: Column,
+    default_rate: float = 0.0,
+    precision: int = 2,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: row kept iff
+    ``md5(key)`` prefix < the threshold of its stratum's rate.
+
+    ``rates`` maps stratum value → keep rate; strata absent from the
+    map use ``default_rate`` (0.0 = drop, 1.0 = keep all). The plan is
+    a single scan + filter — the strata thresholds fold into one CASE
+    expression, so there is no join, no shuffle, and the predicate
+    sits directly on the parquet scan.
+    """
+    thr = F.lit(rate_threshold(default_rate, precision))
+    for value, rate in sorted(rates.items()):
+        thr = (
+            F.when(F.col(strata_col) == value, F.lit(rate_threshold(rate, precision)))
+            .otherwise(thr)
+        )
+    return df.where(F.substring(F.md5(key), 1, precision) < thr)

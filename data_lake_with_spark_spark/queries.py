@@ -2080,6 +2080,37 @@ FROM reach GROUP BY node
 """
 
 
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): the
+    training-data mixing step — per-language keep rates applied via a
+    portable md5-prefix threshold, so the selected row set is stable
+    across runs, partitionings, and engines (unlike df.sample /
+    sampleBy, whose RNG is partition-seeded). The rate map folds into
+    one CASE expression: a single scan + filter, no shuffle, predicate
+    on the parquet scan. Rates exercise every regime: downsample
+    (en .25, zh .5, es .75), keep-all (de 1.0), drop (fr via default
+    0.0)."""
+    from data_lake_with_spark_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d,
+        "lang",
+        {"en": 0.25, "zh": 0.5, "es": 0.75, "de": 1.0},
+        key=F.col("doc_id").cast("string"),
+        default_rate=0.0,
+    ).select("doc_id", "lang")
+
+
+O_Q77 = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
+                WHEN 'es' THEN 'c0' WHEN 'de' THEN 'gg'
+                ELSE '00' END
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2159,6 +2190,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q74_dense_rank": (q74_dense_rank, O_Q74),
     "q75_ntile": (q75_ntile, O_Q75),
     "q76_dedup_clusters": (q76_dedup_clusters, O_Q76),
+    "q77_stratified_sample": (q77_stratified_sample, O_Q77),
 }
 
 
