@@ -79,17 +79,42 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Driver contract: stdout carries EXACTLY ONE compact JSON line.
+    # Round 1 showed the harness's stdout capture window truncates a
+    # multi-KB line (BENCH_r01.json: "parsed": null), so the stdout
+    # line carries only the headline fields plus the slowest queries;
+    # the full per-query map goes to bench_queries.json and stderr.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "sf": sf,
+        }
+    )
+    full = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        indent=2,
+    )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"),
+        "w",
+    ) as f:
+        f.write(full + "\n")
+    print(full, file=sys.stderr)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

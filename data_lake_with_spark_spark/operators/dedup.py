@@ -25,6 +25,8 @@ the DuckDB oracle reproduces identical values — engine-native hashes
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -480,12 +482,24 @@ def connected_components(
         # Convergence: labels only ever decrease (every update is a
         # least(old, ...)), so the label sum is strictly monotone and
         # sum-equality <=> fixpoint — one scan of the checkpointed
-        # round instead of a join against the previous round.
-        new_sum = new_labels.agg(F.sum("cluster").alias("s")).collect()[0]["s"]
+        # round instead of a join against the previous round. Summing
+        # as decimal(38,0) keeps the monotonicity argument valid on
+        # arbitrarily large id domains (a bigint sum could wrap).
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
+    warnings.warn(
+        f"connected_components: max_iterations={max_iterations} exhausted "
+        "without reaching the label-sum fixpoint; returned clusters may be "
+        "under-merged. Raise max_iterations (rounds needed is "
+        "O(log(graph diameter)) with pointer jumping).",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return labels
 
 

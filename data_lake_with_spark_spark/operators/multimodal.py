@@ -68,14 +68,17 @@ def _decode_stub(payload: bytes) -> "tuple[float, float]":
 
     Production implementation decodes the media (PIL / soundfile /
     ffmpeg) and computes features over pixels/samples; not available
-    in this container (SURVEY-mandated stub).
+    in this container (SURVEY-mandated stub). The byte stats run
+    vectorized over ``np.frombuffer`` — zero-copy view of the payload,
+    no per-byte Python — which is the template production decode
+    kernels should follow.
     """
     if payload is None or len(payload) == 0:
         return (0.0, 0.0)
-    n = len(payload)
-    mean = sum(payload) / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    return (float(mean), float(var**0.5))
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return (float(arr.mean()), float(arr.std()))
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -147,23 +150,39 @@ def sample_frames(assets: DataFrame, every_s: float = 1.0) -> DataFrame:
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["meta_duration_s"] or 0.0
-                n_frames = max(int(dur / every_s), 1)
-                p = r["payload"] or b""
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_idx": i,
-                            "frame_ts_s": i * every_s,
-                            "frame_payload": p[i : i + 16],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            if len(pdf) == 0:
+                continue
+            # vectorized fan-out: frame counts per asset, then one
+            # np.repeat / concatenated-arange expansion — no iterrows.
+            dur = pdf["meta_duration_s"].fillna(0.0).to_numpy(dtype=np.float64)
+            n_frames = np.maximum((dur / every_s).astype(np.int64), 1)
+            asset_ids = np.repeat(
+                pdf["asset_id"].to_numpy(dtype=np.int64), n_frames
+            )
+            # per-frame index 0..n_frames[i]-1 for each asset, built
+            # without a Python loop: global arange minus each frame
+            # row's group-start offset.
+            total = int(n_frames.sum())
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(total, dtype=np.int64) - starts
+            payloads = np.repeat(
+                pdf["payload"].apply(lambda p: p or b"").to_numpy(dtype=object),
+                n_frames,
+            )
+            frame_payload = [
+                bytes(p[i : i + 16]) for p, i in zip(payloads, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": asset_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_ts_s": frame_idx * every_s,
+                    "frame_payload": frame_payload,
+                }
+            )
 
     return assets.where(F.col("modality") == "video").mapInPandas(run, schema)

@@ -41,7 +41,11 @@ def cosine_expr(a: str, b: str) -> Column:
         f"sqrt(aggregate({b}, cast(0.0 as double), "
         f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
-    return dot / (na * nb)
+    # zero-norm guard: Spark's non-ANSI 0/0 is NULL, DuckDB's is NaN —
+    # NULL on both engines keeps the SQL oracle hash-identical.
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def brute_force_topk(
@@ -152,6 +156,7 @@ def all_pairs_blas(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine (id_a < id_b, cos ≥ threshold) via a
     broadcast numpy matrix + Arrow-batched mapInPandas.
@@ -164,15 +169,30 @@ def all_pairs_blas(
     never shuffles; output is filtered to ``cos ≥ threshold`` inside
     the worker so only qualifying pairs cross Arrow.
 
-    For corpora too large to broadcast, compose with
-    :func:`lsh_sign_buckets` (bucket first, exact-pair within bucket)
-    — same results as this function filtered to same-bucket pairs.
+    The broadcast build is size-gated: pulling more than
+    ``max_broadcast_rows`` vectors to the driver raises instead of
+    OOM-ing it, because this exact O(N²) path is only the right plan
+    for a broadcastable corpus. For larger corpora use
+    :func:`lsh_sign_buckets` / :func:`dedup.embedding_near_dup_lsh`
+    (bucket first, exact-pair within bucket) — same results as this
+    function filtered to same-bucket pairs.
     """
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).collect()  # broadcast build (small side)
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # bounded driver materialization: limit(max+1) lets us detect
+    # oversize without a separate count job, and Arrow `toPandas`
+    # transfers columnar batches instead of per-row pickles.
+    pdf = emb.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValueError(
+            f"all_pairs_blas: corpus exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; the exact all-pairs path requires a "
+            "driver-broadcastable corpus. Use the LSH-bucketed path "
+            "(similarity.lsh_sign_buckets / dedup.embedding_near_dup_lsh) "
+            "for larger corpora."
+        )
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((ids, mat, norms))

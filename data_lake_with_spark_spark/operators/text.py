@@ -44,7 +44,13 @@ def char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n = F.length(c).cast("double")
     def ratio(pattern: str) -> Column:
-        return F.round((n - F.length(F.regexp_replace(c, pattern, ""))) / n, 6)
+        # n == 0 guard: Spark's non-ANSI 0/0 is NULL but DuckDB's is
+        # NaN, so an unguarded ratio diverges from the SQL oracle on
+        # empty documents; NULL on both engines is the portable answer.
+        return F.when(
+            n > 0,
+            F.round((n - F.length(F.regexp_replace(c, pattern, ""))) / n, 6),
+        ).otherwise(F.lit(None).cast("double"))
     return df.select(
         "*",
         n.cast("bigint").alias("n_chars_measured"),

@@ -863,9 +863,14 @@ SELECT doc_id, CAST({_O_FP} AS BIGINT) AS simhash FROM s
 """
 
 _O_COS = (
-    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    # zero-norm guard mirrors similarity.cosine_expr: NULL (not NaN)
+    # when either vector has zero norm, so both engines hash alike.
+    "(CASE WHEN sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) > 0"
+    " AND sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))) > 0"
+    " THEN round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+    " ELSE NULL END)"
 )
 
 
@@ -966,9 +971,11 @@ def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_ratio(pattern: str, alias: str) -> str:
+    # len(text) == 0 guard mirrors text.char_classes: NULL, not NaN.
     return (
+        f"CASE WHEN len(text) > 0 THEN "
         f"round((len(text) - len(regexp_replace(text, '{pattern}', '', 'g')))"
-        f" / CAST(len(text) AS DOUBLE), 6) AS {alias}"
+        f" / CAST(len(text) AS DOUBLE), 6) ELSE NULL END AS {alias}"
     )
 
 
