@@ -447,7 +447,6 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             bidir.join(labels, on=[bidir["src"] == labels["id"]])
@@ -460,6 +459,7 @@ def connected_components(
             )
             .select(
                 "id",
+                F.col("cluster").alias("_old"),
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
                 ).alias("cluster"),
@@ -472,6 +472,7 @@ def connected_components(
             pulled.join(mapping, on=[pulled["cluster"] == mapping["_mid"]], how="left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("cluster"),
                     F.coalesce(F.col("_mcluster"), F.col("cluster")),
@@ -480,21 +481,23 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # Convergence: labels only ever decrease (every update is a
-        # least(old, ...)), so the label sum is strictly monotone and
-        # sum-equality <=> fixpoint — one scan of the checkpointed
-        # round instead of a join against the previous round. Summing
-        # as decimal(38,0) keeps the monotonicity argument valid on
-        # arbitrarily large id domains (a bigint sum could wrap).
-        new_sum = new_labels.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
+        # least(old, ...)), so changed == 0 <=> fixpoint. The previous
+        # label rides along as _old, so the check is one scan of the
+        # checkpointed round — no extra confirm round and no join
+        # against the previous iteration (each local round costs
+        # seconds of scheduler latency regardless of data size).
+        changed = (
+            new_labels.agg(
+                F.count(F.when(F.col("cluster") != F.col("_old"), 1)).alias("c")
+            ).collect()[0]["c"]
+        )
+        labels = new_labels.select("id", "cluster")
+        if changed == 0:
             return labels
-        prev_sum = new_sum
     warnings.warn(
         f"connected_components: max_iterations={max_iterations} exhausted "
-        "without reaching the label-sum fixpoint; returned clusters may be "
+        "without reaching the fixpoint (a round with zero label changes); "
+        "returned clusters may be "
         "under-merged. Raise max_iterations (rounds needed is "
         "O(log(graph diameter)) with pointer jumping).",
         RuntimeWarning,

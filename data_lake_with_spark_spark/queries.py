@@ -2118,6 +2118,41 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
+def q78_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering through connected_components' DISTRIBUTED
+    regime: identical semantics (and oracle) to q76_dedup_clusters,
+    but with ``collect_threshold=0`` so the iterative min-label /
+    pointer-jumping loop runs instead of the driver union-find —
+    value-level proof that the 100 TB branch (the one a real cluster
+    would take on a billion-edge graph) converges to the same
+    transitive closure, not just the collect-when-small shortcut."""
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_star_edges(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+    return dedup.connected_components(
+        d.select("doc_id"), edges, collect_threshold=0
+    ).select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
+def q79_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard join via PPJoin prefix filtering (Xiao et
+    al., WWW'08) — the 100 TB path for exact token-Jaccard:
+    document-frequency-ordered prefixes bound the inverted index to
+    rare tokens, so hot stop-tokens never enter the candidate join;
+    candidates verify exactly on full token sets (array_intersect,
+    JVM-side). Same semantics (and oracle) as q48_token_jaccard,
+    whose per-language GEMM path requires each block to fit one
+    worker; this one shuffles on (lang, prefix-token) and has no
+    per-worker block-size ceiling."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.token_jaccard_pairs(
+        d, threshold=0.7, block_by=["lang"], prefix_filter=True
+    )
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2198,6 +2233,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q75_ntile": (q75_ntile, O_Q75),
     "q76_dedup_clusters": (q76_dedup_clusters, O_Q76),
     "q77_stratified_sample": (q77_stratified_sample, O_Q77),
+    "q78_dedup_clusters_distributed": (q78_dedup_clusters_distributed, O_Q76),
+    "q79_token_jaccard_ppjoin": (q79_token_jaccard_ppjoin, O_Q48),
 }
 
 
