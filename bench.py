@@ -31,15 +31,15 @@ from data_lake_with_spark_spark.sources.catalog import load_table  # noqa: E402
 #: Benchmarked queries: the full oracle-checked registry minus the
 #: staging-heavy streaming/multimodal demos (exercised in tests).
 SKIP = {
-    "q33_streaming_hourly",
-    "q34_multimodal_features",
+    "q76_streaming_hourly",
+    "q77_multimodal_features",
     "q57_streaming_sessions",
     "q64_frame_sampling",
     "q70_streaming_enriched",
     # same semantics as q76 (which IS benched) through the iterative
     # distributed CC branch: on local mode its cost is pure per-round
     # scheduler latency, which measures the harness, not the plan.
-    "q78_dedup_clusters_distributed",
+    "q41_dedup_clusters_distributed",
 }
 
 

@@ -103,7 +103,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight filter (pushdown) → scalar agg."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.expr(
@@ -115,7 +115,7 @@ def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
-O_Q02 = f"""
+O_Q52 = f"""
 SELECT {_osum('l_extendedprice * l_discount', 'revenue')}
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -155,7 +155,7 @@ GROUP BY p_brand
 """
 
 
-def q05_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim-chain join: customer ⋈ nation ⋈ region."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -178,7 +178,7 @@ def q05_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q05 = f"""
+O_Q54 = f"""
 SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
        {_osum('c_acctbal', 'total_acctbal')}
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -318,15 +318,15 @@ WHERE event_type = 'purchase'
 """
 
 
-def q13_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: COUNT(*) scalar (nb cell 44)."""
     return relational.count_rows(_t(spark, sf_dir, "lineitem"))
 
 
-O_Q13 = "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+O_Q55 = "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
 
 
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (TPC-H Q14 shape) over a broadcast join."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -342,7 +342,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q14 = """
+O_Q58 = """
 SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
                  AS DECIMAL(18,6))) AS DOUBLE)
@@ -352,7 +352,7 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
-def q15_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, filter, group, top-k by revenue."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
@@ -373,7 +373,7 @@ def q15_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q15 = f"""
+O_Q60 = f"""
 SELECT o_orderkey, o_orderdate,
        {_osum('l_extendedprice * (1 - l_discount)', 'revenue')}
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -436,7 +436,7 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
-def q18_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket rollup on the event stream."""
     e = _t(spark, sf_dir, "events")
     return (
@@ -447,7 +447,7 @@ def q18_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q18 = f"""
+O_Q63 = f"""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, {_osum('value', 'total_value')}
 FROM events GROUP BY 1, 2
@@ -671,7 +671,7 @@ GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
 """
 
 
-def q41_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q78_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (customers richer than their nation's
     average), decorrelated the Spark-first way: one aggregate +
     broadcast re-join instead of a per-row subquery."""
@@ -686,7 +686,7 @@ def q41_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q41 = """
+O_Q78 = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
 WHERE c_acctbal > (
@@ -695,7 +695,7 @@ WHERE c_acctbal > (
 """
 
 
-def q42_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q79_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) per group — expands to a two-stage exact
     distinct aggregate (partial dedup map-side, final count)."""
     e = _t(spark, sf_dir, "events")
@@ -705,7 +705,7 @@ def q42_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q42 = """
+O_Q79 = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
@@ -1055,7 +1055,7 @@ GROUP BY c_mktsegment, o_orderstatus
 # --- C. non-SQL-expressible surfaces (rows-only checks) -------------------
 
 
-def q33_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q76_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation, driven availableNow
     over a file stream staged from the events table; returns the
     final batch result. No oracle (streaming; driver rows-only)."""
@@ -1089,7 +1089,7 @@ def q33_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents→fake binary assets→mapInPandas
     feature extraction. No oracle (binary/pandas path; rows-only)."""
     from data_lake_with_spark_spark.operators.multimodal import extract_features
@@ -1358,7 +1358,7 @@ FROM orders
 """
 
 
-def q52_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based deterministic sampling (~1/8 of lineitem): portable
     md5-prefix predicate — reproducible across engines and runs,
     unlike ``df.sample`` (rng) or TABLESAMPLE (physical layout)."""
@@ -1369,7 +1369,7 @@ def q52_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q52 = """
+O_Q05 = """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
                  CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
@@ -1387,7 +1387,7 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (similarity.ivf_topk):
     deterministic coarse centroids, nearest-centroid inverted lists,
     nprobe-limited probing."""
@@ -1401,7 +1401,7 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_COS_EC = _O_COS.format(a="e.embedding", b="c.cv")
 
-O_Q54 = f"""
+O_Q13 = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
@@ -1432,7 +1432,7 @@ WHERE rank <= 5
 """
 
 
-def q55_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5-hot-key events table
     (operators/skew.py) — identical results to a direct groupBy, but
     hot keys never concentrate in one reducer."""
@@ -1452,7 +1452,7 @@ def q55_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q55 = f"""
+O_Q14 = f"""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        {_osum('value', 'total_value')}
 FROM events GROUP BY event_type
@@ -1525,7 +1525,7 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def q58_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profiling (operators/profile.py — the
     reference's data_profiling.ipynb workflow as one engine op)."""
     from data_lake_with_spark_spark.operators.profile import summarize
@@ -1556,7 +1556,7 @@ def _o_profile(col: str, numeric: bool) -> str:
     )
 
 
-O_Q58 = " UNION ALL ".join(
+O_Q15 = " UNION ALL ".join(
     [
         _o_profile("c_custkey", True),
         _o_profile("c_name", False),
@@ -1603,7 +1603,7 @@ WHERE part_value > 1.2 * t / n_parts
 """
 
 
-def q60_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN over a filtered key set (anti join) +
     distinct-count aggregate per group."""
     p = _t(spark, sf_dir, "part")
@@ -1619,7 +1619,7 @@ def q60_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q60 = """
+O_Q02 = """
 SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1691,7 +1691,7 @@ GROUP BY 1
 """
 
 
-def q63_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: documents surviving greedy MinHash-LSH
     dedup (any doc LSH-paired with a lower id is dropped)."""
     d = _t(spark, sf_dir, "documents")
@@ -1700,7 +1700,7 @@ def q63_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-O_Q63 = f"""
+O_Q18 = f"""
 WITH sh AS ({_O_SHINGLES}),
 sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
 banded AS (
@@ -2040,7 +2040,7 @@ FROM customer
 """
 
 
-def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components (transitive closure)
     over the MinHash-LSH bucket graph — each document labeled with its
     cluster's minimum doc id (dedup.connected_components, iterative
@@ -2062,7 +2062,7 @@ def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_Q76 = f"""
+O_Q33 = f"""
 WITH RECURSIVE sh AS ({_O_SHINGLES}),
 sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
 banded AS (
@@ -2087,7 +2087,7 @@ FROM reach GROUP BY node
 """
 
 
-def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): the
     training-data mixing step — per-language keep rates applied via a
     portable md5-prefix threshold, so the selected row set is stable
@@ -2109,7 +2109,7 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-O_Q77 = """
+O_Q34 = """
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN '80'
@@ -2118,9 +2118,9 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
-def q78_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering through connected_components' DISTRIBUTED
-    regime: identical semantics (and oracle) to q76_dedup_clusters,
+    regime: identical semantics (and oracle) to q33_dedup_clusters,
     but with ``collect_threshold=0`` so the iterative min-label /
     pointer-jumping loop runs instead of the driver union-find —
     value-level proof that the 100 TB branch (the one a real cluster
@@ -2137,7 +2137,7 @@ def q78_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def q79_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard join via PPJoin prefix filtering (Xiao et
     al., WWW'08) — the 100 TB path for exact token-Jaccard:
     document-frequency-ordered prefixes bound the inverted index to
@@ -2157,10 +2157,10 @@ def q79_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
-    "q02_revenue_filter": (q02_revenue_filter, O_Q02),
+    "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
     "q03_distinct_flags": (q03_distinct_flags, O_Q03),
     "q04_join_composite": (q04_join_composite, O_Q04),
-    "q05_region_rollup": (q05_region_rollup, O_Q05),
+    "q05_deterministic_sample": (q05_deterministic_sample, O_Q05),
     "q06_topk_orders": (q06_topk_orders, O_Q06),
     "q07_latest_order_per_customer": (q07_latest_order_per_customer, O_Q07),
     "q08_semi_join": (q08_semi_join, O_Q08),
@@ -2168,12 +2168,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q10_orders_except": (q10_orders_except, O_Q10),
     "q11_orders_intersect": (q11_orders_intersect, O_Q11),
     "q12_flagship_enrichment": (q12_flagship_enrichment, O_Q12),
-    "q13_count_lineitem": (q13_count_lineitem, O_Q13),
-    "q14_promo_share": (q14_promo_share, O_Q14),
-    "q15_segment_top_orders": (q15_segment_top_orders, O_Q15),
+    "q13_ann_ivf": (q13_ann_ivf, O_Q13),
+    "q14_salted_aggregation": (q14_salted_aggregation, O_Q14),
+    "q15_profile_columns": (q15_profile_columns, O_Q15),
     "q16_union_users": (q16_union_users, O_Q16),
     "q17_sessionize": (q17_sessionize, O_Q17),
-    "q18_hourly_rollup": (q18_hourly_rollup, O_Q18),
+    "q18_minhash_dedup": (q18_minhash_dedup, O_Q18),
     "q19_time_dimension": (q19_time_dimension, O_Q19),
     "q20_string_time_join": (q20_string_time_join, O_Q20),
     "q21_exact_dedup": (q21_exact_dedup, O_Q21),
@@ -2188,16 +2188,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q30_token_stats": (q30_token_stats, O_Q30),
     "q31_fingerprint": (q31_fingerprint, O_Q31),
     "q32_sql_entrypoint": (q32_sql_entrypoint, O_Q32),
-    "q33_streaming_hourly": (q33_streaming_hourly, None),
-    "q34_multimodal_features": (q34_multimodal_features, None),
+    "q33_dedup_clusters": (q33_dedup_clusters, O_Q33),
+    "q34_stratified_sample": (q34_stratified_sample, O_Q34),
     "q35_left_join_coverage": (q35_left_join_coverage, O_Q35),
     "q36_full_outer_reconcile": (q36_full_outer_reconcile, O_Q36),
     "q37_rollup_revenue": (q37_rollup_revenue, O_Q37),
     "q38_cube_orders": (q38_cube_orders, O_Q38),
     "q39_pivot_returnflag": (q39_pivot_returnflag, O_Q39),
     "q40_grouping_sets": (q40_grouping_sets, O_Q40),
-    "q41_above_nation_avg": (q41_above_nation_avg, O_Q41),
-    "q42_distinct_users": (q42_distinct_users, O_Q42),
+    "q41_dedup_clusters_distributed": (q41_dedup_clusters_distributed, O_Q33),
+    "q42_token_jaccard_ppjoin": (q42_token_jaccard_ppjoin, O_Q48),
     "q43_percentiles": (q43_percentiles, O_Q43),
     "q44_asof_join": (q44_asof_join, O_Q44),
     "q45_range_join": (q45_range_join, O_Q45),
@@ -2207,18 +2207,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q49_string_functions": (q49_string_functions, O_Q49),
     "q50_moving_average": (q50_moving_average, O_Q50),
     "q51_running_total": (q51_running_total, O_Q51),
-    "q52_deterministic_sample": (q52_deterministic_sample, O_Q52),
+    "q52_revenue_filter": (q52_revenue_filter, O_Q52),
     "q53_approx_distinct": (q53_approx_distinct, None),
-    "q54_ann_ivf": (q54_ann_ivf, O_Q54),
-    "q55_salted_aggregation": (q55_salted_aggregation, O_Q55),
+    "q54_region_rollup": (q54_region_rollup, O_Q54),
+    "q55_count_lineitem": (q55_count_lineitem, O_Q55),
     "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),
     "q57_streaming_sessions": (q57_streaming_sessions, None),
-    "q58_profile_columns": (q58_profile_columns, O_Q58),
+    "q58_promo_share": (q58_promo_share, O_Q58),
     "q59_having_global_scalar": (q59_having_global_scalar, O_Q59),
-    "q60_not_in_subquery": (q60_not_in_subquery, O_Q60),
+    "q60_segment_top_orders": (q60_segment_top_orders, O_Q60),
     "q61_in_having_subquery": (q61_in_having_subquery, O_Q61),
     "q62_country_code_balance": (q62_country_code_balance, O_Q62),
-    "q63_minhash_dedup": (q63_minhash_dedup, O_Q63),
+    "q63_hourly_rollup": (q63_hourly_rollup, O_Q63),
     "q64_frame_sampling": (q64_frame_sampling, None),
     "q65_json_extract": (q65_json_extract, O_Q65),
     "q66_array_functions": (q66_array_functions, O_Q66),
@@ -2231,10 +2231,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q73_lag_delta": (q73_lag_delta, O_Q73),
     "q74_dense_rank": (q74_dense_rank, O_Q74),
     "q75_ntile": (q75_ntile, O_Q75),
-    "q76_dedup_clusters": (q76_dedup_clusters, O_Q76),
-    "q77_stratified_sample": (q77_stratified_sample, O_Q77),
-    "q78_dedup_clusters_distributed": (q78_dedup_clusters_distributed, O_Q76),
-    "q79_token_jaccard_ppjoin": (q79_token_jaccard_ppjoin, O_Q48),
+    "q76_streaming_hourly": (q76_streaming_hourly, None),
+    "q77_multimodal_features": (q77_multimodal_features, None),
+    "q78_above_nation_avg": (q78_above_nation_avg, O_Q78),
+    "q79_distinct_users": (q79_distinct_users, O_Q79),
 }
 
 

@@ -26,8 +26,8 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert not missing
     # rows-only entries are the explicitly non-SQL-expressible ones
     assert set(qs) - set(oracles) == {
-        "q33_streaming_hourly",
-        "q34_multimodal_features",
+        "q76_streaming_hourly",
+        "q77_multimodal_features",
         "q53_approx_distinct",
         "q57_streaming_sessions",
         "q64_frame_sampling",

@@ -21,7 +21,7 @@ def plan(spark, sf_dir, name: str) -> str:
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
-    p = plan(spark, sf_dir, "q02_revenue_filter")
+    p = plan(spark, sf_dir, "q52_revenue_filter")
     assert "PushedFilters: [" in p
     # at least the discount range predicate must push down
     assert "l_discount" in p.split("PushedFilters")[1].split("]")[0]
@@ -35,7 +35,7 @@ def test_column_pruning_in_scan_schema(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
-    for name in ("q05_region_rollup", "q12_flagship_enrichment"):
+    for name in ("q54_region_rollup", "q12_flagship_enrichment"):
         p = plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in p, name
         assert "SortMergeJoin" not in p, name

@@ -126,6 +126,40 @@ def test_songplays_join_and_columns(pipeline_out, spark):
     assert sp.count() == logs
 
 
+REF_DATA = "/root/reference/data"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DATA),
+    reason="reference fixture data not present",
+)
+def test_reference_fixture_golden_counts(spark, tmp_path):
+    """Parity run over the ACTUAL reference sample dataset
+    (SURVEY §5: 71 song files, 30 NDJSON log files) asserting the
+    golden counts the reference's own fixture implies — songs=71,
+    logs=8,056, NextSong=6,820 (read sites etl.py:76,177,186) — and
+    the fact-table match (1 row on this subset, nb cell 48)."""
+    song_glob = f"{REF_DATA}/song-data/*/*/*/*.json"
+    log_glob = f"{REF_DATA}/log-data/*.json"
+
+    raw_logs = read_json_explicit(spark, log_glob, LOG_SCHEMA)
+    assert raw_logs.count() == 8056
+    assert raw_logs.filter("page = 'NextSong'").count() == 6820
+
+    tables = S.run_pipeline(
+        spark, song_glob, log_glob, str(tmp_path / "out")
+    )
+    assert tables["songs"].count() == 71
+    # F5/F4 parity: artists one-per-song-record, users one-per-NextSong
+    assert tables["artists"].count() == 71
+    assert tables["users"].count() == 6820
+    # the Sparkify sample's famous single (title, artist) match
+    assert tables["songplays"].count() == 1
+    row = tables["songplays"].collect()[0]
+    assert row["level"] == "paid"
+    assert row["song_id"] is not None and row["artist_id"] is not None
+
+
 def test_optimized_mode_dedups_and_derives(spark, tmp_path):
     import json as _json
 
