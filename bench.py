@@ -34,6 +34,7 @@ SKIP = {
     "q76_streaming_hourly",
     "q77_multimodal_features",
     "q57_streaming_sessions",
+    "q84_streaming_dedup",
     "q64_frame_sampling",
     "q70_streaming_enriched",
     # same semantics as q76 (which IS benched) through the iterative

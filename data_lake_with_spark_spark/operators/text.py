@@ -95,6 +95,128 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("lang_pred", pred)
 
 
+def tokens(col: Column) -> Column:
+    """Whitespace token array (the shared tokenizer for repetition /
+    n-gram ops). Oracle twin: ``string_split_regex(trim(.), '\\s+')``."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined). Built from the token
+    array with higher-order functions — interpreted, not codegen'd,
+    but linear in tokens and shuffle-free; the explode downstream is
+    where parallelism happens."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of
+    # returning an empty array, so short docs need an explicit branch
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: token count,
+    distinct-token ratio, top-unigram fraction, top-bigram fraction
+    (Rae et al. 2021 §A1.1 use these to drop degenerate/repetitive
+    documents before training).
+
+    Shape for 100 TB: explode → two-level partial-aggregated groupBy
+    keyed by doc id — both shuffles are on the same key so the second
+    aggregation is shuffle-free after the first, and no document ever
+    needs to fit anywhere whole.
+    """
+    uni = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni_counts = uni.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    uni_stats = uni_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_unigram_n"),
+    )
+    bi = df.select(id_col, F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"))
+    bi_top = (
+        bi.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    out = uni_stats.join(bi_top, on=id_col, how="left")
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(F.col("top_unigram_n") / F.col("n_tokens"), 6).alias("top_unigram_frac"),
+        F.when(F.col("n_bigrams") > 0, F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_bigram_frac"),
+    )
+
+
+#: PII scrub patterns — valid and equivalent in Java regex (Spark) and
+#: RE2-ish DuckDB regex. Order matters: emails before bare number runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails, URLs, and long digit runs with typed placeholders —
+    the pre-training PII-reduction pass. Pure codegen'd
+    ``regexp_replace`` chain: fused into the scan, no shuffle."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hit_counts(col: Column) -> list[Column]:
+    """Per-class match counts (audit signal for the scrub)."""
+    names = ("n_emails", "n_urls", "n_nums")
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("bigint").alias(name)
+        for (pat, _), name in zip(PII_PATTERNS, names)
+    ]
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, the
+    number of distinct word ``n``-grams shared with ANY benchmark
+    document (the standard eval-decontamination test, e.g. GPT-3
+    appendix C / PaLM §8: drop or flag training docs overlapping an
+    eval set).
+
+    Scale shape: the benchmark n-gram set is small (eval suites are
+    KBs-MBs) → distinct + broadcast; the corpus side is a linear
+    explode with the join done map-side, then one groupBy(doc) count.
+    The corpus never shuffles its text, only matched (id, gram) pairs.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.select(id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), on="g", how="inner")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: lowercase, collapse whitespace,
     strip non-alphanumerics, md5. Identical normalization in the

@@ -171,6 +171,17 @@ def enriched_windowed_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicates`` on the event
+    key under a watermark, so the dedup state store holds only keys
+    newer than (max event time − watermark) — bounded state, the
+    standard at-least-once-source → exactly-once-pipeline repair shape
+    (re-delivered files/offsets collapse to one row)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys])
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "object":

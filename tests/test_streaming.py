@@ -51,6 +51,25 @@ def test_session_counts_runs(spark, staged_stream):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_dedup_stream_collapses_redelivery(spark, sf_dir, staged_stream, tmp_path):
+    # stage the SAME events twice (at-least-once redelivery), dedup on
+    # event_id must collapse back to the batch-distinct count
+    stage = str(tmp_path / "dup")
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.coalesce(2).write.mode("overwrite").json(stage)
+    df.coalesce(2).write.mode("append").json(stage)
+    stream = SE.read_event_stream(spark, stage)
+    _run(SE.dedup_stream(stream, keys=("event_id",)), "t_dedup", mode="append")
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert spark.table("t_dedup").count() == n_distinct
+
+
 def test_running_user_totals_stateful(spark, sf_dir, staged_stream):
     stream = SE.read_event_stream(spark, staged_stream)
     _run(SE.running_user_totals(stream), "t_totals", mode="update")

@@ -41,6 +41,63 @@ def test_quality_score_bounds(spark):
     assert rows[2] == 1.0  # long, no punctuation/digits
 
 
+def test_word_ngrams_short_doc_guard(spark):
+    # Spark's sequence(1, 0) counts DOWN; the operator must return []
+    # for docs shorter than n, not garbage grams
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b"), (3, "a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", text.word_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["a b"]
+    assert out[3] == ["a b", "b c"]
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "all words differ here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_ratio"] == 0.5
+    assert rows[1]["top_unigram_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == round(2 / 3, 6)  # "spam spam" twice
+    assert rows[2]["top_unigram_frac"] == 0.25
+    assert rows[2]["distinct_ratio"] == 1.0
+
+
+def test_scrub_pii_masks_all_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org see https://a.b/c?d=1 ref 123456 ok 123")],
+        ["doc_id", "text"],
+    )
+    row = df.select(
+        text.scrub_pii(F.col("text")).alias("clean"),
+        *text.pii_hit_counts(F.col("text")),
+    ).first()
+    assert row["clean"] == "mail <EMAIL> see <URL> ref <NUM> ok 123"
+    assert (row["n_emails"], row["n_urls"], row["n_nums"]) == (1, 1, 1)
+
+
+def test_ngram_contamination_counts_shared(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "b c d q r")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in text.ngram_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 1 shares the 3-gram "b c d"; doc 2 shares nothing (no row)
+    assert out == {1: 1}
+
+
 def test_fingerprint_invariant_to_case_punct_whitespace(spark):
     df = spark.createDataFrame(
         [
