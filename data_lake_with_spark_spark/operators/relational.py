@@ -148,3 +148,36 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
+
+
+def upsert_snapshot(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE-style snapshot upsert without a table format: rows in
+    ``updates`` replace same-key rows in ``base``; unmatched update
+    rows insert; unmatched base rows carry over. The CDC-apply shape
+    (Delta/Iceberg MERGE INTO) expressed as one full-outer join +
+    per-column COALESCE — updates win because their columns coalesce
+    first.
+
+    At scale: one shuffle on the key for each side (or zero if both
+    snapshots are bucketed on the key — see sinks.write_bucketed);
+    AQE handles update-side skew. Columns must match by name.
+    """
+    cols = base.columns
+    assert set(cols) == set(updates.columns), "schemas must match by name"
+    # string-qualified refs, not DataFrame indexing: base and updates
+    # often derive from the same scan (CDC batch built FROM the
+    # snapshot) and df[col] is ambiguous under Spark's self-join check
+    b = base.alias("__ups_b")
+    u = updates.alias("__ups_u")
+    cond = [
+        F.col(f"__ups_b.{k}").eqNullSafe(F.col(f"__ups_u.{k}")) for k in keys
+    ]
+    joined = b.join(u, on=cond, how="full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ups_u.{c}"), F.col(f"__ups_b.{c}")).alias(c)
+            for c in cols
+        ]
+    )

@@ -23,6 +23,45 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label element-wise centroid of an embedding column, in long
+    form ``(label, pos, centroid_val)`` — the class-prototype /
+    cluster-center aggregation (seed step of k-means, nearest-centroid
+    classification, IVF codebook refresh).
+
+    Shape for 100 TB: ``posexplode`` then ONE partial-aggregated
+    groupBy on (label, pos) — vectors never collect anywhere whole,
+    and dimensions of the same label spread over the cluster. Long
+    form is deliberate: element rows hash portably in the value
+    oracle, where engine-specific float-array renderings would not.
+    Sums route through DECIMAL(18,6) so Spark and the DuckDB twin
+    (unnest WITH ORDINALITY) agree bitwise.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("centroid_val")
+        )
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid_val")
+    )
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two array<float> columns, JVM-side.
 

@@ -2326,6 +2326,57 @@ def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (similarity.
+    label_centroids) — class prototypes / IVF codebook refresh as one
+    posexplode + partial-aggregated groupBy; vectors never sit whole
+    anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e, label_col="label", vec_col="embedding")
+
+
+O_Q85 = """
+SELECT label, CAST(i AS BIGINT) AS pos,
+       ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+GROUP BY 1, 2
+"""
+
+
+def q86_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot upsert (relational.upsert_snapshot): a
+    deterministic CDC batch against customer — every 10th key gets an
+    account-balance update, every (key % 7 == 3) key inserts as a new
+    +1,000,000 key — applied as one full-outer join + COALESCE."""
+    c = _t(spark, sf_dir, "customer")
+    upd_changed = c.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    upd_new = c.where(F.col("c_custkey") % 7 == 3).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    updates = upd_changed.unionByName(upd_new)
+    return relational.upsert_snapshot(c, updates, keys=["c_custkey"])
+
+
+O_Q86 = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 3)
+SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, b.c_name) AS c_name,
+       COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+       COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2413,6 +2464,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q82_full_outer_reconcile": (q82_full_outer_reconcile, O_Q82),
     "q83_length_histogram": (q83_length_histogram, O_Q83),
     "q84_streaming_dedup": (q84_streaming_dedup, None),
+    "q85_label_centroids": (q85_label_centroids, O_Q85),
+    "q86_upsert_snapshot": (q86_upsert_snapshot, O_Q86),
 }
 
 

@@ -42,6 +42,40 @@ def read_json_inferred(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan (beyond-reference source format). With ``schema`` the
+    scan is single-pass; without it Spark infers (extra pass — same
+    anti-pattern warning as JSON inference). Malformed rows are
+    dropped rather than poisoning the load (mode=DROPMALFORMED is the
+    bulk-ingest default; use PERMISSIVE + corrupt-record column when
+    auditing a new feed)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "DROPMALFORMED")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan (beyond-reference columnar source; same pushdown /
+    pruning story as parquet via the vectorized ORC reader)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """Parquet scan with partition discovery (op A4, nb cells 46-47).
 

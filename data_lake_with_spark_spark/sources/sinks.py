@@ -68,5 +68,18 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV export sink (beyond-reference; interchange format — no
+    pushdown/pruning on read-back, so keep it at the pipeline edge)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink (beyond-reference)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)

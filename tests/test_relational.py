@@ -95,3 +95,22 @@ def test_sessionize_gap(spark):
         (r["user_id"], r["session_id"]) for r in out.collect()
     }
     assert sessions == {("u", 1), ("u", 2), ("v", 1)}
+
+
+def test_upsert_snapshot_update_insert_carryover(spark):
+    from data_lake_with_spark_spark.operators.relational import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "bal"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["k", "name", "bal"]
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in
+           upsert_snapshot(base, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),   # carryover
+        2: ("b2", 99.0),  # update wins
+        3: ("c", 30.0),   # carryover
+        4: ("d", 40.0),   # insert
+    }

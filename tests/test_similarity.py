@@ -56,3 +56,15 @@ def test_lsh_bucket_is_deterministic(spark):
     assert b1 == b2
     assert b1[0] == "10"
     assert b1[3] == "00"
+
+
+def test_label_centroids_long_form(spark):
+    from data_lake_with_spark_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        ["label", "embedding"],
+    )
+    got = {(r["label"], r["pos"]): r["centroid_val"]
+           for r in label_centroids(df).collect()}
+    assert got == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 10.0, (1, 2): 0.0}
