@@ -206,14 +206,87 @@ def ngram_contamination(
         .where(F.col("g") != "")
         .distinct()
     )
-    corpus_grams = (
-        corpus.select(id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
-        .where(F.col("g") != "")
-        .distinct()
-    )
+    corpus_grams = corpus.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).where(F.col("g") != "")
+    # join BEFORE deduplicating: the broadcast join filters the corpus
+    # gram stream map-side down to benchmark hits (rare by
+    # construction), so the only shuffle is the final partial-agg
+    # count_distinct — deduplicating (id, gram) first would shuffle
+    # the entire exploded corpus instead
     hits = corpus_grams.join(F.broadcast(bench_grams), on="g", how="inner")
     return hits.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams")
+        F.count_distinct(F.col("g")).cast("bigint").alias("n_shared_ngrams")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step of a training/RAG pipeline. Emits
+    ``(id, chunk_id, chunk_n_tokens, chunk_text)``, chunk_id 1-based;
+    the final chunk may be short (standard tail semantics).
+
+    Shuffle-free: chunk starts come from ``sequence(1, n_tokens,
+    stride)`` exploded per document, so a 100 TB corpus chunks inside
+    the scan stage; only the output's size changes.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    exploded = df.select(
+        id_col, toks.alias("_toks"), F.posexplode(starts).alias("_i", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        id_col,
+        (F.col("_i") + 1).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget packs by exclusive-prefix running total within each
+    partition key, ordered by id — the batch-construction step that
+    turns a shuffled corpus into near-full training sequences.
+
+    ``pack_id = floor(exclusive_cumsum / budget)`` is the
+    SQL-expressible capacity-target variant: a pack can overflow by at
+    most one document (exact first-fit is an inherently sequential
+    scan; at cluster scale per-partition capacity-target packing is
+    what actually runs). One shuffle (the window), portable to the
+    oracle as the identical SUM() OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING).
+    """
+    from pyspark.sql import Window
+
+    nt = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(nt).over(w), F.lit(0))
+    return df.select(
+        F.col(partition_col),
+        F.col(id_col),
+        nt.cast("bigint").alias("n_tokens"),
+        F.floor(prev / F.lit(budget)).cast("bigint").alias("pack_id"),
     )
 
 

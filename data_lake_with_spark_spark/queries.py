@@ -2377,6 +2377,48 @@ FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
 """
 
 
+def q87_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): 64-token
+    chunks, 8-token overlap — shuffle-free explode inside the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+O_Q87 = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.start) AS BIGINT)
+         AS chunk_id,
+       CAST(len(list_slice(t, s.start, s.start + 63)) AS BIGINT)
+         AS chunk_n_tokens,
+       array_to_string(list_slice(t, s.start, s.start + 63), ' ') AS chunk_text
+FROM toks, UNNEST(generate_series(1, GREATEST(len(t), 1), 56)) AS s(start)
+"""
+
+
+def q88_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (text.pack_sequences): documents
+    binned into 2048-token packs per language by exclusive-prefix
+    running total — one window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(d, budget=2048, partition_col="lang")
+
+
+O_Q88 = """
+WITH d AS (
+  SELECT lang, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+         AS BIGINT) AS pack_id
+FROM d
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2466,6 +2508,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q84_streaming_dedup": (q84_streaming_dedup, None),
     "q85_label_centroids": (q85_label_centroids, O_Q85),
     "q86_upsert_snapshot": (q86_upsert_snapshot, O_Q86),
+    "q87_chunk_documents": (q87_chunk_documents, O_Q87),
+    "q88_pack_sequences": (q88_pack_sequences, O_Q88),
 }
 
 

@@ -110,3 +110,25 @@ def test_fingerprint_invariant_to_case_punct_whitespace(spark):
     rows = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in text.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # stride 3: starts 1, 4, 7
+    assert rows == [(1, "a b c d"), (2, "d e f g"), (3, "g")]
+
+
+def test_pack_sequences_exclusive_prefix_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 60), (2, "en", "w " * 60), (3, "en", "w " * 60),
+         (4, "de", "w " * 10)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r["doc_id"]: r["pack_id"]
+           for r in text.pack_sequences(df, budget=100).collect()}
+    # en prefix sums (exclusive): 0, 60, 120 -> packs 0, 0, 1; de resets
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
