@@ -290,6 +290,51 @@ def pack_sequences(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction /
+    topic tagging over a corpus. ``tfidf = tf · ln((N+1)/(df+1))``
+    (add-one smoothed); ranking orders by the ROUNDED score with the
+    term as tiebreaker so cross-engine ulp noise cannot flip ranks.
+
+    Scale shape: one explode + groupBy(doc, term) for term
+    frequencies; document frequencies aggregate from that same frame
+    (second small groupBy) and join back — at 100 TB the df table is
+    |vocab| rows and broadcasts; the corpus count N rides along as a
+    broadcast scalar (no driver action, stays one lazy plan).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: lowercase, collapse whitespace,
     strip non-alphanumerics, md5. Identical normalization in the

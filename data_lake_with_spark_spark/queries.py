@@ -2419,6 +2419,36 @@ FROM d
 """
 
 
+def q89_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (text.tfidf_top_terms):
+    rounded-score ranking with term tiebreaker, broadcast df table
+    and corpus-count scalar."""
+    d = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3)
+
+
+O_Q89 = """
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY doc_id, tok),
+docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS _n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * LN(CAST(_n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2510,6 +2540,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q86_upsert_snapshot": (q86_upsert_snapshot, O_Q86),
     "q87_chunk_documents": (q87_chunk_documents, O_Q87),
     "q88_pack_sequences": (q88_pack_sequences, O_Q88),
+    "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
 }
 
 

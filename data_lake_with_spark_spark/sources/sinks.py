@@ -68,6 +68,31 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: Sequence[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet write.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` clusters rows by
+    the sort key across files AND inside each file, so parquet
+    row-group min/max statistics (zone maps) become selective: a
+    point/range predicate on the key prunes most row groups at scan
+    time without any index. This is the layout step that makes
+    time-series and key-range scans cheap at 100 TB.
+    """
+    cols = [*range_cols]
+    out = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:

@@ -85,3 +85,26 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
 def test_text_pipelines_stay_jvm_side(spark, sf_dir, name):
     p = plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in p, name
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_documents claims to run inside the scan stage — any
+    Exchange would mean the corpus shuffles just to be sliced."""
+    p = plan(spark, sf_dir, "q87_chunk_documents")
+    assert "Exchange" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast; a SortMergeJoin here
+    would shuffle the full exploded corpus gram stream."""
+    p = plan(spark, sf_dir, "q50_ngram_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_packing_single_window_shuffle(spark, sf_dir):
+    """pack_sequences is one window: exactly one Exchange (by the
+    partition key), nothing else."""
+    p = plan(spark, sf_dir, "q88_pack_sequences")
+    tree = p.split("\n\n")[0]  # formatted plans repeat nodes in details
+    assert tree.count("Exchange") == 1

@@ -136,3 +136,33 @@ def test_orc_roundtrip(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.schema == df.schema
     assert {tuple(r) for r in back.collect()} == {(1, 2.5), (2, -1.0)}
+
+
+def test_write_sorted_clusters_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_lake_with_spark_spark.sources.catalog import load_table
+    from data_lake_with_spark_spark.sources.sinks import write_sorted
+
+    path = str(tmp_path / "sorted_orders")
+    write_sorted(
+        load_table(spark, sf_dir, "orders"), path, ["o_orderdate"],
+        num_partitions=4,
+    )
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) == 4
+    # range partitioning -> per-file key ranges are disjoint (zone maps
+    # selective); within-file sorted -> row-group stats monotonic
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderdate")
+        stats = md.row_group(0).column(idx).statistics
+        lo = stats.min
+        hi = pq.ParquetFile(f).metadata.row_group(md.num_row_groups - 1).column(idx).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next

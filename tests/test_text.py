@@ -132,3 +132,18 @@ def test_pack_sequences_exclusive_prefix_bins(spark):
            for r in text.pack_sequences(df, budget=100).collect()}
     # en prefix sums (exclusive): 0, 60, 120 -> packs 0, 0, 1; de resets
     assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_tfidf_top_terms_ranks_rare_terms_highest(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common other"), (3, "common common")],
+        ["doc_id", "text"],
+    )
+    rows = text.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in rows}
+    # 'common' appears in every doc -> idf ln(4/4)=0; rare terms win
+    assert top[1] == "rare"
+    assert top[2] == "other"
+    # doc 3 only has zero-scoring terms; deterministic tiebreak returns one
+    assert top[3] == "common"
+    assert all(r["rank"] == 1 for r in rows)
