@@ -98,3 +98,42 @@ def test_points_in_intervals_matches_naive_join_on_events(spark, sf_dir):
         iv, (li["l_shipdate"] >= iv["s"]) & (li["l_shipdate"] < iv["e"])
     ).count()
     assert fast == naive
+
+
+def test_count_points_in_intervals_misaligned_edges(spark):
+    """Non-bucket-aligned interval bounds exercise the partial-edge
+    path; result must equal counting over the generic pair join."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.asof import (
+        count_points_in_intervals,
+        points_in_intervals,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + d, h)) for i, (d, h) in enumerate(
+            (d, h) for d in range(6) for h in (0, 5, 13, 22))],
+        ["pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 6), datetime(2024, 1, 4, 12)),   # misaligned both ends
+            (2, datetime(2024, 1, 2, 0), datetime(2024, 1, 3, 0)),    # aligned
+            (3, datetime(2024, 1, 5, 23), datetime(2024, 1, 6, 1)),   # sub-day window
+            (4, datetime(2023, 6, 1, 0), datetime(2023, 6, 2, 0)),    # no points
+        ],
+        ["iid", "ws", "we"],
+    )
+    got = {
+        r["iid"]: r["n_points"]
+        for r in count_points_in_intervals(pts, iv, "ts", "ws", "we").collect()
+    }
+    expect = {
+        r["iid"]: r["n"]
+        for r in points_in_intervals(pts, iv, "ts", "ws", "we")
+        .groupBy("iid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expect
+    assert 4 not in got  # empty interval absent (inner semantics)
