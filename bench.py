@@ -35,6 +35,7 @@ SKIP = {
     "q77_multimodal_features",
     "q57_streaming_sessions",
     "q84_streaming_dedup",
+    "q90_streaming_cdc",
     "q64_frame_sampling",
     "q70_streaming_enriched",
     # same semantics as q76 (which IS benched) through the iterative

@@ -2453,6 +2453,40 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/events.cdc_apply_stream): the
+    event stream MERGEs into a versioned parquet snapshot via
+    foreachBatch + upsert_snapshot; returns the final snapshot
+    (latest row per user). No oracle (arrival-order tie semantics are
+    inherently non-SQL; deep equality asserted in tests)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        cdc_apply_stream,
+        read_event_stream,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="dlws_cdc_")
+    stage = os.path.join(root, "in")
+    snap = os.path.join(root, "snap")
+    e.coalesce(2).write.mode("overwrite").json(stage)
+    q = cdc_apply_stream(
+        read_event_stream(spark, stage), snap, keys=("user_id",), order_col="ts"
+    )
+    q.awaitTermination(120)
+    latest = sorted(_glob.glob(os.path.join(snap, "v*")))[-1]
+    return spark.read.parquet(latest)
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2545,6 +2579,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q87_chunk_documents": (q87_chunk_documents, O_Q87),
     "q88_pack_sequences": (q88_pack_sequences, O_Q88),
     "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
+    "q90_streaming_cdc": (q90_streaming_cdc, None),
 }
 
 

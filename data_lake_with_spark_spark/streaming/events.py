@@ -182,6 +182,61 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates([*keys])
 
 
+def cdc_apply_stream(
+    updates: DataFrame,
+    snapshot_dir: str,
+    keys: tuple[str, ...],
+    order_col: str,
+) -> "object":
+    """Streaming CDC apply: each micro-batch is reduced to its latest
+    row per key (``order_col`` descending) and MERGEd into a
+    versioned parquet snapshot via relational.upsert_snapshot —
+    the foreachBatch escape hatch that gives a plain-parquet lake
+    Delta-style upsert semantics.
+
+    Snapshots are immutable versions (``v000042/``): each batch reads
+    the latest version and writes the next, so readers never observe
+    a half-written snapshot and the swap is atomic at directory
+    granularity (object-store safe). State never lives in the stream —
+    a restart resumes from the last committed version + source
+    offsets.
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from data_lake_with_spark_spark.operators.relational import upsert_snapshot
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(SF.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", SF.row_number().over(w))
+            .where(SF.col("_rn") == 1)
+            .drop("_rn")
+        )
+        versions = sorted(_glob.glob(os.path.join(snapshot_dir, "v*")))
+        if versions:
+            base = spark.read.parquet(versions[-1])
+            merged = upsert_snapshot(base, latest, keys=list(keys))
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v{batch_id:06d}")
+        )
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(snapshot_dir, "_checkpoints"))
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "object":

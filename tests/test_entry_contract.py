@@ -30,6 +30,7 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
         "q77_multimodal_features",
         "q53_approx_distinct",
         "q84_streaming_dedup",
+        "q90_streaming_cdc",
         "q57_streaming_sessions",
         "q64_frame_sampling",
         "q70_streaming_enriched",

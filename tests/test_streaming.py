@@ -84,3 +84,64 @@ def test_running_user_totals_stateful(spark, sf_dir, staged_stream):
     # final state after availableNow == batch counts
     for uid, n in batch.items():
         assert got[uid] == n
+
+
+def test_cdc_apply_stream_builds_merged_snapshot(spark, sf_dir, tmp_path):
+    import glob
+
+    from pyspark.sql import Window
+
+    stage = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "snap")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.coalesce(2).write.mode("overwrite").json(stage)
+    q = SE.cdc_apply_stream(
+        SE.read_event_stream(spark, stage), snap, keys=("user_id",), order_col="ts"
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(glob.glob(snap + "/v*"))
+    assert versions
+    got = spark.read.parquet(versions[-1])
+    batch = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    expect = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+    )
+    got_map = {r["user_id"]: r["event_id"] for r in got.collect()}
+    exp_map = {r["user_id"]: r["event_id"] for r in expect.collect()}
+    # ts ties broken arbitrarily in both: compare only untied users
+    ties = {
+        r["user_id"]
+        for r in batch.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).select("user_id").distinct().collect()
+    }
+    for uid in exp_map:
+        if uid not in ties:
+            assert got_map[uid] == exp_map[uid], uid
+    assert set(got_map) == set(exp_map)
+
+    # second CDC batch: one user gets a later event; snapshot must advance
+    upd = spark.createDataFrame(
+        [(999999, "2031-01-01 00:00:00.000000", 0, "purchase", 1.0)],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    upd.coalesce(1).write.mode("append").json(stage)
+    q2 = SE.cdc_apply_stream(
+        SE.read_event_stream(spark, stage), snap, keys=("user_id",), order_col="ts"
+    )
+    q2.awaitTermination(120)
+    v2 = sorted(glob.glob(snap + "/v*"))
+    assert len(v2) > len(versions)
+    got2 = {r["user_id"]: r["event_id"]
+            for r in spark.read.parquet(v2[-1]).collect()}
+    assert got2[0] == 999999
+    assert set(got2) == set(exp_map)
