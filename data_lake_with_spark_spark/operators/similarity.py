@@ -62,6 +62,94 @@ def label_centroids(
     )
 
 
+def l2sq_expr(a: str, b: str) -> Column:
+    """Squared L2 distance of two array<float> columns, JVM-side.
+    Sequential fold in index order with explicit double casts and
+    ``d*d`` (not pow), so the DuckDB oracle twin — a
+    ``list_sum(list_transform(generate_series ...))`` over the same
+    index order — reproduces values bitwise before rounding."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * "
+        f"(cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2,
+    rounded to 6 dp with cluster id as tiebreaker — deterministic and
+    oracle-portable). ``centroids`` is ``(cluster, cent_v)`` and
+    broadcasts: assignment is a scan-fused argmin, never a shuffle of
+    the corpus. Returns ``(id, cluster)``."""
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cluster").asc())
+    return (
+        emb.select(id_col, F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids.select("cluster", "cent_v")))
+        .withColumn("_d", F.round(l2sq_expr("_v", "cent_v"), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "cluster")
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    seed_mod: int = 50,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column — the canonical
+    iterative distributed algorithm (companion to the iterative
+    connected-components regime in operators/dedup.py).
+
+    Deterministic seeding (vectors with ``id % seed_mod == 0``), then
+    per iteration: broadcast-argmin assignment (corpus never
+    shuffles) and an element-wise mean refit via posexplode + one
+    partial-aggregated groupBy. The k×dim centroid frame is
+    ``localCheckpoint``ed each round — this is the legitimate use of
+    checkpointing: k rows, while the lineage would otherwise nest one
+    crossJoin + window + two aggregations PER ITERATION and Catalyst
+    re-analyzes the whole stack every action. Empty clusters keep
+    their previous centroid (standard Lloyd fallback).
+
+    Returns ``(assignments, centroids)``: ``(id, cluster)`` and
+    ``(cluster, cent_v)``.
+    """
+    cents = emb.where((F.col(id_col) % seed_mod) == 0).select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cent_v")
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = kmeans_assign(emb, cents, id_col, vec_col)
+        refit = (
+            assigned.join(emb, on=id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "cluster",
+                F.expr("transform(_pm, s -> s.m)").alias("cent_v"),
+            )
+        )
+        # empty clusters: carry the previous centroid forward
+        carried = cents.join(refit.select("cluster"), on="cluster", how="left_anti")
+        cents = refit.unionByName(carried).localCheckpoint()
+    return assigned, cents
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two array<float> columns, JVM-side.
 

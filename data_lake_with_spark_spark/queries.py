@@ -2487,6 +2487,61 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(latest)
 
 
+def q91_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration, value-checked: deterministic seeds
+    (vec_id % 50 == 0), broadcast-argmin assignment (similarity.
+    kmeans_assign), element-wise mean refit in long form (similarity.
+    label_centroids). The full iterative loop (similarity.kmeans) is
+    convergence-tested in tests/test_similarity.py; this proves one
+    step's values against the SQL oracle — same strategy as the
+    connected-components pair (q33 driver regime / q41 distributed)."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        kmeans_assign,
+        label_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cent_v")
+    )
+    assigned = kmeans_assign(e, cents)
+    return (
+        label_centroids(
+            assigned.join(e, on="vec_id"), label_col="cluster", vec_col="embedding"
+        )
+        .withColumnRenamed("label", "cluster")
+    )
+
+
+_O_L2SQ = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+O_Q91 = f"""
+WITH cents AS (
+  SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings
+  WHERE vec_id % 50 = 0),
+dists AS (
+  SELECT e.vec_id, c.cluster,
+         ROUND({_O_L2SQ.format(a='e.embedding', b='c.cent_v')}, 6) AS d
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC)
+             AS rn
+    FROM dists) WHERE rn = 1)
+SELECT a.cluster, CAST(i AS BIGINT) AS pos,
+       ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM assigned a JOIN embeddings e USING (vec_id),
+     UNNEST(generate_series(1, len(e.embedding))) AS s(i)
+GROUP BY 1, 2
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2580,6 +2635,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q88_pack_sequences": (q88_pack_sequences, O_Q88),
     "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
     "q90_streaming_cdc": (q90_streaming_cdc, None),
+    "q91_kmeans_step": (q91_kmeans_step, O_Q91),
 }
 
 

@@ -68,3 +68,61 @@ def test_label_centroids_long_form(spark):
     got = {(r["label"], r["pos"]): r["centroid_val"]
            for r in label_centroids(df).collect()}
     assert got == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 10.0, (1, 2): 0.0}
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    import math
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        kmeans,
+        kmeans_assign,
+    )
+
+    # two well-separated blobs around (0,0) and (10,10); seeds are the
+    # vectors with id % 4 == 0 (ids 0 and 4 -> one seed in each blob)
+    pts = [(i, [0.0 + i * 0.1, 0.0 + i * 0.2]) for i in range(4)] + [
+        (i, [10.0 + (i - 4) * 0.1, 10.0 - (i - 4) * 0.2]) for i in range(4, 8)
+    ]
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    assigned, cents = kmeans(emb, seed_mod=4, iterations=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(4, 8)} == {4}
+    cvs = {r["cluster"]: r["cent_v"] for r in cents.collect()}
+    # centroid of blob 0 is the mean of its 4 points
+    exp0 = [sum(p[1][d] for p in pts[:4]) / 4 for d in (0, 1)]
+    assert all(math.isclose(a, b, abs_tol=1e-9) for a, b in zip(cvs[0], exp0))
+    # deterministic: rerun gives identical assignment
+    assigned2, _ = kmeans(emb, seed_mod=4, iterations=3)
+    assert {r["vec_id"]: r["cluster"] for r in assigned2.collect()} == got
+
+
+def test_kmeans_inertia_nonincreasing(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        kmeans,
+        kmeans_assign,
+        l2sq_expr,
+    )
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(cents):
+        a = kmeans_assign(emb, cents)
+        return (
+            a.join(emb, on="vec_id")
+            .join(cents, on="cluster")
+            .select(l2sq_expr("embedding", "cent_v").alias("d"))
+            .agg(F.sum("d")).first()[0]
+        )
+
+    seeds = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cent_v")
+    )
+    _, c1 = kmeans(emb, seed_mod=20, iterations=1)
+    _, c3 = kmeans(emb, seed_mod=20, iterations=3)
+    i0, i1, i3 = inertia(seeds), inertia(c1), inertia(c3)
+    assert i1 <= i0 + 1e-6
+    assert i3 <= i1 + 1e-6
