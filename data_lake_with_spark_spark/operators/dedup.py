@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
-from data_lake_with_spark_spark.operators.text import fingerprint
+from data_lake_with_spark_spark.operators.text import fingerprint, word_ngrams
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -795,4 +795,42 @@ def token_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level (substring) duplicate detection — the Spark-shaped
+    analog of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every rolling ``window``-token span that recurs in at least
+    ``min_docs`` distinct documents, with its document frequency and
+    total occurrence count. Downstream passes use the output either to
+    cut the repeated spans out of documents or to drop documents
+    dominated by boilerplate.
+
+    Plan: one linear per-doc rolling-window explode (no join — spans
+    come from ``text.word_ngrams``, shuffle-free), then a single
+    hash-shuffle on the span for the two aggregates. Output is bounded
+    by total corpus tokens, never corpus². At 100 TB the grouping key
+    would be ``xxhash64(span)`` (8 bytes instead of the span text);
+    the text key is kept here so the DuckDB oracle compares values.
+    Beyond-reference LLM-pipeline operator.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), window)).alias("span"),
+    ).where(F.col("span") != "")
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
     )

@@ -75,3 +75,48 @@ def stratified_sample(
             .otherwise(thr)
         )
     return df.where(F.substring(F.md5(key), 1, precision) < thr)
+
+
+def balance_strata(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    precision: int = 2,
+) -> DataFrame:
+    """Rebalance a corpus to a uniform stratum mix by deterministic
+    downsampling: every stratum is sampled at ``min_count / count`` so
+    all strata land at (approximately) the size of the smallest — the
+    source-mixing pass a training pipeline runs before interleaving
+    heterogeneous corpora.
+
+    Unlike :func:`stratified_sample`, the rates are data-dependent and
+    computed inside the plan: one partial-aggregated ``groupBy`` over
+    the stratum column (output rows = stratum cardinality, i.e. tiny),
+    a global-min window over that tiny frame, then a broadcast join
+    back so the corpus itself is never shuffled — the filter runs
+    scan-side. Thresholds quantize to ``16**-precision`` exactly as in
+    :func:`rate_threshold`, built with hex-string arithmetic that the
+    DuckDB oracle reproduces bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    levels = 16**precision
+    cnts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cnts = cnts.withColumn(
+        "_t",
+        F.round(
+            F.lit(float(levels)) * F.min("_cnt").over(Window.partitionBy())
+            / F.col("_cnt"),
+            0,
+        ).cast("int"),
+    )
+    thr = (
+        F.when(F.col("_t") >= levels, F.lit("g" * precision))
+        .otherwise(F.lower(F.lpad(F.hex(F.col("_t")), precision, "0")))
+        .alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(cnts.select(strata_col, thr)), on=strata_col)
+        .where(F.substring(F.md5(key), 1, precision) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -2542,6 +2542,61 @@ GROUP BY 1, 2
 """
 
 
+def q92_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (dedup.duplicated_spans): every
+    rolling 8-token span occurring in >= 2 distinct documents, with
+    document frequency and occurrence count — the Spark-shaped analog
+    of suffix-array training-data dedup (Lee et al. 2022). One linear
+    explode + one hash-shuffle; output bounded by corpus tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, window=8, min_docs=2)
+
+
+O_Q92 = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+spans AS (
+  SELECT doc_id, g AS span FROM docs,
+  UNNEST(list_transform(generate_series(1, len(t) - 7),
+         i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS w(g)
+  WHERE g != '')
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q93_balance_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing (sampling.balance_strata): every
+    language deterministically downsampled to ~the smallest language's
+    size (the testdata is en-heavy: 218 en vs 64 fr at sf0.01) via
+    data-dependent md5-prefix thresholds computed inside the plan
+    (tiny count aggregate + broadcast join back; the corpus is never
+    shuffled and the filter runs scan-side)."""
+    from data_lake_with_spark_spark.operators.sampling import balance_strata
+
+    d = _t(spark, sf_dir, "documents")
+    return balance_strata(
+        d, "lang", F.col("doc_id").cast("string")
+    ).select("doc_id", "source", "lang")
+
+
+O_Q93 = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+thr AS (
+  SELECT lang,
+         CASE WHEN t >= 256 THEN 'gg'
+              ELSE lower(lpad(to_hex(t), 2, '0')) END AS thr
+  FROM (SELECT lang,
+               CAST(ROUND(256.0 * (SELECT MIN(cnt) FROM c) / cnt, 0)
+                    AS INTEGER) AS t
+        FROM c))
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2636,6 +2691,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
     "q90_streaming_cdc": (q90_streaming_cdc, None),
     "q91_kmeans_step": (q91_kmeans_step, O_Q91),
+    "q92_span_dedup": (q92_span_dedup, O_Q92),
+    "q93_balance_languages": (q93_balance_languages, O_Q93),
 }
 
 

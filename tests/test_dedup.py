@@ -133,3 +133,21 @@ def test_connected_components_transitive_chain(spark, collect_threshold):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_duplicated_spans(spark):
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens -> 2 8-grams
+    rows = [
+        (1, shared + " alpha"),
+        (2, "prefix " + shared),
+        (3, "completely different words without any overlap at all here"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from data_lake_with_spark_spark.operators.dedup import duplicated_spans
+
+    got = {r["span"]: (r["n_docs"], r["n_occurrences"])
+           for r in duplicated_spans(df, window=8, min_docs=2).collect()}
+    toks = shared.split()
+    g1, g2 = " ".join(toks[:8]), " ".join(toks[1:9])
+    assert got == {g1: (2, 2), g2: (2, 2)}

@@ -50,3 +50,32 @@ def test_stratified_sample_rates_and_edges(spark):
     assert by_lang.get("de") == 200  # keep-all regime
     assert "fr" not in by_lang  # default-rate drop regime
     assert 60 < by_lang.get("en", 0) < 140  # ~50% of 200, hash-binomial
+
+
+def test_balance_strata_downsamples_to_min(spark):
+    # 300 en / 60 fr: balancing should keep all fr and ~60 en
+    rows = [(i, "en") for i in range(300)] + [(1000 + i, "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.balance_strata(df, "lang", F.col("doc_id").cast("string"))
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["fr"] == 60  # min stratum: keep-all ('gg' threshold)
+    assert 30 < by_lang["en"] < 100  # ~min/count = 20% of 300, hash-binomial
+    # deterministic: identical rows on rerun
+    ids = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.balance_strata(
+            df, "lang", F.col("doc_id").cast("string")
+        ).collect()
+    }
+    assert ids == ids2
+
+
+def test_balance_strata_uniform_is_noop(spark):
+    rows = [(i, ["a", "b"][i % 2]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.balance_strata(df, "lang", F.col("doc_id").cast("string"))
+    assert out.count() == 100
