@@ -2597,6 +2597,40 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr
 """
 
 
+def q94_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) codes over two bucketed event dimensions
+    (functions/zorder.py) — the clustering key behind the z-ordered
+    parquet layout (sinks.write_zordered, pruning proven in
+    tests/test_scale_ops.py). Pure integer bit arithmetic, whole-stage
+    codegen'd; value-checked bit-for-bit against the same shift
+    folding in DuckDB."""
+    from data_lake_with_spark_spark.functions.zorder import zvalue
+
+    e = _t(spark, sf_dir, "events")
+    b = e.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        ((F.col("user_id") % 256 + 256) % 256).alias("x"),
+        ((F.floor("value").cast("bigint") % 256 + 256) % 256).alias("y"),
+    )
+    return b.withColumn("z", zvalue(F.col("x"), F.col("y"), bits=8))
+
+
+def _O_Q94() -> str:
+    from data_lake_with_spark_spark.functions.zorder import oracle_zvalue_sql
+
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         ((user_id % 256 + 256) % 256) AS x,
+         ((CAST(FLOOR(value) AS BIGINT) % 256 + 256) % 256) AS y
+  FROM events WHERE event_id % 10 = 0)
+SELECT event_id, x, y, {oracle_zvalue_sql('x', 'y', 8)} AS z FROM b
+"""
+
+
+O_Q94 = _O_Q94()
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2693,6 +2727,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q91_kmeans_step": (q91_kmeans_step, O_Q91),
     "q92_span_dedup": (q92_span_dedup, O_Q92),
     "q93_balance_languages": (q93_balance_languages, O_Q93),
+    "q94_zorder_values": (q94_zorder_values, O_Q94),
 }
 
 

@@ -108,3 +108,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: rows are range-partitioned and
+    sorted by the Morton interleave of two pre-bucketed dimensions
+    (functions/zorder.py), then the code itself is dropped — the
+    payoff is that BOTH dimension columns end up with tight per-file /
+    per-row-group min-max statistics, so a 2-D box predicate prunes
+    most of the table from zone maps alone (the Delta/Iceberg
+    ``ZORDER BY`` layout, built from repartitionByRange +
+    sortWithinPartitions). A single-key sort (``write_sorted``)
+    clusters only its own key; the second dimension stays scattered
+    across every file and its zone maps prune nothing.
+    """
+    from data_lake_with_spark_spark.functions.zorder import with_zvalue
+
+    zdf = with_zvalue(df, x_col, y_col, bits, out_col="__z")
+    out = (
+        zdf.repartitionByRange(num_partitions, "__z")
+        if num_partitions
+        else zdf.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -106,3 +106,62 @@ def test_summarize_counts_and_extremes(spark):
     assert rows["id"]["n"] == 3 and rows["id"]["n_distinct"] == 2
     assert rows["s"]["n_null"] == 1 and rows["s"]["min_str"] == "x"
     assert rows["v"]["min_num"] == -1.0 and rows["v"]["max_num"] == 2.0
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    from data_lake_with_spark_spark.functions.zorder import zvalue
+
+    pts = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 64, 200, 255)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zvalue(F.col("x"), F.col("y"), bits=8)).collect()
+    }
+    assert got == {(x, y): _py_morton(x, y, 8) for x, y in pts}
+    # interleave is a bijection on the grid -> all codes distinct
+    assert len(set(got.values())) == len(pts)
+
+
+def test_zordered_layout_tightens_both_dims(spark, tmp_path):
+    """Per-file min/max of the SECOND dimension must be far tighter
+    under z-order than under a single-key sort (where y is scattered
+    across every file and zone maps cannot prune a y-predicate)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from data_lake_with_spark_spark.sources.sinks import write_sorted, write_zordered
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    write_zordered(grid, zpath, "x", "y", bits=6, num_partitions=16)
+    write_sorted(grid, spath, ["x"], num_partitions=16)
+
+    def mean_y_span(path):
+        spans = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ycol = [
+                md.row_group(0).column(i).path_in_schema
+                for i in range(md.row_group(0).num_columns)
+            ].index("y")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ycol).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    z_span, lin_span = mean_y_span(zpath), mean_y_span(spath)
+    # linear sort leaves y spanning ~the full [0, 64) domain per file;
+    # z-order confines each file to a fraction of it
+    assert lin_span > n * 0.8
+    assert z_span < lin_span / 2
