@@ -87,3 +87,57 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def read_json_audited(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """NDJSON scan in PERMISSIVE mode with a corrupt-record column —
+    the feed-auditing variant of A1 for untrusted 100 TB drops: rows
+    that fail to parse land with every declared field null and the raw
+    line captured in ``corrupt_col``, so bad records are quarantined
+    with one filter instead of failing the job (FAILFAST) or vanishing
+    silently (DROPMALFORMED). The declared schema is extended with the
+    corrupt column (Spark requires it present in the schema to
+    populate it).
+    """
+    from pyspark.sql.types import StringType
+
+    audited = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    return (
+        spark.read.schema(audited)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Partition an audited read into (clean, quarantine): clean rows
+    drop the audit column; quarantined rows keep the full row (their
+    declared fields are all null by construction). Both sides are
+    filters over one scan — no shuffle. The quarantine side must keep
+    at least one real column: Spark disallows queries over raw
+    JSON/CSV that reference ONLY the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    from pyspark.sql import functions as F
+
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return clean, bad
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Parquet scan across schema versions (``mergeSchema``): files
+    written before a column existed surface it as null, so a 100 TB
+    table can gain columns without rewriting history. Merging reads
+    every footer — pay it only when versions actually differ (the
+    catalog case pins one schema and skips the merge)."""
+    return spark.read.option("mergeSchema", merge_schema).parquet(path)

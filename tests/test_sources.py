@@ -166,3 +166,38 @@ def test_write_sorted_clusters_ranges(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_read_json_audited_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from data_lake_with_spark_spark.sources.readers import (
+        read_json_audited,
+        split_corrupt,
+    )
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"id": 1, "name": "ok"}\n{"id": broken\n{"id": 3, "name": "fine"}\n'
+    )
+    sch = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    clean, bad = split_corrupt(read_json_audited(spark, str(p), sch))
+    assert {(r["id"], r["name"]) for r in clean.collect()} == {(1, "ok"), (3, "fine")}
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["_corrupt_record"].startswith('{"id": broken')
+    assert quarantined[0]["id"] is None  # declared fields null on bad rows
+
+
+def test_read_parquet_evolved_merges_schema_versions(spark, tmp_path):
+    from data_lake_with_spark_spark.sources.readers import read_parquet_evolved
+
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(base + "/v=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(base + "/v=2")
+    df = read_parquet_evolved(spark, base)
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
