@@ -108,3 +108,40 @@ def test_packing_single_window_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "q88_pack_sequences")
     tree = p.split("\n\n")[0]  # formatted plans repeat nodes in details
     assert tree.count("Exchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Big-big joins where one side carries a selective filter should
+    get a runtime bloom filter injected on the other side (Spark's
+    runtime row-level filtering): the probe side is pre-filtered
+    BEFORE its shuffle, which at 100 TB is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice.
+    Enabled by default (creation side <= 10MB); this pins the behavior
+    with thresholds scaled down to the local fixture (broadcast
+    disabled because a broadcast join already prunes at the probe —
+    bloom matters precisely when both sides are too big to broadcast).
+    """
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        j = li.join(
+            o.where(F.col("o_orderpriority") == "1-URGENT"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
