@@ -38,10 +38,11 @@ SKIP = {
     "q90_streaming_cdc",
     "q64_frame_sampling",
     "q70_streaming_enriched",
-    # same semantics as q76 (which IS benched) through the iterative
-    # distributed CC branch: on local mode its cost is pure per-round
-    # scheduler latency, which measures the harness, not the plan.
-    "q41_dedup_clusters_distributed",
+    # same semantics as q33_dedup_clusters (which IS benched) through
+    # the iterative distributed CC branch: on local mode its cost is
+    # pure per-round scheduler latency, which measures the harness,
+    # not the plan.
+    "q91_dedup_clusters_distributed",
 }
 
 

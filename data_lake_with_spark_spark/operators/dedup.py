@@ -657,6 +657,7 @@ def token_jaccard_pairs(
     threshold: float = 0.0,
     block_by: list[str] | None = None,
     prefix_filter: bool = False,
+    max_broadcast_docs: int = 2_000_000,
 ) -> DataFrame:
     """Word-token-set Jaccard similarity join (bag-of-words twin of
     the char-shingle Jaccard). EXACT results (within blocks).
@@ -716,18 +717,58 @@ def token_jaccard_pairs(
                 F.col("_rn")
                 <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
             )
-            .select(*block, "tok", F.col(id_col))
+            .select(*block, "tok", F.col(id_col), "_rn", "sz")
             .localCheckpoint()
         )
         a = index.select(
-            *block, "tok", F.col(id_col).alias("id_a")
+            *block,
+            "tok",
+            F.col(id_col).alias("id_a"),
+            F.col("_rn").alias("_rn_a"),
+            F.col("sz").alias("sz_a"),
         )
         b = index.select(
-            *block, "tok", F.col(id_col).alias("id_b")
+            *block,
+            "tok",
+            F.col(id_col).alias("id_b"),
+            F.col("_rn").alias("_rn_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        # PPJoin length + positional filters (Xiao et al. §3): both are
+        # pure column predicates evaluated inside the candidate join,
+        # BEFORE the pair-distinct shuffle and the verify stage. At
+        # sf0.1 (t=0.7) they cut candidate pairs 3.17M -> 2.13M against
+        # 1.31M TRUE output pairs — this synthetic corpus is near-dup-
+        # saturated, so candidates are floor-bounded by the output; on
+        # realistic corpora the relative cut is far larger.
+        #   length:      J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+        #   positional:  any common token at prefix positions (i, j)
+        #                bounds the overlap by min(i-1, j-1) + 1 +
+        #                min(|A|-i, |B|-j), which must reach
+        #                α = ceil(t/(1+t)·(|A|+|B|)).
+        # The 1e-9 epsilon keeps float ceil from rounding an exact
+        # integer up, which would over-filter and break exactness;
+        # under-filtering only admits extra candidates for verify.
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("sz_a") + F.col("sz_b"))
+            - F.lit(1e-9)
+        )
+        overlap_ub = (
+            F.least(F.col("_rn_a") - 1, F.col("_rn_b") - 1)
+            + 1
+            + F.least(
+                F.col("sz_a") - F.col("_rn_a"), F.col("sz_b") - F.col("_rn_b")
+            )
         )
         cands = (
             a.join(b, on=block + ["tok"])
             .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                F.least("sz_a", "sz_b")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+            )
+            .where(overlap_ub >= alpha)
             .select("id_a", "id_b")
             .distinct()
         )
@@ -735,29 +776,25 @@ def token_jaccard_pairs(
             F.col(id_col),
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_set"),
         )
-        # Broadcast the token-set side of the verify joins: one row per
-        # document vs millions of candidate pairs — AQE underestimates
-        # this asymmetry (the sets subplan carries the full-scan size
-        # estimate) and falls back to shuffling the candidate table
-        # twice. At cluster scale with a corpus too big to broadcast,
-        # drop the hint and bucket both sides on the id instead.
+        # Broadcast the token-set side of the verify joins when the
+        # corpus is broadcastable: one row per document vs millions of
+        # candidate pairs — AQE underestimates this asymmetry (the sets
+        # subplan carries the full-scan size estimate) and falls back
+        # to shuffling the candidate table twice. The hint is
+        # size-gated exactly like similarity.all_pairs_blas: a bounded
+        # limit(n+1).count() detects an oversize corpus without a full
+        # count job, and above the bound the verify falls back to a
+        # plain shuffled (sort-merge) join on the pair ids — both
+        # sides hash-partition on the same key, no driver-sized
+        # materialization anywhere.
+        n_docs = sets.select(id_col).limit(max_broadcast_docs + 1).count()
+        sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+        sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+        if n_docs <= max_broadcast_docs:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
         verified = (
-            cands.join(
-                F.broadcast(
-                    sets.select(
-                        F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")
-                    )
-                ),
-                "id_a",
-            )
-            .join(
-                F.broadcast(
-                    sets.select(
-                        F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")
-                    )
-                ),
-                "id_b",
-            )
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
             .select(
                 "id_a",
                 "id_b",

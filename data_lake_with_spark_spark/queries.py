@@ -2128,7 +2128,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
-def q41_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering through connected_components' DISTRIBUTED
     regime: identical semantics (and oracle) to q33_dedup_clusters,
     but with ``collect_threshold=0`` so the iterative min-label /
@@ -2147,7 +2147,7 @@ def q41_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def q42_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard join via PPJoin prefix filtering (Xiao et
     al., WWW'08) — the 100 TB path for exact token-Jaccard:
     document-frequency-ordered prefixes bound the inverted index to
@@ -2493,14 +2493,14 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(latest)
 
 
-def q91_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration, value-checked: deterministic seeds
     (vec_id % 50 == 0), broadcast-argmin assignment (similarity.
     kmeans_assign), element-wise mean refit in long form (similarity.
     label_centroids). The full iterative loop (similarity.kmeans) is
     convergence-tested in tests/test_similarity.py; this proves one
     step's values against the SQL oracle — same strategy as the
-    connected-components pair (q33 driver regime / q41 distributed)."""
+    connected-components pair (q33 driver regime / q91 distributed)."""
     from data_lake_with_spark_spark.operators.similarity import (
         kmeans_assign,
         label_centroids,
@@ -2525,7 +2525,7 @@ _O_L2SQ = (
     "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
 )
 
-O_Q91 = f"""
+O_Q41 = f"""
 WITH cents AS (
   SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings
   WHERE vec_id % 50 = 0),
@@ -2548,7 +2548,7 @@ GROUP BY 1, 2
 """
 
 
-def q92_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (dedup.duplicated_spans): every
     rolling 8-token span occurring in >= 2 distinct documents, with
     document frequency and occurrence count — the Spark-shaped analog
@@ -2558,7 +2558,7 @@ def q92_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(d, window=8, min_docs=2)
 
 
-O_Q92 = """
+O_Q42 = """
 WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
 spans AS (
@@ -2680,8 +2680,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q38_cube_orders": (q38_cube_orders, O_Q38),
     "q39_pivot_returnflag": (q39_pivot_returnflag, O_Q39),
     "q40_grouping_sets": (q40_grouping_sets, O_Q40),
-    "q41_dedup_clusters_distributed": (q41_dedup_clusters_distributed, O_Q33),
-    "q42_token_jaccard_ppjoin": (q42_token_jaccard_ppjoin, O_Q48),
+    "q41_kmeans_step": (q41_kmeans_step, O_Q41),
+    "q42_span_dedup": (q42_span_dedup, O_Q42),
     "q43_percentiles": (q43_percentiles, O_Q43),
     "q44_asof_join": (q44_asof_join, O_Q44),
     "q45_range_join": (q45_range_join, O_Q45),
@@ -2730,8 +2730,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q88_pack_sequences": (q88_pack_sequences, O_Q88),
     "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
     "q90_streaming_cdc": (q90_streaming_cdc, None),
-    "q91_kmeans_step": (q91_kmeans_step, O_Q91),
-    "q92_span_dedup": (q92_span_dedup, O_Q92),
+    "q91_dedup_clusters_distributed": (q91_dedup_clusters_distributed, O_Q33),
+    "q92_token_jaccard_ppjoin": (q92_token_jaccard_ppjoin, O_Q48),
     "q93_balance_languages": (q93_balance_languages, O_Q93),
     "q94_zorder_values": (q94_zorder_values, O_Q94),
 }

@@ -50,6 +50,24 @@ def test_token_jaccard_prefix_filter_equals_naive(spark):
     assert as_set(pf) == as_set(naive)
 
 
+def test_token_jaccard_prefix_filter_gated_verify_equals_naive(spark):
+    """max_broadcast_docs=0 forces the over-bound branch: the verify
+    joins must run WITHOUT the broadcast hint (shuffled join on the
+    pair ids) and return byte-identical results."""
+    naive = dedup.token_jaccard_pairs(_docs(spark), threshold=0.5, block_by=["lang"])
+    gated = dedup.token_jaccard_pairs(
+        _docs(spark),
+        threshold=0.5,
+        block_by=["lang"],
+        prefix_filter=True,
+        max_broadcast_docs=0,
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    assert as_set(gated) == as_set(naive)
+
+
 def _emb(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0, 0.0]),
