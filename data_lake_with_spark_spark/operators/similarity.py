@@ -284,6 +284,7 @@ def all_pairs_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 2_000_000,
+    driver_matmul_rows: int = 16384,
 ) -> DataFrame:
     """Exact all-pairs cosine (id_a < id_b, cos ≥ threshold) via a
     broadcast numpy matrix + Arrow-batched mapInPandas.
@@ -296,13 +297,21 @@ def all_pairs_blas(
     never shuffles; output is filtered to ``cos ≥ threshold`` inside
     the worker so only qualifying pairs cross Arrow.
 
-    The broadcast build is size-gated: pulling more than
-    ``max_broadcast_rows`` vectors to the driver raises instead of
-    OOM-ing it, because this exact O(N²) path is only the right plan
-    for a broadcastable corpus. For larger corpora use
-    :func:`lsh_sign_buckets` / :func:`dedup.embedding_near_dup_lsh`
-    (bucket first, exact-pair within bucket) — same results as this
-    function filtered to same-bucket pairs.
+    Three regimes, routed by corpus size:
+
+    - ``N ≤ driver_matmul_rows``: the corpus is already on the driver
+      for the broadcast build, and a bounded N² costs less to finish
+      right there (chunked matmul, ≤256 MB per chunk) than a second
+      cluster pass (broadcast + rescan through the Python workers)
+      whose fixed costs dominate at this size. Identical rounding and
+      filtering to the distributed branch.
+    - ``N ≤ max_broadcast_rows``: broadcast + mapInPandas as above —
+      the cluster path; per-worker work scales with the executor's
+      split only.
+    - larger: raises instead of OOM-ing the driver, naming the scale
+      path — :func:`lsh_sign_buckets` /
+      :func:`dedup.embedding_near_dup_lsh` (bucket first, exact-pair
+      within bucket), same results filtered to same-bucket pairs.
     """
     import numpy as np
 
@@ -318,9 +327,34 @@ def all_pairs_blas(
             "(similarity.lsh_sign_buckets / dedup.embedding_near_dup_lsh) "
             "for larger corpora."
         )
+    if len(pdf) == 0:
+        return emb.sparkSession.createDataFrame(
+            [], schema="id_a bigint, id_b bigint, cos double"
+        )
     ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.sqrt((mat * mat).sum(axis=1))
+
+    if len(pdf) <= driver_matmul_rows:
+        import pandas as pd
+
+        out_chunks = []
+        for s in range(0, len(pdf), 2048):
+            block, bn = mat[s : s + 2048], norms[s : s + 2048]
+            sims = np.round(
+                (block @ mat.T) / (bn[:, None] * norms[None, :]), 6
+            )
+            keep = (sims >= threshold) & (ids[s : s + 2048, None] < ids[None, :])
+            ai, ci = np.nonzero(keep)
+            out_chunks.append(
+                pd.DataFrame(
+                    {"id_a": ids[s + ai], "id_b": ids[ci], "cos": sims[ai, ci]}
+                )
+            )
+        out = pd.concat(out_chunks, ignore_index=True)
+        return emb.sparkSession.createDataFrame(
+            out, schema="id_a bigint, id_b bigint, cos double"
+        )
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((ids, mat, norms))
 
@@ -347,7 +381,9 @@ def all_pairs_blas(
             if len(pdf) == 0:
                 continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
             sims = (a_mat @ c_mat.T) / (a_norms[:, None] * c_norms[None, :])
             sims = np.round(sims, 6)

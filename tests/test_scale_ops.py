@@ -81,16 +81,25 @@ def _emb(spark):
 
 def test_all_pairs_blas_equals_crossjoin_pairs(spark):
     emb = _emb(spark)
-    blas = {
-        (r["id_a"], r["id_b"], r["cos"])
-        for r in all_pairs_blas(emb, threshold=0.5).collect()
-    }
     naive = {
         (r["id_a"], r["id_b"], r["cos"])
         for r in dedup.embedding_near_dup_pairs(emb, threshold=0.5).collect()
     }
-    assert blas == naive
-    assert (0, 1, 0.993884) in {(a, b, round(c, 6)) for a, b, c in blas}
+    # small-corpus driver-matmul branch ...
+    driver_path = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in all_pairs_blas(emb, threshold=0.5).collect()
+    }
+    # ... and the distributed broadcast+mapInPandas branch, forced
+    blas_path = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in all_pairs_blas(
+            emb, threshold=0.5, driver_matmul_rows=0
+        ).collect()
+    }
+    assert driver_path == naive
+    assert blas_path == naive
+    assert (0, 1, 0.993884) in {(a, b, round(c, 6)) for a, b, c in naive}
 
 
 def test_ivf_topk_finds_same_cluster_neighbor(spark):
