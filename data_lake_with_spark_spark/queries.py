@@ -2461,14 +2461,15 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 
 def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (streaming/events.cdc_apply_stream): the
-    event stream MERGEs into a versioned parquet snapshot via
-    foreachBatch + upsert_snapshot; returns the final snapshot
-    (latest row per user). No oracle (arrival-order tie semantics are
-    inherently non-SQL; deep equality asserted in tests)."""
-    import glob as _glob
+    event stream MERGEs into the snapshot table through the lakehouse
+    format seam (sources/lakehouse.py — Delta MERGE when jars exist,
+    versioned parquet here); returns the final snapshot (latest row
+    per user). No oracle (arrival-order tie semantics are inherently
+    non-SQL; deep equality asserted in tests)."""
     import os
     import tempfile
 
+    from data_lake_with_spark_spark.sources.lakehouse import resolve_format
     from data_lake_with_spark_spark.streaming.events import (
         cdc_apply_stream,
         read_event_stream,
@@ -2489,8 +2490,7 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, stage), snap, keys=("user_id",), order_col="ts"
     )
     q.awaitTermination(120)
-    latest = sorted(_glob.glob(os.path.join(snap, "v*")))[-1]
-    return spark.read.parquet(latest)
+    return resolve_format("auto", spark).read_snapshot(spark, snap)
 
 
 def q41_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:

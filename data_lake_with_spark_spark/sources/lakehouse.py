@@ -1,0 +1,150 @@
+"""Lakehouse table-format seam for the MERGE/CDC family.
+
+The north star ("native Spark on data lake formats") wants ACID MERGE,
+schema evolution, and compaction from a real table format; this
+environment ships no Delta/Iceberg jars, so the engine's upsert/CDC
+operators (relational.upsert_snapshot, streaming.cdc_apply_stream)
+write versioned parquet snapshots instead. This module makes that
+substitution an explicit seam rather than a hard-coded choice:
+
+- :class:`VersionedParquetFormat` — immutable ``v000042/`` snapshot
+  directories; each MERGE reads the latest version and writes the
+  next, so readers never observe a half-written snapshot and the swap
+  is atomic at directory granularity (object-store safe). Always
+  available; the MERGE itself is relational.upsert_snapshot's
+  full-outer-join + COALESCE plan (one key shuffle per side, zero if
+  both sides are bucketed on the key).
+- :class:`DeltaFormat` — a real ``DeltaTable.merge`` (ACID log,
+  in-place file rewrite, schema evolution) behind the same three
+  methods. Import-gated on the public ``delta-spark`` package; its
+  ``available()`` is False here, and every call path degrades to the
+  parquet format through :func:`resolve_format`.
+
+Swapping formats changes no operator code: callers ask
+``resolve_format("auto", spark)`` and get Delta when the jars are on
+the classpath, versioned parquet otherwise. An Iceberg implementation
+slots in the same way (three methods against the ``spark.table`` /
+``MERGE INTO`` SQL surface).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedParquetFormat:
+    """MERGE-by-rewrite over immutable snapshot version directories."""
+
+    name = "parquet"
+
+    @staticmethod
+    def available(spark: SparkSession | None = None) -> bool:
+        return True
+
+    @staticmethod
+    def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+        """Latest committed snapshot, or None before the first commit."""
+        versions = sorted(_glob.glob(os.path.join(path, "v*")))
+        if not versions:
+            return None
+        return spark.read.parquet(versions[-1])
+
+    @staticmethod
+    def merge_upsert(
+        spark: SparkSession,
+        path: str,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version: int,
+    ) -> None:
+        """Upsert ``updates`` into the snapshot at ``path`` as a new
+        immutable version. ``version`` must be monotonic per caller
+        (the streaming path passes the micro-batch id, which Spark
+        guarantees monotonic under a checkpoint)."""
+        from data_lake_with_spark_spark.operators.relational import (
+            upsert_snapshot,
+        )
+
+        base = VersionedParquetFormat.read_snapshot(spark, path)
+        merged = updates if base is None else upsert_snapshot(
+            base, updates, keys=list(keys)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(path, f"v{version:06d}")
+        )
+
+
+class DeltaFormat:
+    """Real ACID MERGE through delta-spark, when its jars exist."""
+
+    name = "delta"
+
+    @staticmethod
+    def available(spark: SparkSession | None = None) -> bool:
+        try:
+            import delta  # noqa: F401
+        except ImportError:
+            return False
+        if spark is not None:
+            # jars present AND the session was built with the Delta
+            # catalog/extension (required for MERGE to parse)
+            ext = spark.conf.get("spark.sql.extensions", "") or ""
+            return "DeltaSparkSessionExtension" in ext
+        return True
+
+    @staticmethod
+    def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+        if not os.path.exists(os.path.join(path, "_delta_log")):
+            return None
+        return spark.read.format("delta").load(path)
+
+    @staticmethod
+    def merge_upsert(
+        spark: SparkSession,
+        path: str,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version: int,  # unused: Delta's log numbers commits itself
+    ) -> None:
+        from delta.tables import DeltaTable
+
+        if not os.path.exists(os.path.join(path, "_delta_log")):
+            updates.write.format("delta").mode("overwrite").save(path)
+            return
+        target = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        (
+            target.alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+
+FORMATS = {f.name: f for f in (VersionedParquetFormat, DeltaFormat)}
+
+
+def resolve_format(name: str, spark: SparkSession | None = None):
+    """``"parquet"`` / ``"delta"`` / ``"auto"`` → a TableFormat class.
+
+    ``auto`` prefers Delta when its jars and session extension are
+    present and silently degrades to versioned parquet otherwise — the
+    caller's operator code is identical either way.
+    """
+    if name == "auto":
+        return DeltaFormat if DeltaFormat.available(spark) else VersionedParquetFormat
+    fmt = FORMATS.get(name)
+    if fmt is None:
+        raise ValueError(f"unknown table format {name!r}; use {sorted(FORMATS)}")
+    if not fmt.available(spark):
+        raise ValueError(
+            f"table format {name!r} is not available in this session "
+            "(missing jars or session extension); use 'auto' to degrade "
+            "to versioned parquet"
+        )
+    return fmt

@@ -187,46 +187,43 @@ def cdc_apply_stream(
     snapshot_dir: str,
     keys: tuple[str, ...],
     order_col: str,
+    table_format: str = "auto",
 ) -> "object":
     """Streaming CDC apply: each micro-batch is reduced to its latest
-    row per key (``order_col`` descending) and MERGEd into a
-    versioned parquet snapshot via relational.upsert_snapshot —
-    the foreachBatch escape hatch that gives a plain-parquet lake
-    Delta-style upsert semantics.
+    row per key (``order_col`` descending) and MERGEd into the target
+    table through the lakehouse table-format seam
+    (sources.lakehouse.resolve_format) — the foreachBatch escape
+    hatch that gives any lake Delta-style upsert semantics.
 
-    Snapshots are immutable versions (``v000042/``): each batch reads
-    the latest version and writes the next, so readers never observe
-    a half-written snapshot and the swap is atomic at directory
-    granularity (object-store safe). State never lives in the stream —
-    a restart resumes from the last committed version + source
-    offsets.
+    ``table_format="auto"`` uses a real ACID format (Delta MERGE)
+    when its jars are on the classpath and degrades to immutable
+    versioned parquet snapshots (``v000042/``) otherwise: each batch
+    reads the latest version and writes the next, so readers never
+    observe a half-written snapshot and the swap is atomic at
+    directory granularity (object-store safe). State never lives in
+    the stream — a restart resumes from the last committed version +
+    source offsets.
     """
-    import glob as _glob
     import os
 
     from pyspark.sql import Window
     from pyspark.sql import functions as SF
 
-    from data_lake_with_spark_spark.operators.relational import upsert_snapshot
+    from data_lake_with_spark_spark.sources.lakehouse import resolve_format
+
+    fmt = resolve_format(table_format, updates.sparkSession)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         w = Window.partitionBy(*keys).orderBy(SF.col(order_col).desc())
         latest = (
             batch_df.withColumn("_rn", SF.row_number().over(w))
             .where(SF.col("_rn") == 1)
             .drop("_rn")
         )
-        versions = sorted(_glob.glob(os.path.join(snapshot_dir, "v*")))
-        if versions:
-            base = spark.read.parquet(versions[-1])
-            merged = upsert_snapshot(base, latest, keys=list(keys))
-        else:
-            merged = latest
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, f"v{batch_id:06d}")
+        fmt.merge_upsert(
+            batch_df.sparkSession, snapshot_dir, latest, keys, version=batch_id
         )
 
     return (

@@ -1,0 +1,67 @@
+"""The lakehouse table-format seam (sources/lakehouse.py): format
+resolution, the versioned-parquet MERGE implementation, and — when
+delta-spark jars are present — the Delta MERGE twin (skipped here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lake_with_spark_spark.sources.lakehouse import (
+    DeltaFormat,
+    VersionedParquetFormat,
+    resolve_format,
+)
+
+
+def test_resolve_format_auto_degrades_without_delta(spark):
+    fmt = resolve_format("auto", spark)
+    if DeltaFormat.available(spark):
+        assert fmt is DeltaFormat
+    else:
+        assert fmt is VersionedParquetFormat
+
+
+def test_resolve_format_rejects_unknown_and_unavailable(spark):
+    with pytest.raises(ValueError, match="unknown table format"):
+        resolve_format("hudi", spark)
+    if not DeltaFormat.available(spark):
+        with pytest.raises(ValueError, match="not available"):
+            resolve_format("delta", spark)
+
+
+def test_versioned_parquet_merge_upsert_roundtrip(spark, tmp_path):
+    fmt = VersionedParquetFormat
+    path = str(tmp_path / "tbl")
+    assert fmt.read_snapshot(spark, path) is None
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "v"]
+    )
+    fmt.merge_upsert(spark, path, base, keys=["k"], version=0)
+    got0 = {r["k"]: (r["name"], r["v"]) for r in fmt.read_snapshot(spark, path).collect()}
+    assert got0 == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    fmt.merge_upsert(spark, path, updates, keys=["k"], version=1)
+    got1 = {r["k"]: (r["name"], r["v"]) for r in fmt.read_snapshot(spark, path).collect()}
+    # update wins, insert lands, unmatched base row carries over
+    assert got1 == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+    # both immutable versions remain on disk
+    assert (tmp_path / "tbl" / "v000000").exists()
+    assert (tmp_path / "tbl" / "v000001").exists()
+
+
+@pytest.mark.skipif(
+    not DeltaFormat.available(), reason="delta-spark jars not installed"
+)
+def test_delta_merge_upsert_roundtrip(spark, tmp_path):
+    fmt = DeltaFormat
+    path = str(tmp_path / "delta_tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    fmt.merge_upsert(spark, path, base, keys=["k"], version=0)
+    updates = spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "name"])
+    fmt.merge_upsert(spark, path, updates, keys=["k"], version=1)
+    got = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
