@@ -85,6 +85,30 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Flagship composition: the full 5-table star-schema build (parity
+    # mode, real parquet sinks) over the reference fixture, timed like
+    # any query so its round-over-round cost is tracked.
+    ref_data = "/root/reference/data"
+    if os.path.isdir(ref_data):
+        import shutil
+        import tempfile
+
+        from data_lake_with_spark_spark.plans.star_schema import run_pipeline
+
+        best = float("inf")
+        for _rep in range(2):
+            out = tempfile.mkdtemp(prefix="dlws_bench_star_")
+            t0 = time.time()
+            run_pipeline(
+                spark,
+                f"{ref_data}/song-data/*/*/*/*.json",
+                f"{ref_data}/log-data/*.json",
+                out,
+            )
+            best = min(best, time.time() - t0)
+            shutil.rmtree(out, ignore_errors=True)
+        timings["star_schema_build"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # Driver contract: stdout carries EXACTLY ONE compact JSON line.
     # Round 1 showed the harness's stdout capture window truncates a
