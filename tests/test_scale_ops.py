@@ -125,6 +125,72 @@ def test_salted_aggregate_equals_direct(spark):
     assert got == {"a": (3, 8.0), "b": (1, 3.0)}
 
 
+def test_salting_eliminates_straggler_partition(spark):
+    """Straggler proof on a manufactured hot key (99% of rows): the
+    aggregation/join shuffle hashes rows to reducers BY KEY, so one
+    reducer must receive every 'hot' row — a constraint AQE cannot
+    re-split, because rows of one group key have to meet at one task
+    (AQE's skew handling only splits join-probe partitions). Salting
+    changes the key space itself: the same hash partitioning spreads
+    the hot key across ~salt reducers. Asserted on the engine's own
+    hash partitioning (repartition by the same keys the shuffle would
+    use), not on wall clock, so the test is deterministic."""
+    from data_lake_with_spark_spark.operators.skew import SALT_COL
+
+    n, parts = 100_000, 32
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 < 99, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+    def max_share(keyed):
+        counts = [
+            r["c"]
+            for r in keyed.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        return max(counts) / n
+
+    direct_share = max_share(df.repartition(parts, "k"))
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64("k", "v"), F.lit(parts))
+    )
+    salted_share = max_share(salted.repartition(parts, "k", SALT_COL))
+    assert direct_share > 0.9  # the straggler: one reducer owns ~99%
+    assert salted_share < 0.2  # spread across ~salt reducers
+
+    # and the two-phase aggregate over the same skewed data is exact
+    direct = {
+        (r["k"], r["n"], str(r["s"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,0)")).alias("s"),
+        )
+        .collect()
+    }
+    via_salt = {
+        (r["k"], r["n"], str(r["total"]))
+        for r in salted_aggregate(
+            df, ["k"], {"total": F.col("v").cast("decimal(18,0)")}, salt=parts
+        ).collect()
+    }
+    assert via_salt == direct
+    # plan shape: phase-1 exchange keys on (k, salt), phase-2 on k
+    from data_lake_with_spark_spark.operators.skew import explain_shuffles
+
+    plan = explain_shuffles(
+        salted_aggregate(
+            df, ["k"], {"total": F.col("v").cast("decimal(18,0)")}, salt=parts
+        )
+    )
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert SALT_COL in plan  # phase-1 exchange keys include the salt
+
+
 def test_summarize_counts_and_extremes(spark):
     df = spark.createDataFrame(
         [(1, "x", 2.0), (2, None, -1.0), (2, "y", None)], ["id", "s", "v"]
