@@ -1,0 +1,129 @@
+"""Event-analytics operators over the ``events`` table: ordered-funnel
+conversion and SCD2 (type-2 slowly-changing-dimension) history builds.
+
+Beyond-reference family (the reference processes its event log as a
+flat batch — SURVEY §2 I5): these are the standard product-analytics /
+lakehouse-dimension shapes a training-data platform also needs for
+user-behavior curation. Both are pure DataFrame compositions — per-key
+window functions and co-partitioned re-joins on the same key — so
+every shuffle hashes on the entity key once and Catalyst reuses that
+partitioning across stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user converts stage *i* only with an
+    event of type ``stages[i]`` at a timestamp strictly after their
+    stage *i-1* conversion time (first-touch semantics: the earliest
+    qualifying event per stage).
+
+    Returns one row per stage: ``(stage, stage_idx, n_users)`` with
+    ``n_users`` monotonically non-increasing down the funnel.
+
+    Scale shape: one declarative plan, no driver-side per-stage
+    actions — the per-user conversion frame (:func:`funnel_users`)
+    collapses to a single row of ``count(t_<stage>)`` aggregates,
+    unpivoted with ``stack``. Stage *i* inside that frame is a
+    groupBy + join keyed on ``user_col``: after the first hash
+    exchange every later stage reuses the same key partitioning, and
+    each per-user state frame carries exactly one row per converted
+    user, so the joins stay dim-sized regardless of event volume.
+    """
+    per_user = funnel_users(events, stages, user_col, type_col, ts_col)
+    agg = per_user.agg(
+        *[F.count(f"t_{s}").alias(f"n_{i}") for i, s in enumerate(stages)]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i}, `n_{i}`" for i, s in enumerate(stages)
+    )
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, stage_idx, n_users)"
+    )
+
+
+def funnel_users(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel conversion times: ``(user, t_<stage>...)`` with
+    NULL from the first unconverted stage on. Same first-touch /
+    strictly-after semantics as :func:`funnel_stages`, fully
+    distributed output (one row per user who entered the funnel)."""
+    out = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{stages[0]}"))
+    )
+    prev = f"t_{stages[0]}"
+    for stage in stages[1:]:
+        col = f"t_{stage}"
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .join(out.select(user_col, F.col(prev).alias("_p")), on=user_col)
+            .where(F.col(ts_col) > F.col("_p"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(col))
+        )
+        out = out.join(nxt, on=user_col, how="left")
+        prev = col
+    return out
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event/CDC log:
+    collapse consecutive same-value rows per key and emit one validity
+    interval per attribute *change* —
+    ``(key..., attr, valid_from, valid_to, is_current)`` with
+    half-open intervals (``valid_to`` = next change's ``valid_from``,
+    NULL while current).
+
+    Two window passes over one hash partitioning on the key (lag to
+    detect changes, lead to close intervals) — the standard
+    MERGE-free SCD2 derivation; at scale the only shuffle is the
+    per-key sort the windows share. Ties on ``ts_col`` break on
+    ``tiebreak_cols`` for deterministic output.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .where(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        .drop("_prev")
+    )
+    # same ordering as the change detection so ts ties close
+    # deterministically
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            *keys,
+            F.col(attr_col),
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -396,6 +396,37 @@ def all_pairs_blas(
     return emb.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard memory
+    lever for ANN at scale (4× smaller than float32, 8× than the
+    float64 compute type; SIMD-dot-product friendly):
+    ``scale = 127 / max(|x|)``, ``q_i = round(x_i · scale)``.
+
+    Pure codegen'd array expressions (transform/aggregate) — no UDF,
+    no shuffle; fuses into the scan. Emits ``(id, scale, qvec)`` with
+    ``scale`` kept so consumers can dequantize (``x ≈ q / scale``).
+    Zero vectors get scale NULL and an all-zero ``qvec``.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax)
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.coalesce(
+                F.round(x * scale, 0), F.lit(0.0)
+            ).cast("int"),
+        ).alias(out_col),
+    )
+
+
 def lsh_sign_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2637,6 +2637,105 @@ SELECT event_id, x, y, {oracle_zvalue_sql('x', 'y', 8)} AS z FROM b
 O_Q94 = _O_Q94()
 
 
+def q95_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered event funnel view → click → purchase
+    (events_analytics.funnel_stages): first-touch conversion per user,
+    each later stage strictly after the previous stage's conversion
+    time. One declarative plan — per-user conversion frame via
+    co-partitioned per-stage min-joins, collapsed to counts and
+    unpivoted with stack; no driver-side per-stage actions."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        funnel_stages,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_stages(e, ["view", "click", "purchase"])
+
+
+O_Q95 = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+SELECT 'view' AS stage, 0 AS stage_idx,
+       (SELECT COUNT(*) FROM s0) AS n_users
+UNION ALL SELECT 'click', 1, (SELECT COUNT(*) FROM s1)
+UNION ALL SELECT 'purchase', 2, (SELECT COUNT(*) FROM s2)
+"""
+
+
+def q96_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the event log
+    (events_analytics.scd2_history): per-user event_type history
+    collapsed to change intervals (valid_from, valid_to half-open,
+    is_current) via two window passes sharing one hash partitioning
+    on the key — the MERGE-free lakehouse dimension derivation that
+    pairs with the table-format seam (sources/lakehouse.py)."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        scd2_history,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_history(
+        e, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+O_Q96 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR event_type != prev)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM chg
+"""
+
+
+def q97_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (similarity.quantize_int8) — the 4× memory lever for ANN serving:
+    scale = 127/max|x|, q = round(x·scale). Pure codegen'd array
+    expressions, shuffle-free, fuses into the scan; value-checked
+    element-for-element against the same arithmetic in DuckDB."""
+    from data_lake_with_spark_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e)
+
+
+O_Q97 = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings),
+s AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) AS amax
+  FROM v)
+SELECT vec_id,
+       ROUND(CASE WHEN amax > 0 THEN 127.0 / amax END, 6) AS scale,
+       list_transform(
+         ve,
+         x -> CAST(COALESCE(
+                ROUND(x * (CASE WHEN amax > 0 THEN 127.0 / amax END), 0),
+                0) AS INTEGER)) AS qvec
+FROM s
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2734,6 +2833,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q92_token_jaccard_ppjoin": (q92_token_jaccard_ppjoin, O_Q48),
     "q93_balance_languages": (q93_balance_languages, O_Q93),
     "q94_zorder_values": (q94_zorder_values, O_Q94),
+    "q95_funnel_conversion": (q95_funnel_conversion, O_Q95),
+    "q96_scd2_user_state": (q96_scd2_user_state, O_Q96),
+    "q97_quantize_embeddings": (q97_quantize_embeddings, O_Q97),
 }
 
 

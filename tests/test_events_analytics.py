@@ -1,0 +1,128 @@
+"""Event-analytics operators (operators/events_analytics.py): ordered
+funnel semantics and SCD2 interval construction on hand-computed
+fixtures, plus int8 quantization round-trip accuracy."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from data_lake_with_spark_spark.operators.events_analytics import (
+    funnel_stages,
+    funnel_users,
+    scd2_history,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+EVENTS = [
+    # user 1 converts the whole funnel in order
+    (1, _ts("2026-01-01 10:00:00"), 1, "view"),
+    (2, _ts("2026-01-01 11:00:00"), 1, "click"),
+    (3, _ts("2026-01-01 12:00:00"), 1, "purchase"),
+    # user 2: purchase BEFORE view — must not count past stage 0
+    (4, _ts("2026-01-02 09:00:00"), 2, "purchase"),
+    (5, _ts("2026-01-02 10:00:00"), 2, "view"),
+    # user 3: view then click only
+    (6, _ts("2026-01-03 10:00:00"), 3, "view"),
+    (7, _ts("2026-01-03 10:30:00"), 3, "click"),
+    # user 4: click only — never enters the funnel
+    (8, _ts("2026-01-04 10:00:00"), 4, "click"),
+    # user 5: click at the SAME instant as view — strictly-after rejects
+    (9, _ts("2026-01-05 10:00:00"), 5, "view"),
+    (10, _ts("2026-01-05 10:00:00"), 5, "click"),
+    (11, _ts("2026-01-05 11:00:00"), 5, "purchase"),
+]
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        EVENTS, ["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def test_funnel_stages_strict_ordering(spark):
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_users"])
+        for r in funnel_stages(
+            _events(spark), ["view", "click", "purchase"]
+        ).collect()
+    }
+    # entered: 1,2,3,5; clicked strictly after view: 1,3; purchased: 1
+    # (user 5's same-instant click fails strict ordering, so their
+    # later purchase can't convert either)
+    assert got == {"view": (0, 4), "click": (1, 2), "purchase": (2, 1)}
+
+
+def test_funnel_users_null_from_first_unconverted_stage(spark):
+    rows = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_users(
+            _events(spark), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}  # user 4 never viewed
+    assert rows[1][2] is not None
+    assert rows[2][1] is None and rows[2][2] is None
+    assert rows[3][1] is not None and rows[3][2] is None
+    assert rows[5][1] is None and rows[5][2] is None
+
+
+SCD_ROWS = [
+    (1, _ts("2026-01-01 00:00:00"), 10, "free"),
+    (2, _ts("2026-01-02 00:00:00"), 10, "free"),  # no change — collapsed
+    (3, _ts("2026-01-03 00:00:00"), 10, "paid"),
+    (4, _ts("2026-01-04 00:00:00"), 10, "free"),
+    (5, _ts("2026-01-01 00:00:00"), 20, "paid"),
+]
+
+
+def test_scd2_history_intervals(spark):
+    df = spark.createDataFrame(SCD_ROWS, ["event_id", "ts", "user_id", "level"])
+    out = scd2_history(df, ["user_id"], "level", "ts", tiebreak_cols=["event_id"])
+    key = lambda t: (t[0], t[2])  # noqa: E731 — (user, valid_from) unique
+    rows = sorted(
+        (
+            (r["user_id"], r["level"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=key,
+    )
+    assert rows == sorted(
+        [
+            (10, "free", _ts("2026-01-01 00:00:00"), _ts("2026-01-03 00:00:00"), False),
+            (10, "paid", _ts("2026-01-03 00:00:00"), _ts("2026-01-04 00:00:00"), False),
+            (10, "free", _ts("2026-01-04 00:00:00"), None, True),
+            (20, "paid", _ts("2026-01-01 00:00:00"), None, True),
+        ],
+        key=key,
+    )
+    # intervals are half-open and contiguous per key; exactly one
+    # current row per key
+    current = [r for r in rows if r[4]]
+    assert {r[0] for r in current} == {10, 20}
+
+
+def test_quantize_int8_roundtrip(spark):
+    from data_lake_with_spark_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert rows[1]["qvec"] == [127, -64, 32, 0]  # round(0.25*127)=round(31.75)=32
+    assert abs(rows[1]["scale"] - 127.0) < 1e-6
+    # max |q| is always exactly 127 for nonzero vectors
+    assert max(abs(v) for v in rows[1]["qvec"]) == 127
+    # zero vector: NULL scale, all-zero qvec
+    assert rows[2]["scale"] is None
+    assert rows[2]["qvec"] == [0, 0, 0, 0]
+    # dequantization error bounded by 0.5/scale
+    deq = [v / rows[1]["scale"] for v in rows[1]["qvec"]]
+    for d, x in zip(deq, [1.0, -0.5, 0.25, 0.0]):
+        assert abs(d - x) <= 0.5 / rows[1]["scale"] + 1e-9
