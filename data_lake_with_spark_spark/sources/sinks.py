@@ -110,6 +110,42 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files at ``out_path`` and return
+    that file count.
+
+    The maintenance half of the lakehouse story (Delta OPTIMIZE /
+    Iceberg rewrite_data_files): streaming micro-batches, per-key
+    partitionBy dirs (etl.py:101's (year, artist_id) layout — SURVEY
+    §4), and CDC version snapshots all accrete files far smaller than
+    a scan-efficient split, and at 100 TB the open/seek overhead of
+    millions of tiny files dominates scan time. Sizing reads the
+    source's actual byte size through the Hadoop FileSystem API (no
+    row count job), and the rewrite uses ``coalesce`` — a NO-shuffle
+    narrow repack of existing partitions — not ``repartition``.
+    Writing to a fresh directory keeps the swap atomic at directory
+    granularity (same contract as lakehouse.VersionedParquetFormat);
+    readers of ``path`` are never disturbed.
+    """
+    import math
+
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n_files
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

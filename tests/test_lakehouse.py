@@ -53,6 +53,28 @@ def test_versioned_parquet_merge_upsert_roundtrip(spark, tmp_path):
     assert (tmp_path / "tbl" / "v000001").exists()
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from pathlib import Path
+
+    from data_lake_with_spark_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "packed")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(list(Path(src).glob("*.parquet"))) == 64
+
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    assert n == 1  # 10k longs is far below one 128 MB target file
+    assert len(list(Path(dst).glob("*.parquet"))) == 1
+    # lossless rewrite
+    assert (
+        spark.read.parquet(dst).agg({"id": "sum"}).collect()[0][0]
+        == 10_000 * 9_999 // 2
+    )
+    # source untouched (atomic-swap contract: caller switches readers)
+    assert len(list(Path(src).glob("*.parquet"))) == 64
+
+
 @pytest.mark.skipif(
     not DeltaFormat.available(), reason="delta-spark jars not installed"
 )

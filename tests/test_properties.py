@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): randomized invariants the
+operator algebra must hold for ANY input, complementing the
+fixed-fixture unit tests and the DuckDB oracle. Example counts are
+kept small because every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_int8_invariants(spark, vec):
+    """For every vector: |q_i| ≤ 127; nonzero vectors hit exactly 127
+    at the max coordinate; dequantization error ≤ half a quantization
+    step per element."""
+    from data_lake_with_spark_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = quantize_int8(emb).collect()[0]
+    q, scale = row["qvec"], row["scale"]
+    assert all(abs(v) <= 127 for v in q)
+    if any(x != 0 for x in vec):
+        assert max(abs(v) for v in q) == 127
+        step = 1.0 / scale
+        for qi, xi in zip(q, vec):
+            assert abs(qi * step - xi) <= step / 2 + 1e-9 * abs(xi)
+    else:
+        assert scale is None and all(v == 0 for v in q)
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 9), st.integers(-100, 100), max_size=8
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 9), st.integers(-100, 100), max_size=8
+    ),
+)
+def test_upsert_snapshot_algebra(spark, base, updates):
+    """MERGE laws for any key overlap: result keys = base ∪ updates;
+    update values win on overlap; applying the same updates twice is
+    idempotent."""
+    from data_lake_with_spark_spark.operators.relational import upsert_snapshot
+
+    schema = "k bigint, v bigint"
+    b = spark.createDataFrame(list(base.items()), schema)
+    u = spark.createDataFrame(list(updates.items()), schema)
+    once = upsert_snapshot(b, u, ["k"])
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {**base, **updates}
+    twice = upsert_snapshot(once, u, ["k"])
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user
+            st.integers(0, 50),  # ts offset (seconds)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_funnel_counts_monotone_nonincreasing(spark, events):
+    """Down any funnel over any event log, stage counts never
+    increase, and stage counts never exceed the distinct-user count."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        funnel_stages,
+    )
+
+    rows = [
+        (i, f"2026-01-01 00:00:{t:02d}.{i:06d}", u, typ)
+        for i, (u, t, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    out = sorted(
+        (r["stage_idx"], r["n_users"])
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    )
+    counts = [c for _, c in out]
+    assert counts == sorted(counts, reverse=True)
+    n_users = len({u for u, _, _ in events})
+    assert all(c <= n_users for c in counts)
