@@ -2736,6 +2736,69 @@ FROM s
 """
 
 
+def q98_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profiling aggregates per return flag: Pearson
+    correlation, sample covariance, and sample stddev — the
+    column-relationship half of profiling (q15 covers per-column
+    facts). Single partial-aggregable pass; all moments combine
+    map-side, so the shuffle carries one row per (flag, moment)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "covar_qty_disc"
+            ),
+            F.round(F.stddev_samp("l_tax"), 6).alias("std_tax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_Q98 = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       ROUND(stddev_samp(l_tax), 6) AS std_tax,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov-chain counts):
+    each user's event sequence ordered by (ts, event_id), pairs of
+    consecutive types counted corpus-wide — the sequence-analytics
+    primitive behind next-action models and anomaly scoring. One
+    window pass (lead over the user partitioning) + one count
+    aggregate; no self-join of the event log."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+O_Q99 = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT from_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2836,6 +2899,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q95_funnel_conversion": (q95_funnel_conversion, O_Q95),
     "q96_scd2_user_state": (q96_scd2_user_state, O_Q96),
     "q97_quantize_embeddings": (q97_quantize_embeddings, O_Q97),
+    "q98_column_correlations": (q98_column_correlations, O_Q98),
+    "q99_event_transitions": (q99_event_transitions, O_Q99),
 }
 
 
