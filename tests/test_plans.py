@@ -110,6 +110,32 @@ def test_packing_single_window_shuffle(spark, sf_dir):
     assert tree.count("Exchange") == 1
 
 
+def test_quantization_is_shuffle_free_scan_projection(spark, sf_dir):
+    """quantize_int8 claims to fuse into the scan: pure array
+    expressions, no Exchange, no Python stage."""
+    p = plan(spark, sf_dir, "q97_quantize_embeddings")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_transition_matrix_two_exchanges(spark, sf_dir):
+    """q99: one window shuffle on the user key + one partial-combined
+    count shuffle on the pair — nothing else (no event-log
+    self-join)."""
+    p = plan(spark, sf_dir, "q99_event_transitions")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 2
+    assert "partial_count" in p
+
+
+def test_funnel_and_scd2_stay_jvm_side(spark, sf_dir):
+    for name in ("q95_funnel_conversion", "q96_scd2_user_state"):
+        p = plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Big-big joins where one side carries a selective filter should
     get a runtime bloom filter injected on the other side (Spark's
