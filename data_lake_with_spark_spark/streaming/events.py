@@ -98,6 +98,60 @@ def session_counts(
     )
 
 
+def stream_stream_conversions(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every ``type_b`` event matched to the
+    same user's earlier ``type_a`` events within ``within`` — the
+    watermarked conversion-attribution join (view→purchase within an
+    hour), the one streaming join shape the rest of this module
+    doesn't cover (windowed agg / session / stream-static / dedup /
+    CDC / custom state).
+
+    Both sides carry watermarks and the join condition bounds b.ts to
+    ``[a.ts, a.ts + within]``, so Spark can compute a state watermark
+    and EVICT buffered rows — without the time bound a stream-stream
+    join must hold both streams forever. At 100 TB/day this is the
+    difference between bounded per-key state and an unbounded join
+    buffer. Equi-key: user_id (state partitioned by it).
+    """
+    a = (
+        events_a.where(F.col("event_type") == type_a)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_event_id"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events_b.where(F.col("event_type") == type_b)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_event_id"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a_user").alias("user_id"),
+        "a_event_id",
+        "b_event_id",
+        "a_ts",
+        "b_ts",
+    )
+
+
 def running_user_totals(events: DataFrame, timeout_ms: int = 3600_000) -> DataFrame:
     """Custom stateful operator: per-user running event count + value
     total via applyInPandasWithState (GroupState), emitting one update
