@@ -109,6 +109,26 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
         timings["star_schema_build"] = round(best, 3)
 
+    # Second flagship: the end-to-end training-data curation pipeline
+    # (quality gate -> language rebalance -> MinHash dedup -> chunk ->
+    # pack) over the documents table at the bench scale factor.
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.plans.docs_pipeline import (
+        run_pipeline as run_docs_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    best = float("inf")
+    for _rep in range(2):
+        out = tempfile.mkdtemp(prefix="dlws_bench_docs_")
+        t0 = time.time()
+        run_docs_pipeline(spark, docs, out)
+        best = min(best, time.time() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+    timings["docs_pipeline_curate"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # Driver contract: stdout carries EXACTLY ONE compact JSON line.
     # Round 1 showed the harness's stdout capture window truncates a

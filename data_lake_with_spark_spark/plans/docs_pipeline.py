@@ -1,0 +1,112 @@
+"""End-to-end training-data curation pipeline over ``documents`` —
+the LLM-corpus twin of the star-schema flagship (plans/star_schema.py).
+
+Composes the operator library into the standard pre-training data
+flow:
+
+1. **quality gate** — text.quality_score, keep docs above a floor;
+2. **language rebalance** — sampling.balance_strata downsamples every
+   language to ~the smallest one, scan-side filter, corpus never
+   shuffles;
+3. **fuzzy dedup** — dedup.minhash_dedup greedy survivor set (LSH
+   candidates only, never all-pairs);
+4. **chunking** — text.chunk_documents fixed token windows with
+   overlap, shuffle-free explode inside the scan stage;
+5. **packing** — text.pack_sequences capacity-target packs per
+   language (one window shuffle).
+
+Every stage is a pure ``DataFrame → DataFrame`` transform; the
+composition is one lazy plan per output, so Catalyst prunes columns
+across stage boundaries and the only materialization decisions are
+the caller's (``run_pipeline`` caches the survivor set — the one
+frame every downstream output shares).
+
+Scale shape end to end: quality + rebalance are scan-side
+projections/filters; dedup is the MinHash band shuffle; chunk is a
+linear explode; pack is one window. Nothing holds a document anywhere
+but inside its scan/shuffle block, so the pipeline's cost is the
+dedup shuffle plus output size — the profile a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators.dedup import minhash_dedup
+from data_lake_with_spark_spark.operators.sampling import balance_strata
+from data_lake_with_spark_spark.operators.text import (
+    chunk_documents,
+    pack_sequences,
+    quality_score,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    quality_min: float = 0.35,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    pack_budget: int = 2048,
+) -> dict[str, DataFrame]:
+    """Build every stage of the curation flow lazily; returns the
+    stage map (``kept`` → ``balanced`` → ``survivors`` → ``chunks`` →
+    ``packed``)."""
+    base_cols = docs.columns
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality") >= quality_min)
+        .select(*base_cols)
+    )
+    balanced = balance_strata(kept, "lang", F.col("doc_id").cast("string"))
+    survivors = minhash_dedup(balanced)
+    chunks = chunk_documents(
+        survivors, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    # chunking projects to (doc_id, chunk…); re-attach the language for
+    # per-language packing — co-keyed join on the doc id
+    chunks_lang = chunks.join(
+        survivors.select("doc_id", "lang"), on="doc_id"
+    ).withColumn(
+        # unique orderable chunk key (chunk_id is 1-based and bounded
+        # by tokens/stride, far below 1e6)
+        "chunk_uid",
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).cast("bigint"),
+    )
+    packed = pack_sequences(
+        chunks_lang,
+        budget=pack_budget,
+        partition_col="lang",
+        id_col="chunk_uid",
+        text_col="chunk_text",
+    )
+    return {
+        "kept": kept,
+        "balanced": balanced,
+        "survivors": survivors,
+        "chunks": chunks,
+        "packed": packed,
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """Materialize the curation flow: caches the survivor set (shared
+    by the chunk and pack sinks), writes survivors/chunks/packed as
+    parquet, returns the stage map."""
+    stages = curate_documents(docs, **kwargs)
+    stages["survivors"].cache()
+    try:
+        for name in ("survivors", "chunks", "packed"):
+            stages[name].write.mode("overwrite").parquet(
+                os.path.join(out_dir, name)
+            )
+    finally:
+        stages["survivors"].unpersist()
+    return stages
