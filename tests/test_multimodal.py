@@ -32,6 +32,82 @@ def test_resize_images_filters_and_reshapes(spark):
         assert r["meta_width"] == 4 and r["meta_height"] == 4
 
 
+def _ppm(w, h, pixels):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _bmp24(w, h, rows_rgb):
+    """Minimal uncompressed 24-bit BMP: bottom-up rows, 4-byte padded."""
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)  # BGR on disk
+        body += line.ljust(stride, b"\x00")
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def test_decode_image_real_ppm_and_bmp():
+    import numpy as np
+
+    ppm = _ppm(2, 2, [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    img = M.decode_image(ppm)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[1, 1].tolist() == [100, 110, 120]
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 9, 9)]]
+    bimg = M.decode_image(_bmp24(2, 2, rows))
+    assert bimg.shape == (2, 2, 3)
+    assert bimg[0, 0].tolist() == [255, 0, 0]  # top-left restored (RGB)
+    assert bimg[1, 1].tolist() == [9, 9, 9]
+    # round-trip through the PPM encoder
+    assert np.array_equal(M.decode_image(M.encode_ppm(bimg)), bimg)
+    # non-images stay on the stub path
+    assert M.decode_image(b"\xff\xd8\xff JPEG-ish garbage....") is None
+
+
+def test_extract_features_uses_real_pixels_for_ppm(spark):
+    ppm = _ppm(2, 2, [0, 0, 0, 0, 0, 0, 255, 255, 255, 255, 255, 255])
+    rows = [(9, "image", "image/x-portable-pixmap", ppm, 2, 2, None)]
+    feats = M.extract_features(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    ).collect()[0]
+    # pixel stats, not byte stats of the header+payload
+    assert feats["feat_mean"] == 127.5
+    assert feats["feat_std"] == 127.5
+
+
+def test_resize_images_real_nearest_neighbor_for_ppm(spark):
+    # 2x2 quadrant image upscaled to 4x4: each quadrant becomes 2x2
+    ppm = _ppm(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    rows = [(9, "image", "image/x-portable-pixmap", ppm, 2, 2, None)]
+    out = M.resize_images(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA), 4, 4
+    ).collect()[0]
+    img = M.decode_image(out["payload"])
+    assert img.shape == (4, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 3].tolist() == [0, 255, 0]
+    assert img[3, 0].tolist() == [0, 0, 255]
+    assert img[3, 3].tolist() == [9, 9, 9]
+    assert out["meta_width"] == 4 and out["meta_height"] == 4
+
+
 def test_sample_frames_fanout(spark):
     frames = M.sample_frames(_assets(spark), every_s=1.0).collect()
     # 3.5s video at 1 fps → 3 frames
