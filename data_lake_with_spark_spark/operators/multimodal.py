@@ -126,6 +126,53 @@ def decode_image(payload: bytes):
     return None
 
 
+def decode_audio(payload: bytes):
+    """REAL audio decode for PCM WAV (RIFF, 8/16-bit integer PCM) in
+    pure numpy: returns ``(samples, sample_rate)`` with samples as a
+    float64 array in [-1, 1] (channels interleaved-averaged to mono),
+    or ``None`` for non-WAV / compressed payloads (those stay on the
+    byte-stats stub).
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks pad to even
+        if fmt is None or data is None:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or n_channels < 1:  # integer PCM only
+            return None
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:  # 8-bit WAV is unsigned
+            raw = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            return None
+        n = (len(raw) // n_channels) * n_channels
+        mono = raw[:n].reshape(-1, n_channels).mean(axis=1)
+        return mono, sample_rate
+    except (ValueError, IndexError):
+        return None
+
+
 def encode_ppm(img) -> bytes:
     """Encode an (H, W, 3) uint8 array as binary PPM — the lossless
     uncompressed round-trip target for :func:`resize_images`."""
@@ -134,8 +181,9 @@ def encode_ppm(img) -> bytes:
 
 
 def _decode_stub(payload: bytes) -> "tuple[float, float]":
-    """Feature kernel: REAL pixel mean/std when :func:`decode_image`
-    can parse the payload (PPM/BMP), deterministic byte-value
+    """Feature kernel: REAL pixel stats when :func:`decode_image`
+    parses the payload (PPM/BMP), REAL sample stats when
+    :func:`decode_audio` does (PCM WAV), deterministic byte-value
     mean/std otherwise (the honest stub for codec formats this
     container cannot decode)."""
     if payload is None or len(payload) == 0:
@@ -143,11 +191,14 @@ def _decode_stub(payload: bytes) -> "tuple[float, float]":
     import numpy as np
 
     img = decode_image(payload)
-    arr = (
-        img.astype(np.float64)
-        if img is not None
-        else np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    )
+    if img is not None:
+        arr = img.astype(np.float64)
+    else:
+        audio = decode_audio(payload)
+        if audio is not None and len(audio[0]) > 0:
+            arr = audio[0]
+        else:
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     return (float(arr.mean()), float(arr.std()))
 
 

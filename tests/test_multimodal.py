@@ -108,6 +108,48 @@ def test_resize_images_real_nearest_neighbor_for_ppm(spark):
     assert out["meta_width"] == 4 and out["meta_height"] == 4
 
 
+def _wav16(samples, rate=8000):
+    """Minimal mono 16-bit PCM WAV."""
+    import numpy as np
+
+    data = (np.asarray(samples, dtype=np.float64) * 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_audio_real_pcm_wav():
+    import numpy as np
+
+    wav = _wav16([0.0, 0.5, -0.5, 1.0])
+    out = M.decode_audio(wav)
+    assert out is not None
+    samples, rate = out
+    assert rate == 8000
+    assert np.allclose(samples, [0.0, 0.5, -0.5, 1.0], atol=1e-3)
+    # non-WAV payloads return None (stub path)
+    assert M.decode_audio(b"ID3\x03 mp3-ish garbage" + b"\x00" * 64) is None
+
+
+def test_extract_features_uses_real_samples_for_wav(spark):
+    wav = _wav16([0.5] * 100)
+    rows = [(8, "audio", "audio/wav", wav, None, None, 0.0125)]
+    feats = M.extract_features(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    ).collect()[0]
+    # sample stats in [-1, 1], not byte stats of the RIFF container
+    assert abs(feats["feat_mean"] - 0.5) < 1e-3
+    assert feats["feat_std"] < 1e-3
+
+
 def test_sample_frames_fanout(spark):
     frames = M.sample_frames(_assets(spark), every_s=1.0).collect()
     # 3.5s video at 1 fps → 3 frames
