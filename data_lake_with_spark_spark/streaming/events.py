@@ -288,6 +288,117 @@ def cdc_apply_stream(
     )
 
 
+DOCUMENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> DataFrame:
+    """File-source document stream with a pinned schema."""
+    return spark.readStream.schema(DOCUMENT_STREAM_SCHEMA).format(fmt).load(path)
+
+
+def fuzzy_dedup_ingest(
+    stream_docs: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+    checkpoint_dir: str | None = None,
+) -> "object":
+    """Continuous corpus ingestion with MinHash-LSH fuzzy dedup: each
+    micro-batch is deduped within itself (greedy min-id survivors,
+    dedup.minhash_dedup) and then against everything already ACCEPTED
+    — any LSH band collision with the accumulated band index drops
+    the document. Novel documents append to ``corpus_dir``; their
+    band keys append to ``index_dir``, so the index is exactly the
+    banded fingerprint of the corpus and grows linearly
+    (docs × bands rows, a few dozen bytes each).
+
+    This is the streaming twin of the batch dedup family: the
+    cross-corpus check is the same band-key equi-join LSH uses for
+    candidate pairs, but as a semi-join against a static side — no
+    pair expansion, no verify stage (band collision = drop, the
+    standard ingestion-time policy; run the batch Jaccard verify
+    offline when precision matters). At 100 TB the index side should
+    be written bucketed on ``band_key`` (sinks.write_bucketed) or
+    kept in a lakehouse table; file appends here are at-least-once
+    under task retries — production points both sinks at the
+    table-format seam (sources/lakehouse.py) for ACID appends.
+    """
+    import os
+
+    from data_lake_with_spark_spark.operators.dedup import (
+        minhash_bands,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        survivors = minhash_dedup(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            bands=bands,
+        ).cache()
+        try:
+            bnd = minhash_bands(
+                minhash_signatures(
+                    survivors, id_col, text_col, num_hashes, shingle_k
+                ),
+                id_col,
+                bands,
+                rows_per_band,
+            )
+            if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            ):
+                idx = spark.read.parquet(index_dir)
+                dup_ids = (
+                    bnd.join(idx, on=["band", "band_key"], how="left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+                novel = survivors.join(dup_ids, on=id_col, how="left_anti")
+            else:
+                novel = survivors
+            novel = novel.cache()
+            novel.write.mode("append").parquet(corpus_dir)
+            bnd.join(
+                novel.select(id_col), on=id_col, how="left_semi"
+            ).write.mode("append").parquet(index_dir)
+            novel.unpersist()
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(corpus_dir, "_checkpoints"),
+        )
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "object":

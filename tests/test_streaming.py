@@ -51,6 +51,48 @@ def test_session_counts_runs(spark, staged_stream):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_fuzzy_dedup_ingest_accepts_once_then_drops(spark, sf_dir, tmp_path):
+    """Streaming fuzzy-dedup ingestion: first pass over the corpus
+    accepts exactly the batch survivor set; re-ingesting the same
+    documents (fresh stage + checkpoint) adds nothing because every
+    doc band-collides with the accumulated index; a genuinely novel
+    document still lands."""
+    from data_lake_with_spark_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+
+    def ingest(df, tag):
+        stage = str(tmp_path / f"stage_{tag}")
+        df.coalesce(1).write.mode("overwrite").json(stage)
+        q = SE.fuzzy_dedup_ingest(
+            SE.read_document_stream(spark, stage),
+            corpus,
+            index,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(120)
+
+    ingest(docs, "first")
+    n1 = spark.read.parquet(corpus).count()
+    assert n1 == minhash_dedup(docs).count()  # == batch survivor set
+
+    ingest(docs, "again")
+    assert spark.read.parquet(corpus).count() == n1  # all dropped
+
+    novel = spark.createDataFrame(
+        [(10_000_001, "zyx wvu tsr qpo nml kji hgf edc ba unique pangramish", "en", "t")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    ingest(novel, "novel")
+    n3 = spark.read.parquet(corpus).count()
+    assert n3 == n1 + 1
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert 10_000_001 in ids
+
+
 def test_stream_stream_conversions_match_batch_interval_join(
     spark, sf_dir, staged_stream
 ):
