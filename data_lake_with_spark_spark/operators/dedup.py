@@ -863,16 +863,18 @@ def duplicated_spans(
     dominated by boilerplate.
 
     Plan: one linear per-doc rolling-window explode (no join — spans
-    come from ``text.word_ngrams``, shuffle-free), then a single
-    hash-shuffle on the span for the two aggregates. Output is bounded
-    by total corpus tokens, never corpus². At 100 TB the grouping key
-    would be ``xxhash64(span)`` (8 bytes instead of the span text);
-    the text key is kept here so the DuckDB oracle compares values.
-    Beyond-reference LLM-pipeline operator.
+    come from ``text.word_ngram_rows``, codegen'd and shuffle-free),
+    then a single hash-shuffle on the span for the two aggregates.
+    Output is bounded by total corpus tokens, never corpus². At
+    100 TB the grouping key would be ``xxhash64(span)`` (8 bytes
+    instead of the span text); the text key is kept here so the
+    DuckDB oracle compares values. Beyond-reference LLM-pipeline
+    operator.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), window)).alias("span"),
+    from data_lake_with_spark_spark.operators.text import word_ngram_rows
+
+    spans = word_ngram_rows(
+        docs, window, id_col, text_col, out_col="span"
     ).where(F.col("span") != "")
     return (
         spans.groupBy("span")

@@ -118,6 +118,32 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def word_ngram_rows(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "g",
+) -> DataFrame:
+    """Exploded ``(id, n-gram)`` rows — the shape every n-gram
+    consumer actually wants — built from a position explode +
+    ``slice`` + ``array_join``, which are scalar codegen'd
+    expressions. :func:`word_ngrams` assembles the same grams inside
+    an interpreted ``transform`` lambda; at sf0.1 this formulation is
+    ~3× faster for the contamination/repetition/span pipelines.
+    Docs shorter than ``n`` tokens produce no rows (identical to
+    exploding word_ngrams' empty array)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t")).where(
+        F.size("_t") >= n
+    )
+    starts = F.sequence(F.lit(1), F.size("_t") - (n - 1))
+    return base.select(id_col, "_t", F.explode(starts).alias("_i")).select(
+        id_col,
+        F.array_join(F.slice("_t", F.col("_i"), n), " ").alias(out_col),
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals: token count,
     distinct-token ratio, top-unigram fraction, top-bigram fraction
@@ -136,7 +162,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_unigram_n"),
     )
-    bi = df.select(id_col, F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"))
+    bi = word_ngram_rows(df, 2, id_col, text_col, out_col="bg")
     bi_top = (
         bi.groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -202,13 +228,14 @@ def ngram_contamination(
     The corpus never shuffles its text, only matched (id, gram) pairs.
     """
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        word_ngram_rows(benchmark, n, id_col, text_col)
+        .select("g")
         .where(F.col("g") != "")
         .distinct()
     )
-    corpus_grams = corpus.select(
-        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    ).where(F.col("g") != "")
+    corpus_grams = word_ngram_rows(corpus, n, id_col, text_col).where(
+        F.col("g") != ""
+    )
     # join BEFORE deduplicating: the broadcast join filters the corpus
     # gram stream map-side down to benchmark hits (rare by
     # construction), so the only shuffle is the final partial-agg
