@@ -618,6 +618,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bucket_dims: tuple[int, ...] | None = None,
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
@@ -646,7 +647,7 @@ def embedding_near_dup_pairs(
         )
         pairs = a.join(b, on="bucket", how="inner").where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cos")
+        "id_a", "id_b", F.round(cosine_expr("va", "vb", vec_dim), 6).alias("cos")
     ).where(F.col("cos") >= threshold)
 
 
