@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
-from data_lake_with_spark_spark.operators.text import fingerprint, word_ngrams
+from data_lake_with_spark_spark.operators.text import fingerprint
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

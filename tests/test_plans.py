@@ -110,6 +110,16 @@ def test_packing_single_window_shuffle(spark, sf_dir):
     assert tree.count("Exchange") == 1
 
 
+def test_ngram_pipelines_have_no_interpreted_lambdas(spark, sf_dir):
+    """The n-gram generators must be position-explode + slice/join
+    (codegen'd scalar expressions) — a `transform(...)` lambda in the
+    plan means the interpreted path crept back (3× slower measured)."""
+    for name in ("q11_repetition_stats", "q50_ngram_contamination", "q42_span_dedup"):
+        p = plan(spark, sf_dir, name)
+        assert "transform(" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
 def test_quantization_is_shuffle_free_scan_projection(spark, sf_dir):
     """quantize_int8 claims to fuse into the scan: pure array
     expressions, no Exchange, no Python stage."""
