@@ -74,10 +74,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Execution-order knob for drift diagnosis: the round-3 bench
+    # showed q73-q82 (late-position window queries) drifting
+    # +0.05-0.17s with unchanged plans. If the drift follows POSITION
+    # (session-lifetime accumulation: listeners, codegen cache, GC),
+    # reversing the order moves it to different queries; if it follows
+    # the QUERY, it's plan-real. SPARK_GRAFT_BENCH_ORDER=reverse flips
+    # the order; default (registry order) is what the driver records,
+    # so cross-round comparability is unchanged.
+    items = [(n, f) for n, f in q.queries().items() if n not in SKIP]
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        items.reverse()
+
     timings: dict[str, float] = {}
-    for name, fn in q.queries().items():
-        if name in SKIP:
-            continue
+    for name, fn in items:
         best = float("inf")
         for _rep in range(2):
             t0 = time.time()

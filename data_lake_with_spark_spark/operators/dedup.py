@@ -661,7 +661,13 @@ def token_jaccard_pairs(
     max_broadcast_docs: int = 2_000_000,
 ) -> DataFrame:
     """Word-token-set Jaccard similarity join (bag-of-words twin of
-    the char-shingle Jaccard). EXACT results (within blocks).
+    the char-shingle Jaccard). EXACT results (within blocks) on the
+    naive path; the ``prefix_filter`` path computes Jaccard over
+    60-bit md5-sliced token hashes, so exactness there is
+    probabilistic — a cross-token collision (~1e-9 at vocabulary
+    scale, birthday-bounded) could inflate one intersection count.
+    Every candidate is still verified on full (hashed) token sets;
+    only hash collisions, not filtering, can perturb a value.
 
     Two scale levers, both semantics-preserving:
 
@@ -787,7 +793,10 @@ def token_jaccard_pairs(
         # Hashed token sets for the verify intersect, built by
         # re-aggregating the already-distinct (id, th) frame — no
         # second text-split pass, and array_intersect runs on longs.
-        sets = htok.groupBy(id_col).agg(F.collect_list("th").alias("_set"))
+        # collect_set (not collect_list): distinct tokens can collide
+        # at 60 bits, and a duplicated hash in the list would skew
+        # size(_set) — the set keeps the verify side duplicate-free.
+        sets = htok.groupBy(id_col).agg(F.collect_set("th").alias("_set"))
         # Broadcast the token-set side of the verify joins when the
         # corpus is broadcastable: one row per document vs millions of
         # candidate pairs — AQE underestimates this asymmetry (the sets

@@ -104,13 +104,24 @@ def scd2_history(
     MERGE-free SCD2 derivation; at scale the only shuffle is the
     per-key sort the windows share. Ties on ``ts_col`` break on
     ``tiebreak_cols`` for deterministic output.
+
+    NULL attribute values are first-class states: the previous value
+    rides inside a lagged STRUCT (NULL only on the true first row per
+    key, even when the attribute itself is NULL) and change detection
+    is null-safe (``eqNullSafe``), so a non-null→NULL transition
+    opens a new interval and consecutive NULLs collapse — a plain
+    ``!=`` filter silently drops the former and duplicates the
+    latter.
     """
     keys = list(key_cols)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
     changes = (
-        df.withColumn("_prev", F.lag(attr_col).over(w))
-        .where(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        df.withColumn("_prev", F.lag(F.struct(F.col(attr_col).alias("v"))).over(w))
+        .where(
+            F.col("_prev").isNull()
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev.v"))
+        )
         .drop("_prev")
     )
     # same ordering as the change detection so ts ties close

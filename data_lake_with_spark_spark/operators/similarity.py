@@ -162,13 +162,17 @@ def cosine_expr(a: str, b: str, dim: int | None = None) -> Column:
     - ``dim=k``: the sums unrolled over ``element_at`` 1..k — plain
       scalar expressions, measured 3× faster on a plain 2M-pair
       join/filter at 64 dims. Caller contract: every array has
-      exactly ``k`` elements (an embedding table's fixed width);
-      shorter arrays yield NULL (element_at out of bounds) instead of
-      the fold's partial value. CAVEAT: in window-heavy plans (the
-      topk family) janino fails to compile the wide expression and
-      the interpreted fallback is SLOWER than the fold — use the
-      unrolled form only in projection/join shapes, and verify with
-      .explain that WholeStageCodegen still covers the scoring stage.
+      exactly ``k`` elements (an embedding table's fixed width).
+      The contract is ENFORCED: a non-null array whose length is not
+      ``k`` raises at runtime (``raise_error``) rather than yielding
+      a NULL that threshold filters would silently drop — a wrong
+      ``vec_dim`` surfaces as an error, not missing neighbors. NULL
+      arrays still yield NULL (outer-join semantics). CAVEAT: in
+      window-heavy plans (the topk family) janino fails to compile
+      the wide expression and the interpreted fallback is SLOWER than
+      the fold — use the unrolled form only in projection/join
+      shapes, and verify with .explain that WholeStageCodegen still
+      covers the scoring stage.
     """
     if dim is not None:
         ea = [F.element_at(F.col(a), i).cast("double") for i in range(1, dim + 1)]
@@ -179,8 +183,20 @@ def cosine_expr(a: str, b: str, dim: int | None = None) -> Column:
             na2 = na2 + ea[i] * ea[i]
             nb2 = nb2 + eb[i] * eb[i]
         na, nb = F.sqrt(na2), F.sqrt(nb2)
-        return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(
+        sized_ok = (
+            (F.col(a).isNull() | (F.size(F.col(a)) == dim))
+            & (F.col(b).isNull() | (F.size(F.col(b)) == dim))
+        )
+        cos = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(
             F.lit(None).cast("double")
+        )
+        return F.when(sized_ok, cos).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"cosine_expr(dim={dim}): array length != {dim} — "
+                    "wrong vec_dim would silently drop pairs"
+                )
+            ).cast("double")
         )
     dot = F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -439,13 +455,24 @@ def quantize_int8(
     no shuffle; fuses into the scan. Emits ``(id, scale, qvec)`` with
     ``scale`` kept so consumers can dequantize (``x ≈ q / scale``).
     Zero vectors get scale NULL and an all-zero ``qvec``.
+
+    The published ``scale`` is the exact ``127/amax`` used to compute
+    ``qvec`` — NOT a display-rounded copy — so the dequantization
+    contract ``|q_i/scale − x_i| ≤ (1/scale)/2`` holds by
+    construction of ``round``. (A 6-dp-rounded scale next to a
+    qvec computed from the unrounded one violated that bound for
+    large-magnitude vectors; caught by
+    tests/test_properties.py::test_quantize_int8_invariants.)
+    ``amax`` is a single deterministic max and the division is one
+    IEEE op, so the unrounded double is bit-identical between Spark
+    and the DuckDB oracle — no canonicalization rounding needed.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
     scale = F.when(amax > 0, F.lit(127.0) / amax)
     return emb.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
+        scale.alias("scale"),
         F.transform(
             v,
             lambda x: F.coalesce(

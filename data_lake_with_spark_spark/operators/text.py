@@ -226,9 +226,22 @@ def ngram_contamination(
     KBs-MBs) → distinct + broadcast; the corpus side is a linear
     explode with the join done map-side, then one groupBy(doc) count.
     The corpus never shuffles its text, only matched (id, gram) pairs.
+
+    The benchmark frame only needs ``text_col`` — eval suites often
+    carry bare text; a synthetic row id is attached for the gram
+    explode and immediately projected away (``id_col`` applies to the
+    corpus side only).
     """
     bench_grams = (
-        word_ngram_rows(benchmark, n, id_col, text_col)
+        word_ngram_rows(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bench_id"),
+                F.col(text_col),
+            ),
+            n,
+            "_bench_id",
+            text_col,
+        )
         .select("g")
         .where(F.col("g") != "")
         .distinct()

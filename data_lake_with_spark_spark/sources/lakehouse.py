@@ -29,11 +29,42 @@ slots in the same way (three methods against the ``spark.table`` /
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through Hadoop's pluggable FS —
+    resolves local paths, ``s3a://``, ``hdfs://``, ``abfss://`` etc.
+    identically, so the listing below works wherever Spark can read.
+    Driver-local ``glob``/``os.listdir`` would silently return nothing
+    for an object-store URI (and a merge would then drop the base
+    rows), which is why all snapshot discovery goes through here."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def list_versions(spark: SparkSession, path: str) -> list[str]:
+    """Sorted ``v*`` snapshot directory URIs under ``path`` (possibly
+    empty), listed through the Hadoop FileSystem API."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        if status.isDirectory() and p.getName().startswith("v"):
+            out.append(p.toString())
+    return sorted(out)
 
 
 class VersionedParquetFormat:
@@ -48,7 +79,7 @@ class VersionedParquetFormat:
     @staticmethod
     def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
         """Latest committed snapshot, or None before the first commit."""
-        versions = sorted(_glob.glob(os.path.join(path, "v*")))
+        versions = list_versions(spark, path)
         if not versions:
             return None
         return spark.read.parquet(versions[-1])
@@ -98,7 +129,7 @@ class DeltaFormat:
 
     @staticmethod
     def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-        if not os.path.exists(os.path.join(path, "_delta_log")):
+        if not _exists(spark, os.path.join(path, "_delta_log")):
             return None
         return spark.read.format("delta").load(path)
 
@@ -112,7 +143,7 @@ class DeltaFormat:
     ) -> None:
         from delta.tables import DeltaTable
 
-        if not os.path.exists(os.path.join(path, "_delta_log")):
+        if not _exists(spark, os.path.join(path, "_delta_log")):
             updates.write.format("delta").mode("overwrite").save(path)
             return
         target = DeltaTable.forPath(spark, path)

@@ -367,8 +367,17 @@ def fuzzy_dedup_ingest(
                 bands,
                 rows_per_band,
             )
-            if os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
+            # index presence probed through the Hadoop FileSystem API
+            # (not os.listdir) so the ingest works against s3a://hdfs://
+            # index locations, matching the lakehouse seam's contract
+            from data_lake_with_spark_spark.sources.lakehouse import (
+                _hadoop_fs,
+            )
+
+            fs, hpath = _hadoop_fs(spark, index_dir)
+            if fs.exists(hpath) and any(
+                s.getPath().getName().endswith(".parquet")
+                for s in fs.listStatus(hpath)
             ):
                 idx = spark.read.parquet(index_dir)
                 dup_ids = (

@@ -107,6 +107,40 @@ def test_scd2_history_intervals(spark):
     assert {r[0] for r in current} == {10, 20}
 
 
+def test_scd2_history_null_attribute_transitions(spark):
+    """NULL is a real state: paid→NULL opens an interval, NULL→NULL
+    collapses, NULL→free opens another, and a key that starts at NULL
+    still gets its first interval."""
+    rows_in = [
+        (1, _ts("2026-01-01 00:00:00"), 10, "paid"),
+        (2, _ts("2026-01-02 00:00:00"), 10, None),  # paid → NULL: change
+        (3, _ts("2026-01-03 00:00:00"), 10, None),  # NULL → NULL: collapse
+        (4, _ts("2026-01-04 00:00:00"), 10, "free"),  # NULL → free: change
+        (5, _ts("2026-01-01 00:00:00"), 30, None),  # first row, NULL attr
+        (6, _ts("2026-01-02 00:00:00"), 30, None),  # collapse
+    ]
+    schema = "event_id int, ts timestamp, user_id int, level string"
+    df = spark.createDataFrame(rows_in, schema)
+    out = scd2_history(df, ["user_id"], "level", "ts", tiebreak_cols=["event_id"])
+    key = lambda t: (t[0], t[2])  # noqa: E731
+    rows = sorted(
+        (
+            (r["user_id"], r["level"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=key,
+    )
+    assert rows == sorted(
+        [
+            (10, "paid", _ts("2026-01-01 00:00:00"), _ts("2026-01-02 00:00:00"), False),
+            (10, None, _ts("2026-01-02 00:00:00"), _ts("2026-01-04 00:00:00"), False),
+            (10, "free", _ts("2026-01-04 00:00:00"), None, True),
+            (30, None, _ts("2026-01-01 00:00:00"), None, True),
+        ],
+        key=key,
+    )
+
+
 def test_quantize_int8_roundtrip(spark):
     from data_lake_with_spark_spark.operators.similarity import quantize_int8
 

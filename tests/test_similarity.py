@@ -28,6 +28,28 @@ def test_cosine_expr_matches_math(spark):
     assert abs(got - expect) < 1e-12
 
 
+def test_cosine_expr_dim_matches_fold_and_enforces_width(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"]
+    )
+    got = df.select(similarity.cosine_expr("a", "b", dim=3).alias("c")).first()["c"]
+    expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - expect) < 1e-12
+    # NULL arrays keep outer-join semantics (NULL result, no error)
+    nul = spark.createDataFrame(
+        [(None, [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    assert (
+        nul.select(similarity.cosine_expr("a", "b", dim=3).alias("c")).first()["c"]
+        is None
+    )
+    # a wrong vec_dim raises instead of silently yielding NULL
+    with pytest.raises(Exception, match="array length"):
+        df.select(similarity.cosine_expr("a", "b", dim=4).alias("c")).collect()
+
+
 def test_brute_force_topk_ranks_correctly(spark):
     emb = _emb(spark)
     out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3)

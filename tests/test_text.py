@@ -98,6 +98,20 @@ def test_ngram_contamination_counts_shared(spark):
     assert out == {1: 1}
 
 
+def test_ngram_contamination_accepts_text_only_benchmark(spark):
+    """Eval suites often carry bare text — the benchmark frame must
+    not be required to have id_col."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("b c d q r",)], ["text"])
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in text.ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert out == {1: 1}
+
+
 def test_fingerprint_invariant_to_case_punct_whitespace(spark):
     df = spark.createDataFrame(
         [
