@@ -39,10 +39,11 @@ SKIP = {
     "q64_frame_sampling",
     "q70_streaming_enriched",
     # same semantics as q33_dedup_clusters (which IS benched) through
-    # the iterative distributed CC branch: on local mode its cost is
-    # pure per-round scheduler latency, which measures the harness,
-    # not the plan.
+    # the iterative distributed CC branches: on local mode their cost
+    # is pure per-round scheduler latency, which measures the
+    # harness, not the plan.
     "q91_dedup_clusters_distributed",
+    "q100_dedup_clusters_two_phase",
 }
 
 

@@ -2147,6 +2147,24 @@ def q91_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q100_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering through connected_components' THIRD regime:
+    alternating large-star/small-star (Kiveris et al. SoCC'14,
+    dedup._cc_two_phase) — same semantics and oracle as
+    q33/q91, value-level proof that the web-scale algorithm (pure
+    per-neighborhood edge transforms, no global label self-join)
+    reaches the same transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_star_edges(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+    return dedup.connected_components(
+        d.select("doc_id"), edges, collect_threshold=0, algorithm="two_phase"
+    ).select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
 def q92_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard join via PPJoin prefix filtering (Xiao et
     al., WWW'08) — the 100 TB path for exact token-Jaccard:
@@ -2903,6 +2921,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q97_quantize_embeddings": (q97_quantize_embeddings, O_Q97),
     "q98_column_correlations": (q98_column_correlations, O_Q98),
     "q99_event_transitions": (q99_event_transitions, O_Q99),
+    "q100_dedup_clusters_two_phase": (q100_dedup_clusters_two_phase, O_Q33),
 }
 
 

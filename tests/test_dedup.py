@@ -116,10 +116,17 @@ def test_star_edges_same_components_as_pairs(spark):
     assert stars.count() <= pairs.count()
 
 
-@pytest.mark.parametrize("collect_threshold", [2_000_000, 0])
-def test_connected_components_transitive_chain(spark, collect_threshold):
-    # both regimes: driver union-find (threshold covers the graph) and
-    # the distributed min-label loop (threshold=0 forces it)
+@pytest.mark.parametrize(
+    ("collect_threshold", "algorithm"),
+    [
+        (2_000_000, "pointer_jump"),  # driver union-find regime
+        (0, "pointer_jump"),  # distributed min-label loop
+        (0, "two_phase"),  # large-star/small-star (Kiveris et al.)
+    ],
+)
+def test_connected_components_transitive_chain(
+    spark, collect_threshold, algorithm
+):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     # chain 1-2-3, pair 4-5, singleton 6: greedy drop-lower-id would
     # miss that 3 belongs with 1; CC must label all of 1,2,3 with 1
@@ -129,10 +136,35 @@ def test_connected_components_transitive_chain(spark, collect_threshold):
     out = {
         r["id"]: r["cluster"]
         for r in connected_components(
-            nodes, edges, collect_threshold=collect_threshold
+            nodes, edges, collect_threshold=collect_threshold, algorithm=algorithm
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+@pytest.mark.parametrize("algorithm", ["pointer_jump", "two_phase"])
+def test_connected_components_adversarial_chains(spark, algorithm):
+    """Both distributed regimes on shapes that stress convergence:
+    a long descending-id chain (worst case for min propagation — the
+    label must travel the full diameter), a star rooted at its max
+    id, and two components sharing no ids."""
+    n = 24
+    chain = [(i, i + 1) for i in range(100, 100 + n)]  # 100..124
+    star = [(50, x) for x in (40, 41, 42, 43)]  # root has larger id
+    edges = spark.createDataFrame(chain + star, ["id_a", "id_b"])
+    node_ids = sorted({x for e in chain + star for x in e})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+    from data_lake_with_spark_spark.operators.dedup import connected_components
+
+    out = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            nodes, edges, collect_threshold=0, algorithm=algorithm
+        ).collect()
+    }
+    expect = {i: 100 for i in range(100, 100 + n + 1)}
+    expect.update({50: 40, 40: 40, 41: 40, 42: 40, 43: 40})
+    assert out == expect
 
 
 def test_duplicated_spans(spark):

@@ -50,6 +50,54 @@ def test_cosine_expr_dim_matches_fold_and_enforces_width(spark):
         df.select(similarity.cosine_expr("a", "b", dim=4).alias("c")).collect()
 
 
+def test_ann_recall_vs_exact_baseline(spark, sf_dir):
+    """Approximation QUALITY pin (not just determinism): recall@5 of
+    the approximate ANN paths against the exact brute-force baseline
+    on the 500-vector fixture corpus.
+
+    - IVF: recall grows monotonically with nprobe and reaches 1.0 at
+      nprobe = n_centroids (probing every inverted list IS the exact
+      search) — the knob users actually turn at 100 TB, pinned here
+      so a refactor can't silently degrade it. The shipped q13
+      config (centroid_mod=50, nprobe=4) floors at 0.6.
+    - sign-LSH: recall shrinks as bucket bits are added (selectivity/
+      recall tradeoff); the 1-bit bucketing floors at 0.6 on this
+      corpus. The shipped 8-bit q27 config trades recall for a
+      256-way partition prune — that tradeoff is the documented
+      point, not a bug, but it must stay visible in a test.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    assert len(exact) == 50
+
+    def recall(approx_rows):
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+        return len(got & exact) / len(exact)
+
+    ivf_recalls = [
+        recall(
+            similarity.ivf_topk(
+                emb, q, k=5, centroid_mod=50, nprobe=n
+            ).collect()
+        )
+        for n in (2, 4, 10)
+    ]
+    assert ivf_recalls == sorted(ivf_recalls)  # monotone in nprobe
+    assert ivf_recalls[1] >= 0.6  # shipped q13 config
+    assert ivf_recalls[-1] == 1.0  # exhaustive probe == exact
+
+    lsh_recalls = [
+        recall(similarity.bucketed_topk(emb, q, k=5, dims=d).collect())
+        for d in ((1,), (1, 9), (1, 9, 17, 25))
+    ]
+    assert lsh_recalls == sorted(lsh_recalls, reverse=True)
+    assert lsh_recalls[0] >= 0.6  # 1-bit bucketing floor
+
+
 def test_brute_force_topk_ranks_correctly(spark):
     emb = _emb(spark)
     out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
