@@ -1891,7 +1891,10 @@ FROM customer LEFT JOIN sp ON c_custkey = o_custkey
 def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream broadcast-enriched with
     the customer dimension per micro-batch, then windowed counts per
-    market segment. No oracle (streaming; driver rows-only)."""
+    market segment. No oracle (streaming; driver rows-only) — but
+    value-verified in tests: full (window, segment) -> count equality
+    against the batch join twin
+    (test_streaming.test_enriched_windowed_counts_match_batch)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (
@@ -2321,8 +2324,10 @@ def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (streaming/events.dedup_stream):
     the events table is staged TWICE into the file stream (simulating
     at-least-once redelivery); watermarked dropDuplicates on event_id
-    collapses the duplicates. No oracle (streaming; rows-only — the
-    row count equals the batch-distinct count, asserted in tests)."""
+    collapses the duplicates. No oracle (streaming; rows-only) — but
+    value-verified in tests: the surviving event_id SET equals the
+    batch-distinct set with no survivor duplicated
+    (test_streaming.test_dedup_stream_collapses_redelivery)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (

@@ -114,3 +114,25 @@ def test_upsert_snapshot_update_insert_carryover(spark):
         3: ("c", 30.0),   # carryover
         4: ("d", 40.0),   # insert
     }
+
+
+def test_approx_count_distinct_accuracy_pin(spark):
+    """Approximation-quality pin for the HLL++ sketch family (q53):
+    at 50k true cardinality per group — dense-mode HLL, where error
+    is real — the rsd=0.02 estimate stays within 3x the requested
+    relative standard deviation. Deterministic for fixed input (HLL
+    hashing is seedless), so a Spark upgrade or a q53 refactor that
+    degrades sketch precision fails here, the same way the ANN
+    family's recall test pins IVF/LSH quality. Measured errors on
+    this input: 1.3-1.7%."""
+    df = spark.range(200_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("u")
+    )
+    rows = df.groupBy("g").agg(
+        F.approx_count_distinct("u", rsd=0.02).alias("approx"),
+        F.count_distinct("u").alias("exact"),
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
+        assert rel_err <= 0.06, (r["g"], r["exact"], r["approx"])

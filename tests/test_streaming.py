@@ -43,6 +43,39 @@ def test_windowed_counts_match_batch(spark, sf_dir, staged_stream):
         assert got_map[(r["window_start"], r["event_type"])] == r["n"]
 
 
+def test_enriched_windowed_counts_match_batch(spark, sf_dir, staged_stream):
+    """q70's operator (stream-static broadcast join + windowed agg)
+    must produce EXACTLY the batch join's per-(window, segment)
+    counts — full value equality, not rows-only."""
+    stream = SE.read_event_stream(spark, staged_stream)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    _run(
+        SE.enriched_windowed_counts(
+            stream, dim, "user_id", "c_custkey", "c_mktsegment"
+        ),
+        "t_enriched",
+        mode="complete",
+    )
+    got = {
+        (r["window_start"], r["c_mktsegment"]): r["n"]
+        for r in spark.table("t_enriched").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, on=F.col("user_id") == F.col("c_custkey"), how="inner")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expect = {
+        (r["window_start"], r["c_mktsegment"]): r["n"] for r in batch.collect()
+    }
+    assert got == expect
+
+
 def test_session_counts_runs(spark, staged_stream):
     stream = SE.read_event_stream(spark, staged_stream)
     _run(SE.session_counts(stream, gap="30 minutes"), "t_sessions", mode="complete")
@@ -147,8 +180,19 @@ def test_dedup_stream_collapses_redelivery(spark, sf_dir, staged_stream, tmp_pat
     df.coalesce(2).write.mode("append").json(stage)
     stream = SE.read_event_stream(spark, stage)
     _run(SE.dedup_stream(stream, keys=("event_id",)), "t_dedup", mode="append")
-    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
-    assert spark.table("t_dedup").count() == n_distinct
+    # full value equality with the batch twin, not just the count:
+    # exactly one surviving row per event_id, with the id set equal to
+    # the batch-distinct id set
+    got_ids = [r["event_id"] for r in spark.table("t_dedup").collect()]
+    exp_ids = {
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .distinct()
+        .collect()
+    }
+    assert len(got_ids) == len(set(got_ids)) == len(exp_ids)
+    assert set(got_ids) == exp_ids
 
 
 def test_running_user_totals_stateful(spark, sf_dir, staged_stream):
