@@ -83,6 +83,16 @@ def main() -> None:
     # the QUERY, it's plan-real. SPARK_GRAFT_BENCH_ORDER=reverse flips
     # the order; default (registry order) is what the driver records,
     # so cross-round comparability is unchanged.
+    #
+    # MEASURED (round 4, sf0.1, quiet box, forward vs reverse): the
+    # accumulation hypothesis is REFUTED — queries moved to LATE
+    # positions got FASTER (q01-q08 run last in reverse: -0.02..-0.23s
+    # each; warmer JIT/page cache), and q73-q82 run first in reverse
+    # stayed flat (+0.03..0.10). Per-position effects are small and
+    # favor later slots; meanwhile whole-run totals varied 64.1 vs
+    # 60.0s (6%) between back-to-back runs. The r2->r3 window-query
+    # drift (~0.8s summed) is therefore environmental shared-box
+    # noise, well inside run-to-run variance — watch, don't chase.
     items = [(n, f) for n, f in q.queries().items() if n not in SKIP]
     if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
         items.reverse()

@@ -66,3 +66,41 @@ def summarize(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("_p")).select("_p.*")
+
+
+def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Data-quality expectations audit (the Deequ / Delta-constraints
+    / dbt-test shape a production lake runs before publishing a
+    table): ``rules`` maps rule name -> boolean Column; returns one
+    row per rule — ``(rule, n_rows, n_violations, violation_rate)``.
+
+    A row VIOLATES a rule unless the predicate is literally TRUE — a
+    NULL check result counts as a violation (an unverifiable row is
+    not a verified one; same convention as SQL CHECK constraints
+    rejecting unknown on write... inverted: we audit, not reject).
+
+    Scale shape: all rules evaluate in ONE partial-aggregable pass —
+    per-rule violation counts combine map-side, the shuffle carries a
+    single row of counters, and the per-rule explode happens after
+    aggregation (cost independent of table size). Adding a rule adds
+    a counter, not a scan. No oracle-visible nondeterminism: counts
+    only.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names = list(rules)
+    for i, name in enumerate(names):
+        cond = rules[name]
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(f"_v{i}")
+        )
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v{i}").alias("n_violations"),
+            F.round(F.col(f"_v{i}") / F.col("_n"), 6).alias("violation_rate"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_e")).select("_e.*")

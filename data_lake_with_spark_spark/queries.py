@@ -2168,6 +2168,45 @@ def q100_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q101_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations audit (profile.check_expectations —
+    the Deequ/Delta-constraints publish gate): five CHECK-style rules
+    over lineitem evaluated in ONE partial-aggregable pass; one row
+    per rule with violation counts and rate. NULL predicate results
+    count as violations (unverifiable != verified)."""
+    from data_lake_with_spark_spark.operators.profile import check_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_expectations(
+        li,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "flag_known": F.col("l_returnflag").isin("A", "N", "R"),
+            "discount_max_5pct": F.col("l_discount") <= 0.05,
+            "tax_nonzero": F.col("l_tax") > 0,
+            "price_positive": F.col("l_extendedprice") > 0,
+        },
+    )
+
+
+_O_Q101_RULES = (
+    ("qty_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("flag_known", "l_returnflag IN ('A', 'N', 'R')"),
+    ("discount_max_5pct", "l_discount <= 0.05"),
+    ("tax_nonzero", "l_tax > 0"),
+    ("price_positive", "l_extendedprice > 0"),
+)
+
+O_Q101 = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS rule, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 END) AS n_violations,
+       ROUND(COUNT(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 END)
+             / COUNT(*), 6) AS violation_rate
+FROM lineitem"""
+    for name, cond in _O_Q101_RULES
+)
+
+
 def q92_token_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard join via PPJoin prefix filtering (Xiao et
     al., WWW'08) — the 100 TB path for exact token-Jaccard:
@@ -2927,6 +2966,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q98_column_correlations": (q98_column_correlations, O_Q98),
     "q99_event_transitions": (q99_event_transitions, O_Q99),
     "q100_dedup_clusters_two_phase": (q100_dedup_clusters_two_phase, O_Q33),
+    "q101_data_quality": (q101_data_quality, O_Q101),
 }
 
 

@@ -108,6 +108,44 @@ class VersionedParquetFormat:
             os.path.join(path, f"v{version:06d}")
         )
 
+    @staticmethod
+    def delete_keys(
+        spark: SparkSession,
+        path: str,
+        tombstones: DataFrame,
+        keys: Sequence[str],
+        version: int,
+    ) -> None:
+        """GDPR-style erasure: write a new snapshot version without
+        any row matching a tombstone key (right-to-be-forgotten /
+        opt-out removal — the deletion half of the MERGE seam).
+
+        One left_anti join on the key: the snapshot side stays
+        hash-partitioned on its key, and AQE broadcasts the tombstone
+        side when it is small (the usual case — deletion lists are
+        KBs against a 100 TB table), so at scale this is a map-side
+        filter over the snapshot scan, never a shuffle of the table.
+        Writing a fresh immutable version keeps readers consistent
+        and leaves prior versions for audit until compaction/vacuum
+        removes them (real erasure compliance must also expire old
+        versions — same lifecycle as Delta VACUUM).
+
+        No-op (still writes the new version) when the table is empty;
+        raises if no snapshot exists, since deleting from nothing is
+        almost certainly a caller bug (wrong path).
+        """
+        base = VersionedParquetFormat.read_snapshot(spark, path)
+        if base is None:
+            raise ValueError(
+                f"delete_keys: no snapshot at {path!r} — nothing to delete from"
+            )
+        kept = base.join(
+            tombstones.select(*keys).distinct(), on=list(keys), how="left_anti"
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(path, f"v{version:06d}")
+        )
+
 
 class DeltaFormat:
     """Real ACID MERGE through delta-spark, when its jars exist."""
@@ -153,6 +191,32 @@ class DeltaFormat:
             .merge(updates.alias("s"), cond)
             .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    @staticmethod
+    def delete_keys(
+        spark: SparkSession,
+        path: str,
+        tombstones: DataFrame,
+        keys: Sequence[str],
+        version: int,  # unused: Delta's log numbers commits itself
+    ) -> None:
+        """Erasure through a real ACID MERGE-delete: matched rows are
+        removed in-place in the Delta log (plus VACUUM for physical
+        file removal, which the caller schedules)."""
+        from delta.tables import DeltaTable
+
+        if not _exists(spark, os.path.join(path, "_delta_log")):
+            raise ValueError(
+                f"delete_keys: no Delta table at {path!r} — nothing to delete from"
+            )
+        target = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        (
+            target.alias("t")
+            .merge(tombstones.select(*keys).distinct().alias("s"), cond)
+            .whenMatchedDelete()
             .execute()
         )
 

@@ -87,3 +87,46 @@ def test_delta_merge_upsert_roundtrip(spark, tmp_path):
     fmt.merge_upsert(spark, path, updates, keys=["k"], version=1)
     got = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_versioned_parquet_delete_keys_erasure(spark, tmp_path):
+    fmt = VersionedParquetFormat
+    path = str(tmp_path / "tbl_del")
+    with pytest.raises(ValueError, match="nothing to delete"):
+        fmt.delete_keys(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], ["k"]),
+            keys=["k"],
+            version=0,
+        )
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "name"]
+    )
+    fmt.merge_upsert(spark, path, base, keys=["k"], version=0)
+    # tombstones: one matching twice (dedup), one absent (no-op)
+    tombs = spark.createDataFrame([(2,), (2,), (9,)], ["k"])
+    fmt.delete_keys(spark, path, tombs, keys=["k"], version=1)
+    got = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
+    assert got == {1: "a", 3: "c", 4: "d"}
+    # prior version remains for audit until compaction expires it
+    assert (tmp_path / "tbl_del" / "v000000").exists()
+    # erasure is idempotent
+    fmt.delete_keys(spark, path, tombs, keys=["k"], version=2)
+    got2 = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
+    assert got2 == got
+
+
+@pytest.mark.skipif(
+    not DeltaFormat.available(), reason="delta-spark jars not installed"
+)
+def test_delta_delete_keys_erasure(spark, tmp_path):
+    fmt = DeltaFormat
+    path = str(tmp_path / "delta_del")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    fmt.merge_upsert(spark, path, base, keys=["k"], version=0)
+    fmt.delete_keys(
+        spark, path, spark.createDataFrame([(2,)], ["k"]), keys=["k"], version=1
+    )
+    got = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
+    assert got == {1: "a"}

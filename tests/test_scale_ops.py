@@ -201,6 +201,31 @@ def test_summarize_counts_and_extremes(spark):
     assert rows["v"]["min_num"] == -1.0 and rows["v"]["max_num"] == 2.0
 
 
+def test_check_expectations_null_counts_as_violation(spark):
+    """The audit contract: a row violates unless the predicate is
+    literally TRUE — NULL check results are violations (an
+    unverifiable row is not a verified one)."""
+    from data_lake_with_spark_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 7.0)], ["k", "v"]
+    )
+    rows = {
+        r["rule"]: r
+        for r in check_expectations(
+            df,
+            {
+                "v_positive": F.col("v") > 0,  # -3 fails, NULL fails
+                "k_known": F.col("k").isin(1, 2, 3, 4),  # all pass
+            },
+        ).collect()
+    }
+    assert rows["v_positive"]["n_rows"] == 4
+    assert rows["v_positive"]["n_violations"] == 2
+    assert abs(rows["v_positive"]["violation_rate"] - 0.5) < 1e-9
+    assert rows["k_known"]["n_violations"] == 0
+
+
 def _py_morton(x: int, y: int, bits: int) -> int:
     z = 0
     for i in range(bits):
