@@ -1504,7 +1504,10 @@ FROM events GROUP BY 1, 2
 def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming native session windows (gap-based, keyed
     by user) over a staged file stream — the streaming twin of q17.
-    No oracle (streaming; driver rows-only)."""
+    No oracle (streaming; driver rows-only) — but value-verified in
+    tests: full (user, start, end, n, value) tuple equality against a
+    batch derivation of session_window's merge semantics
+    (test_streaming.test_session_counts_match_batch_sessions)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (

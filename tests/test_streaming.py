@@ -76,12 +76,54 @@ def test_enriched_windowed_counts_match_batch(spark, sf_dir, staged_stream):
     assert got == expect
 
 
-def test_session_counts_runs(spark, staged_stream):
+def test_session_counts_match_batch_sessions(spark, sf_dir, staged_stream):
+    """q57's native session windows must equal a batch derivation of
+    the SAME merge semantics — full (user, start, end, n, value)
+    tuple equality, not just rows. Note the boundary: session_window
+    merges strictly-overlapping windows, so an event at exactly
+    prev_ts + gap starts a NEW session (hence `>=` below), unlike
+    operators.windows.sessionize's continue-at-equality (`>`)."""
+    from pyspark.sql import Window
+
     stream = SE.read_event_stream(spark, staged_stream)
     _run(SE.session_counts(stream, gap="30 minutes"), "t_sessions", mode="complete")
     rows = spark.table("t_sessions").collect()
     assert len(rows) > 0
-    assert all(r["n_events"] >= 1 for r in rows)
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in rows
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("_n", new_s).withColumn("_sid", F.sum("_n").over(w))
+    expect = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sess.groupBy("user_id", "_sid").agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ).collect()
+    }
+    assert got == expect
 
 
 def test_fuzzy_dedup_ingest_accepts_once_then_drops(spark, sf_dir, tmp_path):
