@@ -12,6 +12,8 @@ filter-pushdown-friendly, and cheap enough to fuse into the scan stage.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -266,27 +268,35 @@ def chunk_documents(
     overlap: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap —
     the context-window chunking step of a training/RAG pipeline. Emits
-    ``(id, chunk_id, chunk_n_tokens, chunk_text)``, chunk_id 1-based;
-    the final chunk may be short (standard tail semantics).
+    ``(id, [carry_cols...,] chunk_id, chunk_n_tokens, chunk_text)``,
+    chunk_id 1-based; the final chunk may be short (standard tail
+    semantics).
 
     Shuffle-free: chunk starts come from ``sequence(1, n_tokens,
     stride)`` exploded per document, so a 100 TB corpus chunks inside
-    the scan stage; only the output's size changes.
+    the scan stage; only the output's size changes. ``carry_cols``
+    ride through the explode — a downstream stage that needs a
+    document attribute (language, source, license) should carry it
+    here rather than re-joining chunks to the corpus, which would
+    shuffle the (much larger) chunk stream by doc id.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
+    carry = list(carry_cols)
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     exploded = df.select(
-        id_col, toks.alias("_toks"), F.posexplode(starts).alias("_i", "_start")
+        id_col, *carry, toks.alias("_toks"), F.posexplode(starts).alias("_i", "_start")
     )
     chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
     return exploded.select(
         id_col,
+        *carry,
         (F.col("_i") + 1).cast("bigint").alias("chunk_id"),
         F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),

@@ -62,14 +62,17 @@ def curate_documents(
     )
     balanced = balance_strata(kept, "lang", F.col("doc_id").cast("string"))
     survivors = minhash_dedup(balanced)
+    # lang rides through the chunk explode (carry_cols) so packing
+    # never re-joins the chunk stream to the corpus — at 100 TB that
+    # join would shuffle the LARGER (post-explode) side by doc id;
+    # carrying the column costs one string per chunk row instead
     chunks = chunk_documents(
-        survivors, chunk_tokens=chunk_tokens, overlap=overlap
+        survivors,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        carry_cols=["lang"],
     )
-    # chunking projects to (doc_id, chunk…); re-attach the language for
-    # per-language packing — co-keyed join on the doc id
-    chunks_lang = chunks.join(
-        survivors.select("doc_id", "lang"), on="doc_id"
-    ).withColumn(
+    chunks_lang = chunks.withColumn(
         # unique orderable chunk key (chunk_id is 1-based and bounded
         # by tokens/stride, far below 1e6)
         "chunk_uid",
