@@ -114,3 +114,39 @@ def test_funnel_counts_monotone_nonincreasing(spark, events):
     assert counts == sorted(counts, reverse=True)
     n_users = len({u for u, _, _ in events})
     assert all(c <= n_users for c in counts)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        max_size=20,
+    )
+)
+def test_connected_components_regimes_agree(spark, edges):
+    """For ANY small graph, the two distributed regimes (pointer-jump
+    min-label and two-phase large-star/small-star) must produce the
+    driver union-find's exact labeling — the randomized twin of the
+    fixed-shape chain/star tests, catching convergence edge cases
+    (self-loops, duplicate edges, isolated nodes) no fixture
+    enumerates."""
+    from data_lake_with_spark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(15)], ["doc_id"])
+    if edges:
+        e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    else:
+        e = spark.createDataFrame([], "id_a int, id_b int")
+
+    def labels(**kw):
+        return {
+            r["id"]: r["cluster"]
+            for r in connected_components(nodes, e, **kw).collect()
+        }
+
+    expect = labels()  # driver union-find (graph far below threshold)
+    assert labels(collect_threshold=0, algorithm="pointer_jump") == expect
+    assert labels(collect_threshold=0, algorithm="two_phase") == expect
