@@ -44,6 +44,13 @@ SKIP = {
     # harness, not the plan.
     "q91_dedup_clusters_distributed",
     "q100_dedup_clusters_two_phase",
+    # builds a persisted IVF index (one-time maintenance op) before
+    # serving: on local disk the cost is dominated by creating one
+    # partition directory per centroid (hundreds of tiny files), which
+    # measures the filesystem, not the serving plan — the probe plan
+    # itself is q13's (which IS benched) plus partition pruning,
+    # plan-gated in tests/test_similarity.py.
+    "q102_ann_ivf_indexed",
 }
 
 

@@ -322,6 +322,95 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroid_mod: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> None:
+    """Materialize :func:`ivf_topk`'s layout promise: centroids to
+    ``path/centroids`` (small), inverted lists to ``path/lists``
+    PARTITIONED BY ``cent_id`` — so a probe reads nprobe/n_centroids
+    of the corpus via Hive partition pruning instead of scanning
+    everything and filtering. Build cost is one broadcast-argmin
+    assignment pass plus the partitioned write; rebuilds are the
+    index-maintenance story (same as FAISS retrain)."""
+    cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v", vec_dim), 6))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("cent_id", id_col, vec_col)
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> DataFrame:
+    """ANN serving against a :func:`build_ivf_index` layout: identical
+    results to :func:`ivf_topk` over the same centroid set, but the
+    corpus scan touches ONLY the probed partitions (the union of every
+    query's nprobe centroid lists — collected to the driver as a
+    bounded ``n_queries × nprobe`` id list and pushed into the scan as
+    a partition filter; ``.explain`` shows it under PartitionFilters).
+
+    Scope: serving-style query batches, where the probe-id union is
+    small. A query set so large it probes every list degenerates to
+    the full scan — use :func:`ivf_topk` for that batch-join shape.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v", vec_dim), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= nprobe)
+        .select("cent_id", "query_id", "qv")
+    )
+    probe_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("cent_id").isin(probe_ids)
+    )
+    scored = (
+        lists.join(F.broadcast(probes), on="cent_id")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(vec_col, "qv", vec_dim), 6).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )
+
+
 def all_pairs_blas(
     emb: DataFrame,
     threshold: float,

@@ -2171,6 +2171,37 @@ def q100_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q102_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against a PERSISTED IVF index
+    (similarity.build_ivf_index / ivf_topk_indexed): centroids +
+    inverted lists written partitioned by cent_id, probes pushed into
+    the scan as partition filters (PartitionFilters-gated in tests).
+    Same oracle as q13 — the served results are identical to the
+    inline IVF over the same centroid set, which is the point: the
+    index changes the I/O profile (nprobe/n_centroids of the corpus
+    read), not the answer."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="dlws_ivf_idx_")
+    try:
+        build_ivf_index(emb, idx, centroid_mod=50)
+        out = ivf_topk_indexed(
+            spark, idx, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+        )
+        # materialize before the index dir vanishes (localCheckpoint
+        # pins the served result; the driver may collect lazily)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q101_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations audit (profile.check_expectations —
     the Deequ/Delta-constraints publish gate): five CHECK-style rules
@@ -2970,6 +3001,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q99_event_transitions": (q99_event_transitions, O_Q99),
     "q100_dedup_clusters_two_phase": (q100_dedup_clusters_two_phase, O_Q33),
     "q101_data_quality": (q101_data_quality, O_Q101),
+    "q102_ann_ivf_indexed": (q102_ann_ivf_indexed, O_Q13),
 }
 
 

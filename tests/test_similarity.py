@@ -196,3 +196,32 @@ def test_kmeans_inertia_nonincreasing(spark, sf_dir):
     i0, i1, i3 = inertia(seeds), inertia(c1), inertia(c3)
     assert i1 <= i0 + 1e-6
     assert i3 <= i1 + 1e-6
+
+
+def test_ivf_index_probe_matches_inline_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-index serving path: (a) identical results to the
+    inline ivf_topk over the same centroid set, and (b) the corpus
+    scan is PARTITION-PRUNED to the probed lists — the plan's
+    PartitionFilters carries cent_id, which is the property that makes
+    a probe read nprobe/n_centroids of a 100 TB corpus."""
+    from data_lake_with_spark_spark.operators.skew import explain_shuffles
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, centroid_mod=50)
+    served = similarity.ivf_topk_indexed(spark, idx, q, k=5, nprobe=4)
+    inline = similarity.ivf_topk(emb, q, k=5, centroid_mod=50, nprobe=4)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in served.collect())
+    )
+    exp = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"], r["cos"]) for r in inline.collect())
+    )
+    assert got == exp
+    p = explain_shuffles(served)
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cent_id" in pf  # probe list pushed into partition pruning
