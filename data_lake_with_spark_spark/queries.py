@@ -2171,6 +2171,54 @@ def q100_dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q103_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue from lineitems where
+    the SUPPLIER and the ordering CUSTOMER share a nation, rolled up
+    to (region, nation). Closes the supplier table's coverage and
+    exercises the deep-join shape Catalyst must get right at 100 TB:
+    the four dimension tables (region→nation, supplier, customer)
+    broadcast; the only shuffle joins are orders⋈lineitem on orderkey
+    — AQE/CBO pick the order, the declarative plan just states it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+O_Q103 = """
+SELECT r.r_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+
 def q102_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving against a PERSISTED IVF index
     (similarity.build_ivf_index / ivf_topk_indexed): centroids +
@@ -3002,6 +3050,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_dedup_clusters_two_phase": (q100_dedup_clusters_two_phase, O_Q33),
     "q101_data_quality": (q101_data_quality, O_Q101),
     "q102_ann_ivf_indexed": (q102_ann_ivf_indexed, O_Q13),
+    "q103_local_supplier_volume": (q103_local_supplier_volume, O_Q103),
 }
 
 

@@ -35,7 +35,13 @@ def test_column_pruning_in_scan_schema(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
-    for name in ("q54_region_rollup", "q12_flagship_enrichment"):
+    # q103 is the deep-join gate: six tables, four broadcast dims,
+    # zero SortMergeJoin at this scale
+    for name in (
+        "q54_region_rollup",
+        "q12_flagship_enrichment",
+        "q103_local_supplier_volume",
+    ):
         p = plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in p, name
         assert "SortMergeJoin" not in p, name
