@@ -120,3 +120,48 @@ def balance_strata(
         .where(F.substring(F.md5(key), 1, precision) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    alpha: float = 0.5,
+    precision: int = 2,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing — the multilingual
+    sampling scheme of mBERT/XLM-R (Conneau et al. 2020 §3.1 sample
+    languages ∝ p^α): per-stratum keep fraction
+    ``f_l = (n_min / n_l)^(1 - alpha)``, interpolating between
+    :func:`balance_strata`'s full flatten (alpha=0) and the natural
+    distribution (alpha=1). Head strata are damped, tail strata kept
+    whole — the standard compromise when full flattening would starve
+    the corpus of its largest sources.
+
+    Same deterministic scan-side shape as balance_strata: tiny
+    count aggregate, global-min window over it, broadcast join back,
+    md5-threshold filter at the scan; the corpus never shuffles.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from pyspark.sql import Window
+
+    levels = 16**precision
+    cnts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    frac = F.pow(
+        F.min("_cnt").over(Window.partitionBy()) / F.col("_cnt"),
+        F.lit(1.0 - alpha),
+    )
+    cnts = cnts.withColumn(
+        "_t", F.round(F.lit(float(levels)) * frac, 0).cast("int")
+    )
+    thr = (
+        F.when(F.col("_t") >= levels, F.lit("g" * precision))
+        .otherwise(F.lower(F.lpad(F.hex(F.col("_t")), precision, "0")))
+        .alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(cnts.select(strata_col, thr)), on=strata_col)
+        .where(F.substring(F.md5(key), 1, precision) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -2747,6 +2747,40 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr
 """
 
 
+def q104_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing at alpha=0.5
+    (sampling.temperature_rebalance — the mBERT/XLM-R p^alpha mix):
+    head languages damped by (n_min/n_l)^0.5 instead of q93's full
+    flatten, tail languages kept whole. Same deterministic scan-side
+    md5-threshold shape; value-checked against the identical POWER
+    arithmetic in DuckDB."""
+    from data_lake_with_spark_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        d, "lang", F.col("doc_id").cast("string"), alpha=0.5
+    ).select("doc_id", "source", "lang")
+
+
+O_Q104 = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+thr AS (
+  SELECT lang,
+         CASE WHEN t >= 256 THEN 'gg'
+              ELSE lower(lpad(to_hex(t), 2, '0')) END AS thr
+  FROM (SELECT lang,
+               CAST(ROUND(256.0 * POWER(
+                      (SELECT MIN(cnt) FROM c) * 1.0 / cnt, 0.5), 0)
+                    AS INTEGER) AS t
+        FROM c))
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr
+"""
+
+
 def q94_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) codes over two bucketed event dimensions
     (functions/zorder.py) — the clustering key behind the z-ordered
@@ -3051,6 +3085,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q101_data_quality": (q101_data_quality, O_Q101),
     "q102_ann_ivf_indexed": (q102_ann_ivf_indexed, O_Q13),
     "q103_local_supplier_volume": (q103_local_supplier_volume, O_Q103),
+    "q104_temperature_rebalance": (q104_temperature_rebalance, O_Q104),
 }
 
 

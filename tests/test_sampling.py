@@ -79,3 +79,31 @@ def test_balance_strata_uniform_is_noop(spark):
     df = spark.createDataFrame(rows, ["doc_id", "lang"])
     out = sampling.balance_strata(df, "lang", F.col("doc_id").cast("string"))
     assert out.count() == 100
+
+
+def test_temperature_rebalance_interpolates(spark):
+    """alpha=0 reproduces balance_strata exactly (full flatten);
+    alpha=1 is the identity; alpha=0.5 lands strictly between on the
+    head stratum while the tail stratum stays whole at every alpha."""
+    rows = [(i, "en" if i < 400 else "fr") for i in range(460)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    key = F.col("doc_id").cast("string")
+
+    def by_lang(out):
+        return {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    flat = by_lang(sampling.balance_strata(df, "lang", key))
+    a0 = by_lang(sampling.temperature_rebalance(df, "lang", key, alpha=0.0))
+    a5 = by_lang(sampling.temperature_rebalance(df, "lang", key, alpha=0.5))
+    a1 = by_lang(sampling.temperature_rebalance(df, "lang", key, alpha=1.0))
+    assert a0 == flat  # alpha=0 == full flatten
+    assert a1 == {"en": 400, "fr": 60}  # alpha=1 == natural mix
+    assert flat["en"] < a5["en"] < 400  # head damped, not flattened
+    assert a0["fr"] == a5["fr"] == 60  # tail (min stratum) kept whole
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_rebalance(df, "lang", key, alpha=1.5)
