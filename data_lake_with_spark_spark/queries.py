@@ -2781,6 +2781,50 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < thr
 """
 
 
+def q105_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors scored on the INT8-quantized corpus
+    (similarity.quantized_topk): cosine is scale-invariant so the
+    per-vector scale cancels and scoring runs on the int8 arrays —
+    the q97 memory lever in use (4× less corpus I/O). Oracle
+    replicates the quantization + cosine in DuckDB; recall vs the
+    float baseline is pinned in tests."""
+    from data_lake_with_spark_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+O_Q105 = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings),
+s AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) AS amax
+  FROM v),
+q8 AS (
+  SELECT vec_id,
+         list_transform(
+           ve,
+           x -> CAST(COALESCE(
+                  ROUND(x * (CASE WHEN amax > 0 THEN 127.0 / amax END), 0),
+                  0) AS DOUBLE)) AS qv8
+  FROM s),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_O_COS.format(a='c.qv8', b='q.qv')} AS cos
+  FROM q8 c, q WHERE c.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q94_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) codes over two bucketed event dimensions
     (functions/zorder.py) — the clustering key behind the z-ordered
@@ -3086,6 +3130,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q102_ann_ivf_indexed": (q102_ann_ivf_indexed, O_Q13),
     "q103_local_supplier_volume": (q103_local_supplier_volume, O_Q103),
     "q104_temperature_rebalance": (q104_temperature_rebalance, O_Q104),
+    "q105_quantized_topk": (q105_quantized_topk, O_Q105),
 }
 
 

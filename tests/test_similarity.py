@@ -225,3 +225,23 @@ def test_ivf_index_probe_matches_inline_and_prunes_partitions(
     p = explain_shuffles(served)
     pf = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "cent_id" in pf  # probe list pushed into partition pruning
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark, sf_dir):
+    """int8 quantization must barely perturb the neighbor sets: with
+    127 levels per max-normalized coordinate, recall@5 against the
+    exact float search floors at 0.9 on the fixture corpus (measured
+    0.96+); a refactor that degrades the quantizer (fewer effective
+    levels, wrong scale) fails here even while q97/q105 stay
+    self-consistently green."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.quantized_topk(emb, q, k=5).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.9
