@@ -60,6 +60,10 @@ def test_no_python_eval_in_relational_paths(spark, sf_dir):
         "q19_time_dimension",
         "q44_asof_join",
         "q45_range_join",
+        "q101_data_quality",
+        "q103_local_supplier_volume",
+        "q104_temperature_rebalance",
+        "q105_quantized_topk",
     ):
         p = plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in p, name

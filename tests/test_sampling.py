@@ -103,6 +103,16 @@ def test_temperature_rebalance_interpolates(spark):
     assert a1 == {"en": 400, "fr": 60}  # alpha=1 == natural mix
     assert flat["en"] < a5["en"] < 400  # head damped, not flattened
     assert a0["fr"] == a5["fr"] == 60  # tail (min stratum) kept whole
+    # kept sets NEST as alpha grows (same hash, larger threshold):
+    # raising the temperature only ADDS rows, never swaps them — a
+    # curriculum can warm up the mix without churning the corpus
+    ids = [
+        {r["doc_id"] for r in sampling.temperature_rebalance(
+            df, "lang", key, alpha=a
+        ).collect()}
+        for a in (0.0, 0.5, 1.0)
+    ]
+    assert ids[0] <= ids[1] <= ids[2]
     import pytest
 
     with pytest.raises(ValueError, match="alpha"):
