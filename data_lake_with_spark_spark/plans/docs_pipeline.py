@@ -5,8 +5,10 @@ Composes the operator library into the standard pre-training data
 flow:
 
 1. **quality gate** — text.quality_score, keep docs above a floor;
-2. **language rebalance** — sampling.balance_strata downsamples every
-   language to ~the smallest one, scan-side filter, corpus never
+2. **language rebalance** — sampling.temperature_rebalance at
+   ``mix_alpha`` (0.0 default = full flatten to ~the smallest
+   language, the balance_strata behavior; raise toward 1.0 to keep
+   more of the head languages), scan-side filter, corpus never
    shuffles;
 3. **fuzzy dedup** — dedup.minhash_dedup greedy survivor set (LSH
    candidates only, never all-pairs);
@@ -36,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.operators.dedup import minhash_dedup
-from data_lake_with_spark_spark.operators.sampling import balance_strata
+from data_lake_with_spark_spark.operators.sampling import temperature_rebalance
 from data_lake_with_spark_spark.operators.text import (
     chunk_documents,
     pack_sequences,
@@ -50,17 +52,23 @@ def curate_documents(
     chunk_tokens: int = 128,
     overlap: int = 16,
     pack_budget: int = 2048,
+    mix_alpha: float = 0.0,
 ) -> dict[str, DataFrame]:
     """Build every stage of the curation flow lazily; returns the
     stage map (``kept`` → ``balanced`` → ``survivors`` → ``chunks`` →
-    ``packed``)."""
+    ``packed``). ``mix_alpha`` is the language-mix temperature
+    (sampling.temperature_rebalance): 0.0 = full flatten (the
+    default, byte-identical to balance_strata — pinned in
+    tests/test_sampling.py), 1.0 = natural distribution."""
     base_cols = docs.columns
     kept = (
         quality_score(docs)
         .where(F.col("quality") >= quality_min)
         .select(*base_cols)
     )
-    balanced = balance_strata(kept, "lang", F.col("doc_id").cast("string"))
+    balanced = temperature_rebalance(
+        kept, "lang", F.col("doc_id").cast("string"), alpha=mix_alpha
+    )
     survivors = minhash_dedup(balanced)
     # lang rides through the chunk explode (carry_cols) so packing
     # never re-joins the chunk stream to the corpus — at 100 TB that
