@@ -1,9 +1,11 @@
 from data_lake_with_spark_spark.operators import (
     asof,
     dedup,
+    events_analytics,
     multimodal,
     profile,
     relational,
+    sampling,
     similarity,
     skew,
     text,
@@ -13,9 +15,11 @@ from data_lake_with_spark_spark.operators import (
 __all__ = [
     "asof",
     "dedup",
+    "events_analytics",
     "multimodal",
     "profile",
     "relational",
+    "sampling",
     "similarity",
     "skew",
     "text",
