@@ -3134,6 +3134,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+# Round-5 rotation candidates: promote q100 (two-phase CC), q101
+# (expectations), q102 (IVF index), q104 (temperature mix), q105
+# (quantized top-k) — q103 shares q01/q54's join/agg families and can
+# stay local; swap out five more long-stable in-window slots (e.g.
+# q02 NOT IN, q06 top-k, q16 union, q34 stratified, q43 percentiles),
+# keeping each §2 family represented in-window.
+#
 # Driver-window rotation (round 4). The driver's correctness gate
 # value-checks the FIRST 50 ``queries()`` entries; with 90+ oracled
 # queries, rotating newer families into that window is the only way

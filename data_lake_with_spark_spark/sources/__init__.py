@@ -1,6 +1,7 @@
 from data_lake_with_spark_spark.sources import lakehouse, sinks
 from data_lake_with_spark_spark.sources.catalog import load_table, load_tables, register_views
 from data_lake_with_spark_spark.sources.readers import (
+    read_avro,
     read_csv,
     read_json_audited,
     read_json_explicit,
@@ -16,6 +17,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "read_avro",
     "read_csv",
     "read_json_audited",
     "read_json_explicit",

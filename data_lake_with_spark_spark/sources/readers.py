@@ -141,3 +141,30 @@ def read_parquet_evolved(
     every footer — pay it only when versions actually differ (the
     catalog case pins one schema and skips the merge)."""
     return spark.read.option("mergeSchema", merge_schema).parquet(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Avro scan — the remaining row-format staple of ingest
+    pipelines. The ``spark-avro`` module is an external jar (not
+    bundled with pyspark); when it is absent this raises a clear
+    ValueError naming the package instead of Spark's opaque
+    ClassNotFoundException. Coverage mirrors the Delta seam: a
+    skip-marked test exercises the real read whenever the jar
+    appears on the classpath."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.load(path)
+    except Exception as e:  # noqa: BLE001
+        if "avro" in str(e).lower() and (
+            "find" in str(e).lower() or "source" in str(e).lower()
+        ):
+            raise ValueError(
+                "Avro support needs the external spark-avro module "
+                "(org.apache.spark:spark-avro_2.13) on the classpath; "
+                "this build ships without it"
+            ) from e
+        raise

@@ -201,3 +201,29 @@ def test_read_parquet_evolved_merges_schema_versions(spark, tmp_path):
     df = read_parquet_evolved(spark, base)
     rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def _avro_available(spark) -> bool:
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save(
+            "/tmp/_dlws_avro_probe"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_read_avro_clear_error_or_roundtrip(spark, tmp_path):
+    """Without the external spark-avro jar the reader must fail with
+    a ValueError naming the package (not an opaque JVM class error);
+    with the jar present it must round-trip — same seam pattern as
+    the Delta branch."""
+    from data_lake_with_spark_spark.sources.readers import read_avro
+
+    path = str(tmp_path / "avro_tbl")
+    if _avro_available(spark):
+        spark.range(10).write.mode("overwrite").format("avro").save(path)
+        assert read_avro(spark, path).count() == 10
+    else:
+        with pytest.raises(ValueError, match="spark-avro"):
+            read_avro(spark, path)
