@@ -183,3 +183,30 @@ def test_duplicated_spans(spark):
     toks = shared.split()
     g1, g2 = " ".join(toks[:8]), " ".join(toks[1:9])
     assert got == {g1: (2, 2), g2: (2, 2)}
+
+
+@pytest.mark.parametrize("algorithm", ["pointer_jump", "two_phase"])
+def test_connected_components_warns_on_iteration_exhaustion(spark, algorithm):
+    """Both distributed regimes must WARN (not silently return) when
+    max_iterations runs out before the fixpoint — an under-merged
+    clustering that looks complete is the dangerous failure mode."""
+    import warnings as _warnings
+
+    n = 40  # long chain: far more rounds needed than allowed
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    from data_lake_with_spark_spark.operators.dedup import connected_components
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        connected_components(
+            nodes, edges, collect_threshold=0, max_iterations=1,
+            algorithm=algorithm,
+        ).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "max_iterations" in str(w.message)
+        for w in caught
+    ), algorithm
