@@ -136,3 +136,41 @@ def test_approx_count_distinct_accuracy_pin(spark):
     for r in rows:
         rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
         assert rel_err <= 0.06, (r["g"], r["exact"], r["approx"])
+
+
+def test_surface_wrappers_cover_reference_ops(spark, tmp_path):
+    """The thin §2 surface wrappers a reference user calls directly
+    (C2 selectExpr projection, D2 ad-hoc where, I1 limit, B2 plain
+    parquet write, plus the texthash helpers) — exercised so the
+    public API carries no dead code."""
+    from data_lake_with_spark_spark.functions.texthash import (
+        md5_int32,
+        word_shingles,
+    )
+    from data_lake_with_spark_spark.sources.sinks import write_parquet
+
+    df = _df(spark, [(1, "a b c d"), (2, "x y")], ["id", "txt"])
+    # C2: expression projection with rename
+    out = R.project_expr(df, "id AS key", "upper(txt) AS t")
+    assert out.columns == ["key", "t"]
+    assert out.where("key = 1").first()["t"] == "A B C D"
+    # D2: ad-hoc where accepts SQL strings and Columns
+    assert R.filter_where(df, "id = 2").count() == 1
+    assert R.filter_where(df, F.col("id") == 1).count() == 1
+    # I1: limit
+    assert R.limit_rows(df, 1).count() == 1
+    # B2: plain parquet write round-trip
+    p = str(tmp_path / "plain")
+    write_parquet(df, p)
+    assert spark.read.parquet(p).count() == 2
+    # texthash: word shingles + stable 32-bit hash
+    row = df.where("id = 1").select(
+        word_shingles(F.col("txt"), 3).alias("sh"),
+        md5_int32(F.col("txt")).alias("h"),
+    ).first()
+    assert row["sh"] == ["a b c", "b c d"]
+    assert 0 <= row["h"] < 2**32
+    # short doc: no shingles, not a countdown sequence
+    assert df.where("id = 2").select(
+        word_shingles(F.col("txt"), 3).alias("sh")
+    ).first()["sh"] == []
