@@ -665,3 +665,66 @@ def bucketed_topk(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def bucketed_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+    vec_dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al., VLDB'07): each query
+    probes its own bucket PLUS every bucket at Hamming distance 1 —
+    the standard recall repair for single-bucket LSH, whose recall
+    collapses as bucket bits grow (a true neighbor differing in ONE
+    sign bit lands one bucket over; with b bits that's the most likely
+    miss). Probing b+1 of the 2^b buckets lifts recall 8× at 8 bits
+    on the fixture corpus (0.02 → 0.16, pinned in tests — the fixture
+    embeddings are near-isotropic, the worst case for sign-LSH; on
+    clustered real embeddings the lift is larger) while still pruning
+    the corpus scan to (b+1)/2^b.
+
+    Plan shape: the query side explodes to b+1 probe rows (queries
+    are the small side — broadcast), the corpus side stays one row
+    per vector with its scan-time bucket key; at scale the corpus is
+    written partitioned by bucket and each probe is pruned I/O, same
+    as :func:`bucketed_topk`. No pair-dedup stage is needed: a corpus
+    vector lives in exactly ONE bucket and a query's b+1 probe
+    buckets are pairwise distinct (flipping different bits of the
+    same string), so each (query, neighbor) pair can match at most
+    once — the join output is duplicate-free by construction.
+    """
+    b = len(dims)
+    cb = lsh_sign_buckets(corpus, vec_col, dims).select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qb = lsh_sign_buckets(queries, vec_col, dims).select(
+        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    flips = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("bucket", i + 2, b - i - 1),
+        )
+        for i in range(b)
+    ]
+    probes = qb.select(
+        "query_id", "qv", F.explode(F.array(*flips)).alias("bucket")
+    )
+    scored = (
+        cb.join(F.broadcast(probes), on="bucket", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("cv", "qv", vec_dim), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
