@@ -482,6 +482,25 @@ def _cc_two_phase(
     roots = ed.groupBy(F.col("id_a").alias("id")).agg(
         F.min("id_b").alias("_cc")
     )
+    if not converged:
+        # A truncated run's labels need not be self-consistent: a
+        # node can carry a root that itself maps to a smaller id.
+        # One pointer-jump over the root mapping (label := its own
+        # root's label) restores self-consistency — clusters may
+        # still be under-MERGED, but every emitted label is then a
+        # fixed point of the mapping (r4 ADVICE).
+        r2 = roots.select(
+            F.col("id").alias("_rid"), F.col("_cc").alias("_rcc")
+        )
+        roots = (
+            roots.join(r2, roots["_cc"] == r2["_rid"], how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("_cc"), F.coalesce("_rcc", F.col("_cc"))
+                ).alias("_cc"),
+            )
+        )
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(roots, on="id", how="left")

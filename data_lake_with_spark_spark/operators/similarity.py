@@ -432,11 +432,19 @@ def ivf_topk_indexed(
         .withColumn("_rn", F.row_number().over(w_probe))
         .where(F.col("_rn") <= nprobe)
         .select("cent_id", "query_id", "qv")
+        # Materialize once (bounded: n_queries × nprobe rows): the
+        # frame is consumed twice — collected for the partition
+        # filter AND broadcast into the scoring join — and without
+        # the checkpoint the centroid cross join + window would run
+        # twice (r4 ADVICE).
+        .localCheckpoint()
     )
     probe_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
-    lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("cent_id").isin(probe_ids)
-    )
+    # Empty query batch → no probes; F.lit(False) keeps the result
+    # schema while pruning every partition (isin([]) would too, but
+    # this makes the short-circuit explicit in the plan).
+    probe_filter = F.col("cent_id").isin(probe_ids) if probe_ids else F.lit(False)
+    lists = spark.read.parquet(f"{path}/lists").where(probe_filter)
     scored = (
         lists.join(F.broadcast(probes), on="cent_id")
         .where(F.col("query_id") != F.col(id_col))

@@ -159,8 +159,16 @@ def read_avro(
     try:
         return reader.load(path)
     except Exception as e:  # noqa: BLE001
-        if "avro" in str(e).lower() and (
-            "find" in str(e).lower() or "source" in str(e).lower()
+        # Match Spark's specific missing-data-source error (error
+        # class FAILED_TO_FIND_DATA_SOURCE / "Failed to find data
+        # source: avro"), not loose keywords — an unrelated failure
+        # whose message merely contains an avro path must propagate
+        # unmasked (r4 ADVICE).
+        msg = str(e)
+        if (
+            "FAILED_TO_FIND_DATA_SOURCE" in msg
+            or "Failed to find data source: avro" in msg
+            or "Failed to find the data source: avro" in msg
         ):
             raise ValueError(
                 "Avro support needs the external spark-avro module "

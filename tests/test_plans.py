@@ -191,4 +191,3 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
-
