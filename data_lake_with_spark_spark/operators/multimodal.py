@@ -22,6 +22,7 @@ bytes never leave their input partition.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -198,7 +199,20 @@ def _decode_stub(payload: bytes) -> "tuple[float, float]":
         if audio is not None and len(audio[0]) > 0:
             arr = audio[0]
         else:
-            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            # Byte-stub branch: EXACT integer sums, then one IEEE
+            # division each — bitwise-reproducible by any engine that
+            # sums the same integers (the DuckDB twin for q77 does
+            # SUM(byte)/SUM(byte²) over ascii codepoints), unlike
+            # np.mean/np.std whose pairwise float accumulation order
+            # is numpy-private. Sums stay < 2^53 (255² per byte), so
+            # int→double conversion is exact.
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = len(a)
+            s = int(a.sum())
+            ss = int((a * a).sum())
+            mean = s / n
+            var = ss / n - mean * mean
+            return (mean, math.sqrt(var) if var > 0 else 0.0)
     return (float(arr.mean()), float(arr.std()))
 
 

@@ -1136,7 +1136,13 @@ def q76_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q77_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents→fake binary assets→mapInPandas
-    feature extraction. No oracle (binary/pandas path; rows-only)."""
+    feature extraction (Arrow-batched, shuffle-free). VALUE-ORACLED
+    since round 5: the byte-stub kernel computes mean/std from exact
+    integer sums (one IEEE division each), so the DuckDB twin — the
+    same integer sums over ascii codepoints of the (all-ASCII)
+    fixture text — reproduces every float bitwise, and md5 matches
+    byte-for-byte because DuckDB's md5(VARCHAR) hashes UTF-8 bytes
+    exactly like hashlib.md5 over encode(text,'UTF-8')."""
     from data_lake_with_spark_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1150,6 +1156,32 @@ def q77_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("meta_duration_s"),
     )
     return extract_features(assets)
+
+
+O_Q77 = """
+WITH by AS (
+  SELECT doc_id,
+         SUM(CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS s,
+         SUM(CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             * CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS ss
+  FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+  GROUP BY doc_id),
+b AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n, md5(d.text) AS h,
+         by.s, by.ss
+  FROM documents d JOIN by ON d.doc_id = by.doc_id)
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       n AS n_bytes,
+       h AS payload_md5,
+       CAST(s AS DOUBLE) / n AS feat_mean,
+       CASE WHEN CAST(ss AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+            THEN sqrt(CAST(ss AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+            ELSE 0.0 END AS feat_std
+FROM b
+"""
 
 
 # --- A3. temporal joins / near-dup / windows (batch 2; placed after
@@ -1772,7 +1804,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
 def q64_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal fan-out plumbing: fake video assets → mapInPandas
     frame sampling (1 row per sampled frame) → per-asset frame counts.
-    No oracle (binary/pandas path; rows-only)."""
+    VALUE-ORACLED since round 5: the sampler's fan-out is a closed
+    form over the metadata — n_frames = max(trunc(duration/every), 1),
+    last_ts = (n_frames-1)·every — so the DuckDB twin predicts the
+    mapInPandas row multiplication independently (duration =
+    n_chars/100 is one IEEE division on both sides; trunc == floor
+    for non-negative durations)."""
     from data_lake_with_spark_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf_dir, "documents")
@@ -1790,6 +1827,18 @@ def q64_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ts_s").alias("last_frame_ts"),
     )
+
+
+O_Q64 = """
+WITH f AS (
+  SELECT doc_id,
+         GREATEST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 1) AS n_frames
+  FROM documents)
+SELECT doc_id AS asset_id,
+       n_frames,
+       CAST((n_frames - 1) AS DOUBLE) * 1.0 AS last_frame_ts
+FROM f
+"""
 
 
 def q65_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3145,7 +3194,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q61_in_having_subquery": (q61_in_having_subquery, O_Q61),
     "q62_country_code_balance": (q62_country_code_balance, O_Q62),
     "q63_hourly_rollup": (q63_hourly_rollup, O_Q63),
-    "q64_frame_sampling": (q64_frame_sampling, None),
+    "q64_frame_sampling": (q64_frame_sampling, O_Q64),
     "q65_json_extract": (q65_json_extract, O_Q65),
     "q66_array_functions": (q66_array_functions, O_Q66),
     "q67_cross_join": (q67_cross_join, O_Q67),
@@ -3158,7 +3207,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q74_dense_rank": (q74_dense_rank, O_Q74),
     "q75_ntile": (q75_ntile, O_Q75),
     "q76_streaming_hourly": (q76_streaming_hourly, None),
-    "q77_multimodal_features": (q77_multimodal_features, None),
+    "q77_multimodal_features": (q77_multimodal_features, O_Q77),
     "q78_above_nation_avg": (q78_above_nation_avg, O_Q78),
     "q79_distinct_users": (q79_distinct_users, O_Q79),
     "q80_orders_intersect": (q80_orders_intersect, O_Q80),
