@@ -683,6 +683,7 @@ def bucketed_topk_multiprobe(
     vec_col: str = "embedding",
     dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
     vec_dim: int | None = None,
+    max_flips: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k (Lv et al., VLDB'07): each query
     probes its own bucket PLUS every bucket at Hamming distance 1 —
@@ -704,8 +705,16 @@ def bucketed_topk_multiprobe(
     buckets are pairwise distinct (flipping different bits of the
     same string), so each (query, neighbor) pair can match at most
     once — the join output is duplicate-free by construction.
+
+    ``max_flips`` is the probe budget: only the first ``max_flips``
+    bit positions get Hamming-1 probes (None = all b). 0 degenerates
+    to single-probe :func:`bucketed_topk`; recall is monotone
+    nondecreasing in the budget (probe sets are nested — pinned in
+    tests), so operators can trade scan fan-out for recall without
+    changing the index layout.
     """
     b = len(dims)
+    n_flips = b if max_flips is None else max(0, min(max_flips, b))
     cb = lsh_sign_buckets(corpus, vec_col, dims).select(
         F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
@@ -718,7 +727,7 @@ def bucketed_topk_multiprobe(
             F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
             F.substring("bucket", i + 2, b - i - 1),
         )
-        for i in range(b)
+        for i in range(n_flips)
     ]
     probes = qb.select(
         "query_id", "qv", F.explode(F.array(*flips)).alias("bucket")

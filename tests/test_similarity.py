@@ -102,6 +102,20 @@ def test_ann_recall_vs_exact_baseline(spark, sf_dir):
     single = recall(similarity.bucketed_topk(emb, q, k=5).collect())
     multi = recall(similarity.bucketed_topk_multiprobe(emb, q, k=5).collect())
     assert multi >= 4 * single and multi >= 0.1
+    # probe-budget monotonicity: Hamming-1 probe sets are nested in
+    # max_flips, so recall must be nondecreasing; budget 0 IS the
+    # single-probe search, the full budget IS the default multiprobe.
+    budget_recalls = [
+        recall(
+            similarity.bucketed_topk_multiprobe(
+                emb, q, k=5, max_flips=m
+            ).collect()
+        )
+        for m in (0, 4, 8)
+    ]
+    assert budget_recalls == sorted(budget_recalls)
+    assert budget_recalls[0] == single
+    assert budget_recalls[-1] == multi
 
 
 def test_brute_force_topk_ranks_correctly(spark):
