@@ -894,8 +894,12 @@ def token_jaccard_pairs(
         # BEFORE the pair-distinct shuffle and the verify stage. At
         # sf0.1 (t=0.7) they cut candidate pairs 3.17M -> 2.13M against
         # 1.31M TRUE output pairs — this synthetic corpus is near-dup-
-        # saturated, so candidates are floor-bounded by the output; on
-        # realistic corpora the relative cut is far larger.
+        # saturated, so candidates are floor-bounded by the output. On
+        # a realistic corpus the cut is the whole story, MEASURED in
+        # tests/test_dedup.py::test_ppjoin_prefix_filter_wins...: 2k
+        # Zipf docs / 20 true pairs -> naive 1,997,471 candidates vs
+        # 33,158 here (60×); wall-clock crossover at 8k docs: 26.9s
+        # vs naive 123.2s (4.6×, widening quadratically).
         #   length:      J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
         #   positional:  any common token at prefix positions (i, j)
         #                bounds the overlap by min(i-1, j-1) + 1 +
