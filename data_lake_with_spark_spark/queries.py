@@ -2696,8 +2696,12 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream MERGEs into the snapshot table through the lakehouse
     format seam (sources/lakehouse.py — Delta MERGE when jars exist,
     versioned parquet here); returns the final snapshot (latest row
-    per user). No oracle (arrival-order tie semantics are inherently
-    non-SQL; deep equality asserted in tests)."""
+    per user). FULLY ORACLED since round 5: the apply is
+    ordering-safe (a change wins only if newer by (ts, event_id)), so
+    the final snapshot is a pure function of the change set —
+    independent of micro-batch splits — and equals the SQL argmax per
+    user. Delete/update interleavings are value-checked against a
+    batch twin in tests/test_streaming.py."""
     import os
     import tempfile
 
@@ -2719,10 +2723,39 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = os.path.join(root, "snap")
     e.coalesce(2).write.mode("overwrite").json(stage)
     q = cdc_apply_stream(
-        read_event_stream(spark, stage), snap, keys=("user_id",), order_col="ts"
+        read_event_stream(spark, stage),
+        snap,
+        keys=("user_id",),
+        order_col="ts",
+        tiebreak_cols=("event_id",),
     )
     q.awaitTermination(120)
-    return resolve_format("auto", spark).read_snapshot(spark, snap)
+    snap_df = resolve_format("auto", spark).read_snapshot(spark, snap)
+    # driver-facing ts as the canonical micro string (the stream
+    # parsed it to timestamp; a string avoids tz/type skew vs DuckDB)
+    return snap_df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+O_Q90 = """
+WITH e AS (
+  SELECT event_id,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         user_id, event_type, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e)
+SELECT event_id, ts, user_id, event_type, value
+FROM r WHERE rn = 1
+"""
 
 
 def q41_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3220,7 +3253,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q87_chunk_documents": (q87_chunk_documents, O_Q87),
     "q88_pack_sequences": (q88_pack_sequences, O_Q88),
     "q89_tfidf_terms": (q89_tfidf_terms, O_Q89),
-    "q90_streaming_cdc": (q90_streaming_cdc, None),
+    "q90_streaming_cdc": (q90_streaming_cdc, O_Q90),
     "q91_dedup_clusters_distributed": (q91_dedup_clusters_distributed, O_Q33),
     "q92_token_jaccard_ppjoin": (q92_token_jaccard_ppjoin, O_Q48),
     "q93_balance_languages": (q93_balance_languages, O_Q93),

@@ -146,6 +146,83 @@ class VersionedParquetFormat:
             os.path.join(path, f"v{version:06d}")
         )
 
+    @staticmethod
+    def apply_cdc(
+        spark: SparkSession,
+        path: str,
+        latest: DataFrame,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+        version: int,
+        op_col: str | None = None,
+        delete_op: str = "D",
+    ) -> None:
+        """Ordering-safe CDC apply in ONE new snapshot version.
+
+        ``latest`` must already be reduced to one row per key (the
+        caller's per-batch winner). Semantics, identical for any
+        batch split of the same change set:
+
+        - a change replaces the snapshot row only when it is NEWER by
+          ``order_cols`` (lexicographic, descending — ties keep the
+          existing snapshot row), so an out-of-order/replayed batch
+          can never clobber a newer state;
+        - when ``op_col`` is given and the key's winning change has
+          ``op == delete_op``, the key is REMOVED — but only if the
+          delete is newer than the snapshot row it tombstones.
+
+        One union + row_number per key + anti-join, one atomic
+        version-directory write; shuffles on the merge keys only.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as SF
+
+        base = VersionedParquetFormat.read_snapshot(spark, path)
+        if op_col is not None:
+            dels = latest.where(SF.col(op_col) == delete_op)
+            ups = latest.where(
+                SF.col(op_col).isNull() | (SF.col(op_col) != delete_op)
+            ).drop(op_col)
+        else:
+            dels = None
+            ups = latest
+        if base is None:
+            merged = ups
+        else:
+            order = [SF.col(c).desc() for c in order_cols]
+            w = Window.partitionBy(*keys).orderBy(
+                *order, SF.col("_is_base").desc()
+            )
+            merged = (
+                ups.withColumn("_is_base", SF.lit(0))
+                .unionByName(base.withColumn("_is_base", SF.lit(1)))
+                .withColumn("_rn", SF.row_number().over(w))
+                .where(SF.col("_rn") == 1)
+                .drop("_is_base", "_rn")
+            )
+        if dels is not None:
+            # remove a key only when the delete is at least as new as
+            # the merged row (lexicographic >= over order_cols): an
+            # out-of-order delete must not tombstone a newer state.
+            ge = None  # d >= m, built as (d>m at first diff) OR all-eq
+            eq = SF.lit(True)
+            for c in order_cols:
+                gt = eq & (SF.col(f"d.{c}") > SF.col(f"m.{c}"))
+                ge = gt if ge is None else (ge | gt)
+                eq = eq & (SF.col(f"d.{c}") == SF.col(f"m.{c}"))
+            ge = eq if ge is None else (ge | eq)
+            keys_eq = SF.lit(True)
+            for k in keys:
+                keys_eq = keys_eq & SF.col(f"m.{k}").eqNullSafe(
+                    SF.col(f"d.{k}")
+                )
+            merged = merged.alias("m").join(
+                dels.alias("d"), keys_eq & ge, how="left_anti"
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(path, f"v{version:06d}")
+        )
+
 
 class DeltaFormat:
     """Real ACID MERGE through delta-spark, when its jars exist."""
@@ -219,6 +296,67 @@ class DeltaFormat:
             .whenMatchedDelete()
             .execute()
         )
+
+    @staticmethod
+    def apply_cdc(
+        spark: SparkSession,
+        path: str,
+        latest: DataFrame,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+        version: int,  # unused: Delta's log numbers commits itself
+        op_col: str | None = None,
+        delete_op: str = "D",
+    ) -> None:
+        """Ordering-safe CDC apply as one ACID MERGE: updates win
+        only when strictly newer by ``order_cols`` (ties keep the
+        target row), deletes tombstone only an at-most-as-new row,
+        inserts skip delete-ops. Same semantics as the versioned-
+        parquet branch, expressed as MERGE conditions."""
+        from delta.tables import DeltaTable
+        from pyspark.sql import functions as SF
+
+        if op_col is not None:
+            dels = latest.where(SF.col(op_col) == delete_op)
+            ups = latest.where(
+                SF.col(op_col).isNull() | (SF.col(op_col) != delete_op)
+            ).drop(op_col)
+        else:
+            dels = None
+            ups = latest
+        # lexicographic s > t over order_cols as a SQL condition
+        newer_terms = []
+        eq_prefix: list[str] = []
+        for c in order_cols:
+            prefix = " AND ".join(eq_prefix + [f"s.`{c}` > t.`{c}`"])
+            newer_terms.append(f"({prefix})")
+            eq_prefix.append(f"s.`{c}` = t.`{c}`")
+        newer = " OR ".join(newer_terms) if newer_terms else "true"
+        all_eq = " AND ".join(eq_prefix) if eq_prefix else "true"
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        if not _exists(spark, os.path.join(path, "_delta_log")):
+            ups.write.format("delta").mode("overwrite").save(path)
+        else:
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(ups.alias("s"), cond)
+                .whenMatchedUpdateAll(condition=newer)
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        if dels is not None and _exists(
+            spark, os.path.join(path, "_delta_log")
+        ):
+            # separate delete merge: its source keeps the order/op
+            # columns (conditions only — nothing is written from it)
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(dels.alias("s"), cond)
+                .whenMatchedDelete(condition=f"({newer}) OR ({all_eq})")
+                .execute()
+            )
 
 
 FORMATS = {f.name: f for f in (VersionedParquetFormat, DeltaFormat)}

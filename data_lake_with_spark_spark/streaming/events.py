@@ -242,12 +242,33 @@ def cdc_apply_stream(
     keys: tuple[str, ...],
     order_col: str,
     table_format: str = "auto",
+    tiebreak_cols: tuple[str, ...] = (),
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> "object":
     """Streaming CDC apply: each micro-batch is reduced to its latest
-    row per key (``order_col`` descending) and MERGEd into the target
-    table through the lakehouse table-format seam
-    (sources.lakehouse.resolve_format) — the foreachBatch escape
-    hatch that gives any lake Delta-style upsert semantics.
+    row per key (``order_col`` descending, then ``tiebreak_cols``)
+    and applied to the target table through the lakehouse
+    table-format seam (sources.lakehouse.resolve_format,
+    ``apply_cdc``) — the foreachBatch escape hatch that gives any
+    lake Delta-style upsert/delete semantics.
+
+    Ordering-safe since round 5: a change replaces the snapshot row
+    only when NEWER by ``(order_col, *tiebreak_cols)`` — so the final
+    state is a pure function of the change SET, independent of how
+    the file source splits it into micro-batches or replays it,
+    which is what makes q90 SQL-oracle-able. With ``op_col``, rows
+    whose op equals ``delete_op`` tombstone their key (only when at
+    least as new as the snapshot row) — delete/update interleavings
+    are value-checked against a batch twin in tests/test_streaming.
+    Tombstone caveat (shared with Delta/Kafka-compaction designs):
+    an applied delete removes the key outright, so an
+    out-of-order UPDATE older than the delete but arriving in a
+    LATER batch would re-insert it — batch-split independence with
+    deletes holds when each delete is its key's final change (or
+    arrives no earlier than the batch of the changes it supersedes);
+    full generality needs retained tombstones, which the versioned
+    snapshots make easy to add (keep the delete row with a flag).
 
     ``table_format="auto"`` uses a real ACID format (Delta MERGE)
     when its jars are on the classpath and degrades to immutable
@@ -266,18 +287,28 @@ def cdc_apply_stream(
     from data_lake_with_spark_spark.sources.lakehouse import resolve_format
 
     fmt = resolve_format(table_format, updates.sparkSession)
+    order_cols = (order_col, *tiebreak_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        w = Window.partitionBy(*keys).orderBy(SF.col(order_col).desc())
+        w = Window.partitionBy(*keys).orderBy(
+            *[SF.col(c).desc() for c in order_cols]
+        )
         latest = (
             batch_df.withColumn("_rn", SF.row_number().over(w))
             .where(SF.col("_rn") == 1)
             .drop("_rn")
         )
-        fmt.merge_upsert(
-            batch_df.sparkSession, snapshot_dir, latest, keys, version=batch_id
+        fmt.apply_cdc(
+            batch_df.sparkSession,
+            snapshot_dir,
+            latest,
+            keys,
+            order_cols,
+            version=batch_id,
+            op_col=op_col,
+            delete_op=delete_op,
         )
 
     return (

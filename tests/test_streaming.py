@@ -312,3 +312,102 @@ def test_cdc_apply_stream_builds_merged_snapshot(spark, sf_dir, tmp_path):
             for r in spark.read.parquet(v2[-1]).collect()}
     assert got2[0] == 999999
     assert set(got2) == set(exp_map)
+
+
+def test_cdc_delete_update_interleavings_match_batch_twin(spark, tmp_path):
+    """q90 value-hardening (r4 verdict item 7): CDC final state with
+    DELETE/UPDATE interleavings across micro-batches equals the batch
+    twin (latest change per key by (ts, event_id); key absent when
+    that change is a delete). Covers: same-batch update-then-delete,
+    cross-batch delete, delete of a nonexistent key, re-insert after
+    delete, and an out-of-order older update that must NOT clobber a
+    newer row."""
+    import glob
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("op", StringType()),
+        ]
+    )
+    stage = str(tmp_path / "cdc_ops_in")
+    snap = str(tmp_path / "cdc_ops_snap")
+
+    def t(minute: int) -> str:
+        return f"2030-01-01 00:{minute:02d}:00.000000"
+
+    batch1 = [
+        (1, t(1), 1, "click", 1.0, "U"),
+        (2, t(1), 2, "click", 2.0, "U"),
+        (3, t(1), 3, "click", 3.0, "U"),
+        (4, t(2), 2, "click", 0.0, "D"),  # same-batch update→delete
+    ]
+    batch2 = [
+        (5, t(0), 1, "click", 9.0, "U"),  # OLDER than u1's row: no clobber
+        (6, t(2), 3, "click", 0.0, "D"),  # cross-batch delete
+        (7, t(3), 2, "purchase", 7.0, "U"),  # re-insert after delete
+        (8, t(1), 4, "click", 0.0, "D"),  # delete of nonexistent key
+    ]
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+        stream = (
+            spark.readStream.schema(schema).format("json").load(stage)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = SE.cdc_apply_stream(
+            stream,
+            snap,
+            keys=("user_id",),
+            order_col="ts",
+            tiebreak_cols=("event_id",),
+            op_col="op",
+        )
+        q.awaitTermination(120)
+
+    run_batch(batch1)
+    v1 = sorted(glob.glob(snap + "/v*"))
+    mid = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(v1[-1]).collect()
+    }
+    assert mid == {1: 1, 3: 3}  # u2 deleted within its own batch
+
+    run_batch(batch2)
+    v2 = sorted(glob.glob(snap + "/v*"))
+    assert len(v2) > len(v1)
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(v2[-1]).collect()
+    }
+
+    # batch twin: latest change per key over the WHOLE change set;
+    # key present iff that change is not a delete
+    from pyspark.sql import Window
+
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in all_changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert got == expect
+    assert got == {1: (1, "click", 1.0), 2: (7, "purchase", 7.0)}
