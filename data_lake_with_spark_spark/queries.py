@@ -1103,7 +1103,12 @@ GROUP BY c_mktsegment, o_orderstatus
 def q76_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation, driven availableNow
     over a file stream staged from the events table; returns the
-    final batch result. No oracle (streaming; driver rows-only)."""
+    final batch result. FULLY ORACLED since round 5: complete-mode
+    windowed counts after availableNow are the batch aggregation (all
+    staged files arrive in the first micro-batch, so the watermark
+    never drops an event), and the decimal-routed value sum makes
+    total_value engine-exact; window bounds ship as strings for
+    tz-independent canonicalization."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (
@@ -1131,7 +1136,29 @@ def q76_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+O_Q76 = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
 
 
 def q77_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,10 +1602,13 @@ FROM events GROUP BY 1, 2
 def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming native session windows (gap-based, keyed
     by user) over a staged file stream — the streaming twin of q17.
-    No oracle (streaming; driver rows-only) — but value-verified in
-    tests: full (user, start, end, n, value) tuple equality against a
-    batch derivation of session_window's merge semantics
-    (test_streaming.test_session_counts_match_batch_sessions)."""
+    FULLY ORACLED since round 5: availableNow delivers all staged
+    files in one micro-batch, so the final complete-mode state is the
+    batch sessionization — expressed in DuckDB as gaps-and-islands
+    with session_window's exact boundary (an event at exactly
+    prev + gap starts a NEW session; also tuple-checked against a
+    Spark batch twin in
+    test_streaming.test_session_counts_match_batch_sessions)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (
@@ -1606,7 +1636,43 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    return spark.table(name).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+O_Q57 = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     + INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM e),
+g AS (
+  SELECT *, SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_value
+FROM g
+GROUP BY user_id, sid
+"""
 
 
 def q15_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1982,10 +2048,10 @@ FROM customer LEFT JOIN sp ON c_custkey = o_custkey
 def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream broadcast-enriched with
     the customer dimension per micro-batch, then windowed counts per
-    market segment. No oracle (streaming; driver rows-only) — but
-    value-verified in tests: full (window, segment) -> count equality
-    against the batch join twin
-    (test_streaming.test_enriched_windowed_counts_match_batch)."""
+    market segment. FULLY ORACLED since round 5: the final
+    complete-mode state equals the batch join + hourly rollup (also
+    tuple-checked against a Spark batch twin in
+    test_streaming.test_enriched_windowed_counts_match_batch)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (
@@ -2016,7 +2082,23 @@ def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "c_mktsegment",
+        "n",
+    )
+
+
+O_Q70 = """
+SELECT strftime(date_trunc('hour', CAST(e.ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
 
 
 def q71_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2533,10 +2615,12 @@ def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (streaming/events.dedup_stream):
     the events table is staged TWICE into the file stream (simulating
     at-least-once redelivery); watermarked dropDuplicates on event_id
-    collapses the duplicates. No oracle (streaming; rows-only) — but
-    value-verified in tests: the surviving event_id SET equals the
-    batch-distinct set with no survivor duplicated
-    (test_streaming.test_dedup_stream_collapses_redelivery)."""
+    collapses the duplicates. FULLY ORACLED since round 5: the two
+    staged copies of each event are byte-identical, so whichever copy
+    dropDuplicates keeps, the survivor ROWS equal the events table
+    itself — the oracle is a plain projection of events (survivor-set
+    semantics also pinned in
+    test_streaming.test_dedup_stream_collapses_redelivery)."""
     import tempfile
 
     from data_lake_with_spark_spark.streaming.events import (
@@ -2565,7 +2649,21 @@ def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    return spark.table(name).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+O_Q84 = """
+SELECT event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       user_id, event_type, value
+FROM events
+"""
 
 
 def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3220,7 +3318,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q54_region_rollup": (q54_region_rollup, O_Q54),
     "q55_count_lineitem": (q55_count_lineitem, O_Q55),
     "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),
-    "q57_streaming_sessions": (q57_streaming_sessions, None),
+    "q57_streaming_sessions": (q57_streaming_sessions, O_Q57),
     "q58_promo_share": (q58_promo_share, O_Q58),
     "q59_having_global_scalar": (q59_having_global_scalar, O_Q59),
     "q60_segment_top_orders": (q60_segment_top_orders, O_Q60),
@@ -3233,13 +3331,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q67_cross_join": (q67_cross_join, O_Q67),
     "q68_date_arithmetic": (q68_date_arithmetic, O_Q68),
     "q69_null_conditionals": (q69_null_conditionals, O_Q69),
-    "q70_streaming_enriched": (q70_streaming_enriched, None),
+    "q70_streaming_enriched": (q70_streaming_enriched, O_Q70),
     "q71_unpivot": (q71_unpivot, O_Q71),
     "q72_regexp_extract": (q72_regexp_extract, O_Q72),
     "q73_lag_delta": (q73_lag_delta, O_Q73),
     "q74_dense_rank": (q74_dense_rank, O_Q74),
     "q75_ntile": (q75_ntile, O_Q75),
-    "q76_streaming_hourly": (q76_streaming_hourly, None),
+    "q76_streaming_hourly": (q76_streaming_hourly, O_Q76),
     "q77_multimodal_features": (q77_multimodal_features, O_Q77),
     "q78_above_nation_avg": (q78_above_nation_avg, O_Q78),
     "q79_distinct_users": (q79_distinct_users, O_Q79),
@@ -3247,7 +3345,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q81_moving_average": (q81_moving_average, O_Q81),
     "q82_full_outer_reconcile": (q82_full_outer_reconcile, O_Q82),
     "q83_length_histogram": (q83_length_histogram, O_Q83),
-    "q84_streaming_dedup": (q84_streaming_dedup, None),
+    "q84_streaming_dedup": (q84_streaming_dedup, O_Q84),
     "q85_label_centroids": (q85_label_centroids, O_Q85),
     "q86_upsert_snapshot": (q86_upsert_snapshot, O_Q86),
     "q87_chunk_documents": (q87_chunk_documents, O_Q87),

@@ -68,7 +68,12 @@ def windowed_counts(
         .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal-routed sum: exact regardless of accumulation
+            # order, so the value matches any engine's sum bitwise
+            # (the pattern queries.dsum uses for every value oracle)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -87,7 +92,12 @@ def session_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
