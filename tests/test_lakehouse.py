@@ -130,3 +130,72 @@ def test_delta_delete_keys_erasure(spark, tmp_path):
     )
     got = {r["k"]: r["name"] for r in fmt.read_snapshot(spark, path).collect()}
     assert got == {1: "a"}
+
+
+def test_apply_cdc_batch_split_invariance(spark, tmp_path):
+    """Ordering-safe CDC: the final snapshot is the same for every
+    micro-batch split of one change set (the property that makes q90
+    SQL-oracle-able). Change set covers update-then-delete,
+    re-insert after delete, an out-of-order older update, and a
+    delete of a nonexistent key; splits cover 1, 2, and 4 batches.
+    A REVERSED 2-batch order is asserted separately: it violates the
+    documented tombstone precondition (u3's delete arrives BEFORE
+    the update it supersedes), so the key resurrects — the exact
+    boundary the cdc_apply_stream docstring scopes out."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.sources.lakehouse import (
+        VersionedParquetFormat as VP,
+    )
+
+    changes = [
+        # (event_id, ts_minute, user_id, value, op)
+        (1, 1, 1, 1.0, "U"),
+        (2, 1, 2, 2.0, "U"),
+        (3, 1, 3, 3.0, "U"),
+        (4, 2, 2, 0.0, "D"),  # update then delete (same key)
+        (5, 0, 1, 9.0, "U"),  # out-of-order older update: never wins
+        (6, 2, 3, 0.0, "D"),
+        (7, 3, 2, 7.0, "U"),  # re-insert after delete
+        (8, 1, 4, 0.0, "D"),  # delete of never-present key
+    ]
+    cols = ["event_id", "ts", "user_id", "value", "op"]
+
+    def apply_split(split, path):
+        for i, batch in enumerate(split):
+            df = spark.createDataFrame(batch, cols)
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            VP.apply_cdc(
+                spark, path, latest, ("user_id",), ("ts", "event_id"),
+                version=i, op_col="op",
+            )
+        snap = VP.read_snapshot(spark, path)
+        return {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in snap.collect()
+        }
+
+    splits = [
+        [changes],
+        [changes[:4], changes[4:]],
+        [changes[:2], changes[2:4], changes[4:6], changes[6:]],
+    ]
+    expected = {1: (1, 1.0), 2: (7, 7.0)}
+    for i, split in enumerate(splits):
+        got = apply_split(split, str(tmp_path / f"s{i}"))
+        assert got == expected, (i, got)
+
+    # tombstone-caveat boundary, pinned: reversing the batches makes
+    # u3's delete (t2) arrive BEFORE the update it supersedes (t1) —
+    # the applied delete leaves no tombstone, so u3 resurrects. This
+    # is the documented scope limit, not a silent surprise.
+    got_rev = apply_split([changes[4:], changes[:4]], str(tmp_path / "rev"))
+    assert got_rev == {**expected, 3: (3, 3.0)}

@@ -265,3 +265,16 @@ def test_quantized_topk_recall_vs_float_baseline(spark, sf_dir):
         for r in similarity.quantized_topk(emb, q, k=5).collect()
     }
     assert len(quant & exact) / len(exact) >= 0.9
+
+
+def test_ivf_indexed_empty_query_batch(spark, sf_dir, tmp_path):
+    """Empty serving batch short-circuits to an empty result with the
+    full result schema (r4 ADVICE: isin([]) partition filter)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, path, centroid_mod=50)
+    out = similarity.ivf_topk_indexed(
+        spark, path, emb.where(F.col("vec_id") < 0), k=5, nprobe=4
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cos", "rank"}
