@@ -24,17 +24,12 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing
-    # rows-only entries are the explicitly non-SQL-expressible ones
-    assert set(qs) - set(oracles) == {
-        "q76_streaming_hourly",
-        "q77_multimodal_features",
-        "q53_approx_distinct",
-        "q84_streaming_dedup",
-        "q90_streaming_cdc",
-        "q57_streaming_sessions",
-        "q64_frame_sampling",
-        "q70_streaming_enriched",
-    }
+    # round 5: the rows-only set is EMPTY — every registry query has
+    # a DuckDB value oracle (streaming final states are batch-equal
+    # under availableNow, multimodal kernels are engine-exact, and
+    # the HLL entry oracles its 3σ error bound instead of the
+    # engine-specific estimate)
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize(
