@@ -3428,6 +3428,12 @@ _ROTATED_IN = (
     "q102_ann_ivf_indexed",
     "q104_temperature_rebalance",
     "q105_quantized_topk",
+    # round 5b: three of the newly-oracled classes earn driver-hard
+    # verification — multimodal feature extraction, ordering-safe
+    # streaming CDC, and the HLL 3σ-bound check
+    "q77_multimodal_features",
+    "q90_streaming_cdc",
+    "q53_approx_distinct",
 )
 _ROTATED_OUT = (
     # round 4
@@ -3446,6 +3452,12 @@ _ROTATED_OUT = (
     "q16_union_users",
     "q34_stratified_sample",
     "q43_percentiles",
+    # round 5b demotions (each family keeps in-window coverage:
+    # sampling via the promoted q104, MinHash via q18/q22/q24,
+    # text stats via q28/q29/q31/q36)
+    "q05_deterministic_sample",
+    "q23_minhash_pairs",
+    "q30_token_stats",
 )
 
 
