@@ -106,12 +106,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in items:
-        best = float("inf")
+        reps = []
         for _rep in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.time() - t0)
+        # adaptive third rep: when the two timings disagree >50%, at
+        # least one was contaminated by a transient stall (observed
+        # run-to-run totals of 68→90s on a shared box with no plan
+        # change); a third sample restores min-of-clean at ~zero cost
+        # on the quiet path
+        if min(reps) > 0.2 and max(reps) > 1.5 * min(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        timings[name] = round(min(reps), 3)
 
     # Flagship composition: the full 5-table star-schema build (parity
     # mode, real parquet sinks) over the reference fixture, timed like
