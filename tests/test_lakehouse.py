@@ -199,3 +199,59 @@ def test_apply_cdc_batch_split_invariance(spark, tmp_path):
     # is the documented scope limit, not a silent surprise.
     got_rev = apply_split([changes[4:], changes[:4]], str(tmp_path / "rev"))
     assert got_rev == {**expected, 3: (3, 3.0)}
+
+
+def test_apply_cdc_null_key_and_composite_keys(spark, tmp_path):
+    """apply_cdc joins with eqNullSafe: a NULL key is a real key (it
+    can be upserted and deleted), and composite keys route by the
+    full tuple."""
+    from data_lake_with_spark_spark.sources.lakehouse import (
+        VersionedParquetFormat as VP,
+    )
+
+    path = str(tmp_path / "nulls")
+    cols = ["k1", "k2", "ts", "v", "op"]
+    b1 = spark.createDataFrame(
+        [(None, 1, 1, 10.0, "U"), (1, 1, 1, 11.0, "U"), (1, 2, 1, 12.0, "U")],
+        cols,
+    )
+    VP.apply_cdc(spark, path, b1, ("k1", "k2"), ("ts",), 0, op_col="op")
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in VP.read_snapshot(spark, path).collect()
+    }
+    assert got == {(None, 1): 10.0, (1, 1): 11.0, (1, 2): 12.0}
+
+    b2 = spark.createDataFrame(
+        [(None, 1, 2, 0.0, "D"), (1, 1, 2, 21.0, "U")], cols
+    )
+    VP.apply_cdc(spark, path, b2, ("k1", "k2"), ("ts",), 1, op_col="op")
+    got2 = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in VP.read_snapshot(spark, path).collect()
+    }
+    # NULL-keyed row deleted; (1,1) updated; (1,2) untouched
+    assert got2 == {(1, 1): 21.0, (1, 2): 12.0}
+
+
+@pytest.mark.skipif(
+    not DeltaFormat.available(), reason="delta-spark jars not installed"
+)
+def test_delta_apply_cdc_roundtrip(spark, tmp_path):
+    """Delta twin of the apply_cdc semantics (conditioned MERGEs):
+    exercised automatically once delta-spark jars are present."""
+    fmt = DeltaFormat
+    path = str(tmp_path / "delta_cdc")
+    cols = ["event_id", "ts", "user_id", "value", "op"]
+    b1 = spark.createDataFrame(
+        [(1, 1, 1, 1.0, "U"), (2, 1, 2, 2.0, "U")], cols
+    )
+    fmt.apply_cdc(spark, path, b1, ("user_id",), ("ts", "event_id"), 0, op_col="op")
+    b2 = spark.createDataFrame(
+        [(3, 0, 1, 9.0, "U"),  # older: must not clobber
+         (4, 2, 2, 0.0, "D")], cols
+    )
+    fmt.apply_cdc(spark, path, b2, ("user_id",), ("ts", "event_id"), 1, op_col="op")
+    got = {r["user_id"]: r["event_id"]
+           for r in fmt.read_snapshot(spark, path).collect()}
+    assert got == {1: 1}

@@ -150,3 +150,66 @@ def test_connected_components_regimes_agree(spark, edges):
     expect = labels()  # driver union-find (graph far below threshold)
     assert labels(collect_threshold=0, algorithm="pointer_jump") == expect
     assert labels(collect_threshold=0, algorithm="two_phase") == expect
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_apply_cdc_split_invariance_property(spark, tmp_path_factory, data):
+    """For ANY change set whose deletes are each their key's final
+    change (the documented tombstone scope), every contiguous
+    micro-batch split applied through VersionedParquetFormat.apply_cdc
+    yields the same final snapshot as the batch argmax-per-key twin."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.sources.lakehouse import (
+        VersionedParquetFormat as VP,
+    )
+
+    n = data.draw(st.integers(min_value=3, max_value=12))
+    changes = []
+    for eid in range(1, n + 1):
+        key = data.draw(st.integers(min_value=0, max_value=3))
+        ts = data.draw(st.integers(min_value=0, max_value=9))
+        changes.append([eid, ts, key, float(eid), "U"])
+    # make some keys end in a delete — appended as the key's newest
+    # change so the tombstone precondition holds by construction
+    for key in {c[2] for c in changes}:
+        if data.draw(st.booleans()):
+            max_ts = max(c[1] for c in changes if c[2] == key)
+            changes.append(
+                [1000 + key, max_ts + 1, key, 0.0, "D"]
+            )
+    cols = ["event_id", "ts", "user_id", "value", "op"]
+    cut = data.draw(st.integers(min_value=1, max_value=len(changes) - 1))
+    splits = [[changes], [changes[:cut], changes[cut:]]]
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    all_df = spark.createDataFrame(changes, cols)
+    expect = {
+        r["user_id"]: r["event_id"]
+        for r in all_df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    base_dir = tmp_path_factory.mktemp("cdcprop")
+    for si, split in enumerate(splits):
+        path = str(base_dir / f"v{si}")
+        for bi, batch in enumerate(split):
+            df = spark.createDataFrame(batch, cols)
+            latest = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            VP.apply_cdc(
+                spark, path, latest, ("user_id",), ("ts", "event_id"),
+                version=bi, op_col="op",
+            )
+        got = {
+            r["user_id"]: r["event_id"]
+            for r in VP.read_snapshot(spark, path).collect()
+        }
+        assert got == expect, (si, got, expect)
