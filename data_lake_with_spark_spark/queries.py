@@ -967,6 +967,72 @@ WHERE rank <= 5
 """
 
 
+def q107_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming/events.stream_stream_conversions): every purchase
+    matched to the same user's views within the preceding hour — the
+    conversion-attribution join, with both sides watermarked and the
+    time bound making join state EVICTABLE (without it a
+    stream-stream join buffers both streams forever). FULLY ORACLED:
+    append-mode availableNow emits exactly the batch interval join
+    (both sides see all staged files in the first micro-batch; also
+    set-checked against a Spark batch twin in
+    test_streaming.test_stream_stream_conversions_match_batch...)."""
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_conversions,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_conv_")
+    e.coalesce(2).write.mode("overwrite").json(stage)
+    sa = read_event_stream(spark, stage)
+    sb = read_event_stream(spark, stage)
+    joined = stream_stream_conversions(sa, sb, within="1 hour")
+    name = "dlws_stream_conversions"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id",
+        "a_event_id",
+        "b_event_id",
+        F.date_format("a_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("a_ts"),
+        F.date_format("b_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("b_ts"),
+    )
+
+
+O_Q107 = """
+WITH a AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS a_ts, event_id AS a_event_id
+  FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS b_ts, event_id AS b_event_id
+  FROM events WHERE event_type = 'purchase')
+SELECT a.user_id,
+       a_event_id,
+       b_event_id,
+       strftime(a_ts, '%Y-%m-%d %H:%M:%S.%f') AS a_ts,
+       strftime(b_ts, '%Y-%m-%d %H:%M:%S.%f') AS b_ts
+FROM a JOIN b ON a.user_id = b.user_id
+              AND b_ts >= a_ts
+              AND b_ts <= a_ts + INTERVAL 1 HOUR
+"""
+
+
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text.lang_scores(d).select(
@@ -3402,6 +3468,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q104_temperature_rebalance": (q104_temperature_rebalance, O_Q104),
     "q105_quantized_topk": (q105_quantized_topk, O_Q105),
     "q106_ann_lsh_multiprobe": (q106_ann_lsh_multiprobe, O_Q106),
+    "q107_streaming_conversions": (q107_streaming_conversions, O_Q107),
 }
 
 
