@@ -484,23 +484,41 @@ def _cc_two_phase(
     )
     if not converged:
         # A truncated run's labels need not be self-consistent: a
-        # node can carry a root that itself maps to a smaller id.
-        # One pointer-jump over the root mapping (label := its own
-        # root's label) restores self-consistency — clusters may
-        # still be under-MERGED, but every emitted label is then a
-        # fixed point of the mapping (r4 ADVICE).
-        r2 = roots.select(
-            F.col("id").alias("_rid"), F.col("_cc").alias("_rcc")
-        )
-        roots = (
-            roots.join(r2, roots["_cc"] == r2["_rid"], how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("_cc"), F.coalesce("_rcc", F.col("_cc"))
-                ).alias("_cc"),
+        # node can carry a root that itself maps to a smaller id —
+        # and one jump is NOT enough (a chain of depth d needs
+        # ceil(log2 d) doubling rounds; verified by counterexample in
+        # review: a 7-edge path truncated at 1 round still had
+        # lab(lab(x)) != lab(x) after a single jump). Pointer-jump
+        # the root mapping to its fixpoint: each round halves chain
+        # depth, and the loop stops when no label changes, so every
+        # emitted label IS a fixed point of the mapping. Clusters may
+        # still be under-MERGED (the warning above stands); the
+        # mapping is one row per node, localCheckpointed per round to
+        # keep lineage flat.
+        while True:
+            r2 = roots.select(
+                F.col("id").alias("_rid"), F.col("_cc").alias("_rcc")
             )
-        )
+            jumped = (
+                roots.join(r2, roots["_cc"] == r2["_rid"], how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("_cc"), F.coalesce("_rcc", F.col("_cc"))
+                    ).alias("_cc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.alias("n")
+                .join(roots.alias("o"), on="id")
+                .where(F.col("n._cc") != F.col("o._cc"))
+                .limit(1)
+                .count()
+            )
+            roots = jumped
+            if changed == 0:
+                break
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(roots, on="id", how="left")

@@ -53,6 +53,21 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _split_ops(latest, op_col, delete_op):
+    """Split a reduced-per-key CDC batch into (upserts, deletes) by
+    its op column — shared by both table formats so delete-op
+    semantics can never silently diverge between them."""
+    from pyspark.sql import functions as SF
+
+    if op_col is None:
+        return latest, None
+    dels = latest.where(SF.col(op_col) == delete_op)
+    ups = latest.where(
+        SF.col(op_col).isNull() | (SF.col(op_col) != delete_op)
+    ).drop(op_col)
+    return ups, dels
+
+
 def list_versions(spark: SparkSession, path: str) -> list[str]:
     """Sorted ``v*`` snapshot directory URIs under ``path`` (possibly
     empty), listed through the Hadoop FileSystem API."""
@@ -178,14 +193,7 @@ class VersionedParquetFormat:
         from pyspark.sql import functions as SF
 
         base = VersionedParquetFormat.read_snapshot(spark, path)
-        if op_col is not None:
-            dels = latest.where(SF.col(op_col) == delete_op)
-            ups = latest.where(
-                SF.col(op_col).isNull() | (SF.col(op_col) != delete_op)
-            ).drop(op_col)
-        else:
-            dels = None
-            ups = latest
+        ups, dels = _split_ops(latest, op_col, delete_op)
         if base is None:
             merged = ups
         else:
@@ -316,14 +324,7 @@ class DeltaFormat:
         from delta.tables import DeltaTable
         from pyspark.sql import functions as SF
 
-        if op_col is not None:
-            dels = latest.where(SF.col(op_col) == delete_op)
-            ups = latest.where(
-                SF.col(op_col).isNull() | (SF.col(op_col) != delete_op)
-            ).drop(op_col)
-        else:
-            dels = None
-            ups = latest
+        ups, dels = _split_ops(latest, op_col, delete_op)
         # lexicographic s > t over order_cols as a SQL condition
         newer_terms = []
         eq_prefix: list[str] = []

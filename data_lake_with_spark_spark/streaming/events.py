@@ -68,12 +68,15 @@ def windowed_counts(
         .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # decimal-routed sum: exact regardless of accumulation
-            # order, so the value matches any engine's sum bitwise
-            # (the pattern queries.dsum uses for every value oracle)
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("total_value"),
+            # decimal-routed sum AND decimal-space round: the sum is
+            # exact regardless of accumulation order, and rounding
+            # BEFORE the double cast keeps .xx5 boundaries exact too
+            # (round-on-double diverges between engines: Spark
+            # re-quantizes via BigDecimal.valueOf, DuckDB rounds the
+            # raw binary double — review finding)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -94,9 +97,11 @@ def session_counts(
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("total_value"),
+            # decimal-space round before the double cast (see
+            # windowed_counts)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

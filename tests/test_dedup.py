@@ -356,3 +356,27 @@ def test_ppjoin_wall_clock_crossover_slow(spark):
     assert pp_rows == nv_rows and len(pp_rows) == 80
     assert t_pp < t_nv, (t_pp, t_nv)
     df.unpersist()
+
+
+def test_two_phase_truncated_labels_are_fixed_points(spark):
+    """Review counterexample: a 7-edge path truncated at 1 two-phase
+    round left labels where lab(lab(x)) != lab(x) after a single
+    pointer-jump. The fallback must jump to the FIXPOINT: every
+    emitted label maps to itself (clusters may still be under-merged,
+    which the RuntimeWarning reports)."""
+    import warnings as _warnings
+
+    edges = [(5, 6), (6, 7), (7, 4), (4, 3), (3, 0), (0, 2), (2, 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        labels = {
+            r["id"]: r["cluster"]
+            for r in dedup.connected_components(
+                nodes, e, collect_threshold=0, max_iterations=1,
+                algorithm="two_phase",
+            ).collect()
+        }
+    for x, lab in labels.items():
+        assert labels[lab] == lab, (x, lab, labels)

@@ -120,9 +120,9 @@ def test_session_counts_match_batch_sessions(spark, sf_dir, staged_stream):
             F.min("ts").alias("session_start"),
             (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         ).collect()
     }
     assert got == expect

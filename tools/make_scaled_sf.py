@@ -68,7 +68,12 @@ def main() -> int:
         # inflated MinHash band collisions 139× — a fixture artifact,
         # not a workload property.)
         alpha = "abcdefghijklmnopqrstuvwxyz"
-        shifted = alpha[k % 26:] + alpha[: k % 26]
+        # 1 + (k-1) % 25 is never 0 mod 26, so NO replica's shift is
+        # the identity (k % 26 would silently duplicate replica 0's
+        # text verbatim at k=26 — review finding); identical to k for
+        # factor ≤ 26, which keeps existing probe fixtures stable
+        shift = 1 + (k - 1) % 25
+        shifted = alpha[shift:] + alpha[:shift]
         return d.select(
             (F.col("doc_id") + k * ID_OFF).alias("doc_id"),
             F.translate("text", alpha, shifted).alias("text"),

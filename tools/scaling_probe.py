@@ -47,12 +47,18 @@ def main() -> int:
     registry = Q.queries()
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
-        t0 = time.time()
-        n = registry[name](spark, sf_dir).count()
-        return time.time() - t0, n
+        # min-of-2 per (query, dir): BOTH dirs get warm-cache timings,
+        # so alpha compares like with like (timing only the small side
+        # warm overstated the baseline's exponent — review finding)
+        best, n = float("inf"), 0
+        for _rep in range(2):
+            t0 = time.time()
+            n = registry[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best, n
 
-    # one warmup action so the first probe doesn't pay JVM startup
-    run("q01_pricing_summary", small)
+    # one warmup action (non-probed query) absorbs JVM startup
+    registry["q55_count_lineitem"](spark, small).count()
 
     results = {}
     for name in PROBES:
