@@ -116,16 +116,62 @@ def s3a_confs(
     return confs
 
 
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable inside Python WORKER processes.
+
+    mapInPandas/pandas-UDF kernels close over module-level functions,
+    which cloudpickle serializes BY REFERENCE (module + qualname) —
+    so the worker must be able to ``import data_lake_with_spark_spark``.
+    That holds when the driver process runs from the repo root (cwd on
+    sys.path) but NOT when an external harness imports
+    ``__spark_entry__`` from elsewhere via ``sys.path`` manipulation:
+    workers then die with ModuleNotFoundError (caught by driving the
+    contract from /tmp under a vanilla session). Shipping the package
+    as a zip via ``addPyFile`` fixes every such path; once per
+    SparkContext, ~100 KB.
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"dlws_pkg_{os.getpid()}"
+    )
+    try:
+        zip_path = shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered, or a session without addPyFile
+    _SHIPPED_APP_IDS.add(app_id)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session.
 
     The driver harness hands us its own SparkSession; queries must be
     deterministic under it, so set what can still be set (timezone,
-    nanos handling, AQE). Build-time confs are left alone.
+    nanos handling, AQE). Build-time confs are left alone. Also ships
+    the package zip to Python workers (see ship_package_to_workers) so
+    pandas-UDF kernels import cleanly wherever the driver runs from.
     """
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this session; readers fall back per-table
+    ship_package_to_workers(spark)
     return spark
