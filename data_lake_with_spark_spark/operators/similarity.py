@@ -38,8 +38,14 @@ def label_centroids(
     and dimensions of the same label spread over the cluster. Long
     form is deliberate: element rows hash portably in the value
     oracle, where engine-specific float-array renderings would not.
-    Sums route through DECIMAL(18,6) so Spark and the DuckDB twin
-    (unnest WITH ORDINALITY) agree bitwise.
+    Sums route through DECIMAL(18,6) so every engine accumulates the
+    identical exact value, and the mean is that exact sum divided by
+    the count in ONE IEEE double division — bit-identical everywhere,
+    with NO display rounding: a round-to-6dp here sat exactly on a
+    .xxxxxx5 boundary at sf0.1 ((label 9, pos 7): exact ratio
+    0.0032135) and Spark/DuckDB disagreed on the double's rounding —
+    caught by the round-5 multi-SF oracle sweep. Single IEEE ops
+    need no canonicalization; only rounding diverges.
     """
     exploded = df.select(
         F.col(label_col).alias("label"),
@@ -48,14 +54,11 @@ def label_centroids(
     return (
         exploded.groupBy("label", (F.col("pos") + 1).alias("pos"))
         .agg(
-            F.round(
-                (
-                    F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
-                        "double"
-                    )
-                    / F.count(F.lit(1))
-                ),
-                6,
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
             ).alias("centroid_val")
         )
         .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid_val")

@@ -2782,8 +2782,8 @@ def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_Q85 = """
 SELECT label, CAST(i AS BIGINT) AS pos,
-       ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
-                  AS DOUBLE) / COUNT(*), 6) AS centroid_val
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS centroid_val
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
 GROUP BY 1, 2
 """
@@ -3008,8 +3008,8 @@ assigned AS (
              AS rn
     FROM dists) WHERE rn = 1)
 SELECT a.cluster, CAST(i AS BIGINT) AS pos,
-       ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
-                  AS DOUBLE) / COUNT(*), 6) AS centroid_val
+       CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS centroid_val
 FROM assigned a JOIN embeddings e USING (vec_id),
      UNNEST(generate_series(1, len(e.embedding))) AS s(i)
 GROUP BY 1, 2

@@ -455,13 +455,21 @@ def fuzzy_dedup_ingest(
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
 ) -> "object":
-    """Drive a stream into an in-memory sink (test/debug harness)."""
-    return (
+    """Drive a stream into an in-memory sink (test/debug harness).
+    Pass ``checkpoint_dir`` to persist offsets + state across
+    successive availableNow runs — required to exercise multi-batch
+    semantics such as watermark late-data drops."""
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

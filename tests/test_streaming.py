@@ -413,3 +413,60 @@ def test_cdc_delete_update_interleavings_match_batch_twin(spark, tmp_path):
     }
     assert got == expect
     assert got == {1: (1, "click", 1.0), 2: (7, "purchase", 7.0)}
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics that single-batch availableNow runs never
+    exercise: a later batch's event that falls in an already-
+    FINALIZED window (older than the watermark) is dropped, while an
+    in-watermark event still lands. Append-mode file sink + a
+    persistent checkpoint: append mode emits a window exactly once,
+    when the watermark passes its end — so the late event's exclusion
+    is visible as the finalized 00:00 window keeping n=1."""
+    stage = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run_once(rows):
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).coalesce(1).write.mode("append").json(stage)
+        stream = SE.read_event_stream(spark, stage)
+        q = (
+            SE.windowed_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events at 00:30 and 10:30 -> watermark advances to
+    # 08:30 -> the 00:00 window finalizes with n=1
+    run_once(
+        [
+            (1, "2030-01-01 00:30:00.000000", 1, "click", 1.0),
+            (2, "2030-01-01 10:30:00.000000", 1, "click", 1.0),
+        ]
+    )
+    # batch 2: event 3 is LATE (00:40, its window already finalized)
+    # and must be dropped; event 4 (09:30) is inside the watermark
+    run_once(
+        [
+            (3, "2030-01-01 00:40:00.000000", 1, "click", 1.0),
+            (4, "2030-01-01 09:30:00.000000", 1, "click", 1.0),
+        ]
+    )
+    # batch 3: a fresh event at 13:30 pushes the watermark to 11:30,
+    # finalizing the 09:00 and 10:00 windows
+    run_once([(5, "2030-01-01 13:30:00.000000", 1, "click", 1.0)])
+
+    finalized = {
+        r["window_start"].hour: r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert finalized[0] == 1  # late event 3 did NOT reopen/bump 00:00
+    assert finalized[9] == 1  # in-watermark event 4 landed
+    assert finalized[10] == 1
