@@ -99,7 +99,8 @@ def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
             F.lit(name).alias("rule"),
             F.col("_n").alias("n_rows"),
             F.col(f"_v{i}").alias("n_violations"),
-            F.round(F.col(f"_v{i}") / F.col("_n"), 6).alias("violation_rate"),
+            # unrounded int/int division: bit-identical cross-engine
+            (F.col(f"_v{i}") / F.col("_n")).alias("violation_rate"),
         )
         for i, name in enumerate(names)
     ]

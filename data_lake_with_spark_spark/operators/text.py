@@ -49,9 +49,14 @@ def char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
         # n == 0 guard: Spark's non-ANSI 0/0 is NULL but DuckDB's is
         # NaN, so an unguarded ratio diverges from the SQL oracle on
         # empty documents; NULL on both engines is the portable answer.
+        # unrounded: exact-int / exact-int is ONE IEEE division,
+        # bit-identical on every engine; a 6dp display round here can
+        # sit exactly on a .xxxxxx5 boundary (ratios over power-of-two
+        # lengths terminate at digit 7) where Spark and DuckDB round
+        # the same double differently — the q85 divergence class
         return F.when(
             n > 0,
-            F.round((n - F.length(F.regexp_replace(c, pattern, ""))) / n, 6),
+            (n - F.length(F.regexp_replace(c, pattern, ""))) / n,
         ).otherwise(F.lit(None).cast("double"))
     return df.select(
         "*",
@@ -71,8 +76,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     clean_score = F.lit(1.0) - F.least(
         F.col("punct_ratio") + F.col("digit_ratio"), F.lit(1.0)
     )
+    # unrounded for the same boundary reason as char_classes' ratios
     return scored.withColumn(
-        "quality", F.round(F.lit(0.5) * length_score + F.lit(0.5) * clean_score, 6)
+        "quality", F.lit(0.5) * length_score + F.lit(0.5) * clean_score
     )
 
 
@@ -175,9 +181,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return out.select(
         id_col,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
-        F.round(F.col("top_unigram_n") / F.col("n_tokens"), 6).alias("top_unigram_frac"),
-        F.when(F.col("n_bigrams") > 0, F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6))
+        (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+        (F.col("top_unigram_n") / F.col("n_tokens")).alias("top_unigram_frac"),
+        F.when(F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams"))
         .otherwise(F.lit(None).cast("double"))
         .alias("top_bigram_frac"),
     )

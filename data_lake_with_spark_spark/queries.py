@@ -1085,8 +1085,8 @@ def _o_ratio(pattern: str, alias: str) -> str:
     # len(text) == 0 guard mirrors text.char_classes: NULL, not NaN.
     return (
         f"CASE WHEN len(text) > 0 THEN "
-        f"round((len(text) - len(regexp_replace(text, '{pattern}', '', 'g')))"
-        f" / CAST(len(text) AS DOUBLE), 6) ELSE NULL END AS {alias}"
+        f"(len(text) - len(regexp_replace(text, '{pattern}', '', 'g')))"
+        f" / CAST(len(text) AS DOUBLE) ELSE NULL END AS {alias}"
     )
 
 
@@ -1099,8 +1099,8 @@ WITH c AS (
          CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
   FROM documents)
 SELECT doc_id, n_chars_measured, punct_ratio, digit_ratio, upper_ratio, n_tokens,
-       round(0.5 * least(n_chars_measured / 500.0, 1.0)
-           + 0.5 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 6) AS quality
+       0.5 * least(n_chars_measured / 500.0, 1.0)
+           + 0.5 * (1.0 - least(punct_ratio + digit_ratio, 1.0)) AS quality
 FROM c
 """
 
@@ -2469,9 +2469,20 @@ def q103_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
         .agg(
+            # decimal-routed: the product is exact at 4dp, the sum
+            # exact in decimal, the 2dp round exact — a round of the
+            # DOUBLE sum can land on an .xx5 boundary where engines
+            # disagree (q85 divergence class)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("r_name", "n_name")
@@ -2480,7 +2491,8 @@ def q103_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_Q103 = """
 SELECT r.r_name, n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2557,8 +2569,8 @@ _O_Q101_RULES = (
 O_Q101 = "\nUNION ALL\n".join(
     f"""SELECT '{name}' AS rule, COUNT(*) AS n_rows,
        COUNT(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 END) AS n_violations,
-       ROUND(COUNT(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 END)
-             / COUNT(*), 6) AS violation_rate
+       COUNT(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE) AS violation_rate
 FROM lineitem"""
     for name, cond in _O_Q101_RULES
 )
@@ -2604,10 +2616,10 @@ bi AS (
   GROUP BY doc_id, g),
 bs AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_bi FROM bi GROUP BY doc_id)
 SELECT us.doc_id, CAST(us.n_tokens AS BIGINT) AS n_tokens,
-       ROUND(us.n_distinct / CAST(us.n_tokens AS DOUBLE), 6) AS distinct_ratio,
-       ROUND(us.top_u / CAST(us.n_tokens AS DOUBLE), 6) AS top_unigram_frac,
+       us.n_distinct / CAST(us.n_tokens AS DOUBLE) AS distinct_ratio,
+       us.top_u / CAST(us.n_tokens AS DOUBLE) AS top_unigram_frac,
        CASE WHEN bs.n_bi > 0
-            THEN ROUND(bs.top_b / CAST(bs.n_bi AS DOUBLE), 6) END
+            THEN bs.top_b / CAST(bs.n_bi AS DOUBLE) END
          AS top_bigram_frac
 FROM us LEFT JOIN bs USING (doc_id)
 """

@@ -67,7 +67,7 @@ def test_repetition_stats_values(spark):
     assert rows[1]["n_tokens"] == 4
     assert rows[1]["distinct_ratio"] == 0.5
     assert rows[1]["top_unigram_frac"] == 0.75
-    assert rows[1]["top_bigram_frac"] == round(2 / 3, 6)  # "spam spam" twice
+    assert rows[1]["top_bigram_frac"] == 2 / 3  # "spam spam" twice (unrounded)
     assert rows[2]["top_unigram_frac"] == 0.25
     assert rows[2]["distinct_ratio"] == 1.0
 
