@@ -181,3 +181,79 @@ def upsert_snapshot(
             for c in cols
         ]
     )
+
+
+def incremental_agg_update(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+    insert_op: str = "I",
+    delete_op: str = "D",
+    n_col: str = "n",
+    sum_col: str = "total",
+) -> DataFrame:
+    """Incremental maintenance of a (count, sum) aggregate — the
+    materialized-view delta-update shape: instead of recomputing a
+    100 TB rollup, fold a CDC batch of inserts/deletes into the
+    existing per-key state.
+
+    ``state``: ``(*keys, n, total)``; ``changes``: rows with the raw
+    ``value_col`` and an op column (``I`` adds the row, ``D`` retracts
+    a previously counted row). New state:
+    ``n' = n + Σ(±1)``, ``total' = total + Σ(±value)``; keys whose
+    count reaches 0 drop out (and negative counts raise downstream
+    alarms in the caller — retracting a never-inserted row is a data
+    bug this operator must not silently absorb, so rows with n' < 0
+    are KEPT for visibility rather than clamped).
+
+    Why count+sum only: they are the self-maintainable aggregates
+    under deletion (avg derives as total/n); min/max need the base
+    data or an auxiliary structure once a current extremum is
+    retracted — callers needing those recompute per affected key.
+
+    Scale shape: the delta aggregates partial map-side to one row per
+    touched key (a CDC batch touches few keys), then ONE full-outer
+    join against the state on the key — the state itself never
+    rescans its source. Sums route through DECIMAL(18,6) so the
+    incremental path is EXACTLY the recompute path (value-oracled in
+    q108 against a from-scratch aggregation).
+    """
+    sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+    delta = (
+        changes.where(F.col(op_col).isin(insert_op, delete_op))
+        .groupBy(*keys)
+        .agg(
+            F.sum(sign).alias("_dn"),
+            F.sum(
+                sign.cast("decimal(18,6)")
+                * F.col(value_col).cast("decimal(18,6)")
+            ).alias("_dsum"),
+        )
+    )
+    s = state.alias("__ia_s")
+    d = delta.alias("__ia_d")
+    cond = [
+        F.col(f"__ia_s.{k}").eqNullSafe(F.col(f"__ia_d.{k}")) for k in keys
+    ]
+    merged = s.join(d, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ia_s.{k}"), F.col(f"__ia_d.{k}")).alias(k)
+            for k in keys
+        ],
+        (
+            F.coalesce(F.col(f"__ia_s.{n_col}"), F.lit(0))
+            + F.coalesce(F.col("__ia_d._dn"), F.lit(0))
+        ).cast("bigint").alias(n_col),
+        (
+            F.coalesce(
+                F.col(f"__ia_s.{sum_col}").cast("decimal(18,6)"),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            + F.coalesce(
+                F.col("__ia_d._dsum"), F.lit(0).cast("decimal(18,6)")
+            )
+        ).cast("double").alias(sum_col),
+    )
+    return merged.where(F.col(n_col) != 0)

@@ -1033,6 +1033,49 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+def q108_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (relational.incremental_agg_update): a per-event-type (count,
+    sum) rollup built from a base partition of events, then updated
+    by a CDC batch — inserts for the held-out events, deletes
+    retracting every 13th base event — WITHOUT rescanning the base
+    data. The oracle recomputes the final state from scratch; the
+    decimal-routed sums make incremental == recompute exactly, which
+    is the whole contract of view maintenance."""
+    from data_lake_with_spark_spark.operators import relational
+
+    e = _t(spark, sf_dir, "events")
+    base = e.where(F.col("event_id") % 7 != 0)
+    state = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total"
+        ),
+    )
+    inserts = e.where(F.col("event_id") % 7 == 0).select(
+        "event_type", "value", F.lit("I").alias("op")
+    )
+    deletes = base.where(F.col("event_id") % 13 == 0).select(
+        "event_type", "value", F.lit("D").alias("op")
+    )
+    return relational.incremental_agg_update(
+        state,
+        inserts.unionByName(deletes),
+        keys=["event_type"],
+        value_col="value",
+    )
+
+
+O_Q108 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+WHERE NOT (event_id % 13 = 0 AND event_id % 7 <> 0)
+GROUP BY event_type
+"""
+
+
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text.lang_scores(d).select(
@@ -3491,6 +3534,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q105_quantized_topk": (q105_quantized_topk, O_Q105),
     "q106_ann_lsh_multiprobe": (q106_ann_lsh_multiprobe, O_Q106),
     "q107_streaming_conversions": (q107_streaming_conversions, O_Q107),
+    "q108_incremental_aggregate": (q108_incremental_aggregate, O_Q108),
 }
 
 

@@ -174,3 +174,37 @@ def test_surface_wrappers_cover_reference_ops(spark, tmp_path):
     assert df.where("id = 2").select(
         word_shingles(F.col("txt"), 3).alias("sh")
     ).first()["sh"] == []
+
+
+def test_incremental_agg_update_matches_recompute_and_drops_empty(spark):
+    """Incremental (count,sum) maintenance == from-scratch recompute;
+    a key whose count reaches zero drops out; a retraction below zero
+    is KEPT visible (negative n), never silently clamped."""
+    from data_lake_with_spark_spark.operators.relational import (
+        incremental_agg_update,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)], ["k", "n", "total"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 10.0, "I"),   # a: n 3, total 40
+            ("b", 5.0, "D"),    # b: n 0 -> drops out
+            ("c", 7.0, "I"),    # c: new key
+            ("d", 1.0, "D"),    # d: never inserted -> n = -1, kept
+            ("a", 2.5, "X"),    # unknown op: ignored
+        ],
+        ["k", "value", "op"],
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in incremental_agg_update(
+            state, changes, keys=["k"], value_col="value"
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 40.0),
+        "c": (1, 7.0),
+        "d": (-1, -1.0),
+    }
