@@ -165,3 +165,78 @@ def temperature_rebalance(
         .where(F.substring(F.md5(key), 1, precision) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: Column,
+    weights: "dict[str, float]",
+    precision: int = 4,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets
+    the split whose cumulative md5-prefix range contains its hashed
+    key — the standard leakage-safe corpus partitioning (a document's
+    split never changes across runs, cluster sizes, or engines, so
+    later pipeline stages can re-derive it instead of joining).
+
+    ``weights`` maps split name → fraction (must sum to ~1; ranges
+    quantize to 16**-precision, default 1/65536ths). Assignment
+    iterates splits in INSERTION ORDER, so ``{"train": .8,
+    "val": .1, "test": .1}`` gives train the low hash range —
+    document the order with the weights. Scan-side expression: no
+    shuffle, no RNG, reproducible by the SQL oracle byte-for-byte.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    prefix = F.substring(F.md5(key), 1, precision)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        bound = rate_threshold(cum, precision)
+        cond = prefix < F.lit(bound)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: "list[str]",
+    key: Column,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group
+    by md5(key) (a uniform, engine-portable order) and keep the first
+    ``k`` — eval-set construction ("50 docs per language"), debugging
+    slices, per-source audits.
+
+    One window shuffle on the group key. Unlike ``df.sample``, the
+    selected rows are a pure function of the data (stable under
+    reruns/repartitioning and reproducible by the SQL oracle); unlike
+    ``LIMIT`` per group, selection is unbiased w.r.t. input order.
+    md5 ties (hash collisions on distinct keys are ~2^-64 per pair)
+    break on the hash's full string then the key itself via the
+    window's deterministic order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(key).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

@@ -1076,6 +1076,61 @@ GROUP BY event_type
 """
 
 
+def q109_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe corpus split (sampling.split_assign):
+    every document lands in train/val/test by its md5-hash range —
+    stable across runs, partitionings, and engines, so downstream
+    stages re-derive membership instead of joining a membership
+    table. Oracle replicates the cumulative hex bounds exactly."""
+    from data_lake_with_spark_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return split_assign(
+        d.select("doc_id", "lang"),
+        F.col("doc_id").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "lang", "split")
+
+
+O_Q109 = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q110_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (sampling.sample_per_group):
+    20 documents per language ranked by md5(doc_id) — the eval-slice
+    constructor; selection is a pure function of the data (no RNG),
+    so the SQL oracle picks byte-identical rows."""
+    from data_lake_with_spark_spark.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_per_group(
+        d.select("doc_id", "lang"),
+        ["lang"],
+        F.col("doc_id").cast("string"),
+        k=20,
+    ).select("doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+
+
+O_Q110 = """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                    CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text.lang_scores(d).select(
@@ -3535,6 +3590,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q106_ann_lsh_multiprobe": (q106_ann_lsh_multiprobe, O_Q106),
     "q107_streaming_conversions": (q107_streaming_conversions, O_Q107),
     "q108_incremental_aggregate": (q108_incremental_aggregate, O_Q108),
+    "q109_train_val_test_split": (q109_train_val_test_split, O_Q109),
+    "q110_sample_per_group": (q110_sample_per_group, O_Q110),
 }
 
 

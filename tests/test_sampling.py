@@ -117,3 +117,52 @@ def test_temperature_rebalance_interpolates(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_rebalance(df, "lang", key, alpha=1.5)
+
+
+def test_split_assign_covers_all_rows_and_respects_weights(spark, sf_dir):
+    from data_lake_with_spark_spark.operators.sampling import split_assign
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    got = split_assign(
+        d, F.col("doc_id").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    counts = {r["split"]: r["n"] for r in got.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # total partition, no row lost
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    assert counts["val"] > 0 and counts["test"] > 0
+    # stability: rerun assigns identically
+    again = {r["doc_id"]: r["split"] for r in split_assign(
+        d, F.col("doc_id").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split").collect()}
+    first = {r["doc_id"]: r["split"] for r in got.select("doc_id", "split").collect()}
+    assert first == again
+    # weight validation
+    import pytest
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(d, F.col("doc_id").cast("string"), {"a": 0.5})
+
+
+def test_sample_per_group_exact_k_and_deterministic(spark, sf_dir):
+    from data_lake_with_spark_spark.operators.sampling import sample_per_group
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = sample_per_group(
+        d, ["lang"], F.col("doc_id").cast("string"), k=5
+    )
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    group_sizes = {r["lang"]: r["n"] for r in d.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, group_sizes[lang])
+    ids1 = {r["doc_id"] for r in got.collect()}
+    ids2 = {r["doc_id"] for r in sample_per_group(
+        d.repartition(7), ["lang"], F.col("doc_id").cast("string"), k=5
+    ).collect()}
+    assert ids1 == ids2  # partitioning-independent selection
