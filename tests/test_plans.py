@@ -204,3 +204,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_split_assign_is_scan_side(spark, sf_dir):
+    """q109: split assignment is a pure projection — no Exchange, no
+    Python; the corpus never shuffles for a split."""
+    p = plan(spark, sf_dir, "q109_train_val_test_split")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sample_per_group_single_window_shuffle(spark, sf_dir):
+    """q110: exactly the one hash-partition exchange the group window
+    needs."""
+    p = plan(spark, sf_dir, "q110_sample_per_group")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_incremental_agg_no_base_rescan(spark, sf_dir):
+    """q108's plan reads the events scan for state/changes (this demo
+    BUILDS the state inline) but the incremental update itself is
+    partial-agg + one outer join — no Python, aggregates partial."""
+    p = plan(spark, sf_dir, "q108_incremental_aggregate")
+    assert "BatchEvalPython" not in p
+    assert "partial_" in p  # map-side combine on the delta
