@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_lake_with_spark_spark.functions.texthash import char_shingles, keyed_md5
+from data_lake_with_spark_spark.functions.texthash import char_shingles
 from data_lake_with_spark_spark.operators.text import fingerprint
 
 
@@ -61,66 +61,60 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for hash function j, the minimum of
-    md5(f"{j}:" + shingle) over the doc's shingle set.
+    """Per-doc MinHash signature: hash family j is the j-th 32-bit
+    hex slice across ⌈num_hashes/4⌉ md5 digests per shingle —
+    digest 0 is ``md5(shingle)`` (so signatures for num_hashes ≤ 4
+    are unchanged from earlier rounds and match the SQL oracles),
+    digest g ≥ 1 is ``md5('{g}:' + shingle)``.
 
-    For num_hashes ≤ 4 the family is the four 32-bit hex slices of
-    ONE md5 per shingle (see functions/texthash.md5_slice) — one
-    digest instead of four, and the digest is materialized in a
-    projection BELOW the aggregate so it's computed exactly once per
-    shingle, inside whole-stage codegen. (The tempting no-shuffle
-    formulation — ``array_min(transform(shingles, hash))`` — runs the
-    hash in an interpreted higher-order lambda, once per hash
-    function, ~4-8× slower; the explode's shuffle is harmless
-    because map-side combine reduces it to |docs|×num_hashes rows.)
+    Position explode (int sequence) + scalar substring + md5:
+    everything after the explode is whole-stage-codegen'd; no
+    interpreted array-of-strings is ever built. This formulation now
+    covers EVERY num_hashes — the old > 4 fallback ran one
+    interpreted higher-order lambda per hash function (8 md5s per
+    shingle for the docs-pipeline default), measured ~3× slower than
+    ⌈n/4⌉ digests here.
+
+    Hash-repartition by id first: a corpus read from few/small
+    files otherwise runs the whole explode+hash pipeline in one
+    task (input-split parallelism, not row parallelism). The
+    partition count MUST be explicit: a bare repartition(col) is
+    an AQE coalescing target, and on a small-bytes/high-CPU input
+    (KBs of text that explode into millions of hashes) AQE
+    collapses it to ONE partition and serializes the whole
+    pipeline — observed 3.6x on a 1.5 MB corpus.
 
     Docs shorter than ``shingle_k`` (no shingles) are dropped,
     matching the SQL-oracle formulation.
     """
-    if num_hashes <= 4:
-        # Position explode (int sequence) + scalar substring + md5:
-        # everything after the explode is whole-stage-codegen'd; no
-        # interpreted array-of-strings is ever built.
-        # Hash-repartition by id first: a corpus read from few/small
-        # files otherwise runs the whole explode+hash pipeline in one
-        # task (input-split parallelism, not row parallelism). The
-        # partition count MUST be explicit: a bare repartition(col) is
-        # an AQE coalescing target, and on a small-bytes/high-CPU input
-        # (KBs of text that explode into millions of hashes) AQE
-        # collapses it to ONE partition and serializes the whole
-        # pipeline — observed 3.6x on a 1.5 MB corpus.
-        parts = df.sparkSession.sparkContext.defaultParallelism
-        exploded = (
-            df.where(F.length(text_col) >= shingle_k)
-            .repartition(parts, F.col(id_col))
-            .select(
-                F.col(id_col),
-                F.col(text_col).alias("_txt"),
-                F.explode(
-                    F.sequence(
-                        F.lit(1), F.length(text_col) - F.lit(shingle_k - 1)
-                    )
-                ).alias("_i"),
-            )
-            .select(
-                F.col(id_col),
-                F.md5(F.expr(f"substring(_txt, _i, {shingle_k})")).alias("_d"),
-            )
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    n_digests = (num_hashes + 3) // 4
+    sh = F.expr(f"substring(_txt, _i, {shingle_k})")
+    digests = [
+        F.md5(sh if g == 0 else F.concat(F.lit(f"{g}:"), sh)).alias(f"_d{g}")
+        for g in range(n_digests)
+    ]
+    exploded = (
+        df.where(F.length(text_col) >= shingle_k)
+        .repartition(parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_txt"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - F.lit(shingle_k - 1)
+                )
+            ).alias("_i"),
         )
-        cols = [
-            F.min(F.substring(F.col("_d"), 8 * j + 1, 8)).alias(f"mh{j}")
-            for j in range(num_hashes)
-        ]
-        return exploded.groupBy(id_col).agg(*cols)
-
-    shingles = char_shingles(F.col(text_col), shingle_k)
+        .select(F.col(id_col), *digests)
+    )
     cols = [
-        F.array_min(
-            F.transform(shingles, (lambda jj: lambda s: keyed_md5(jj, s))(j))
+        F.min(
+            F.substring(F.col(f"_d{j // 4}"), 8 * (j % 4) + 1, 8)
         ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return df.where(F.length(text_col) >= shingle_k).select(F.col(id_col), *cols)
+    return exploded.groupBy(id_col).agg(*cols)
 
 
 def minhash_bands(
