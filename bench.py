@@ -25,7 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_lake_with_spark_spark import queries as q  # noqa: E402
-from data_lake_with_spark_spark.session import get_spark  # noqa: E402
+from data_lake_with_spark_spark.session import (  # noqa: E402
+    clear_persistent_rdds,
+    get_spark,
+)
 from data_lake_with_spark_spark.sources.catalog import load_table  # noqa: E402
 
 #: Benchmarked queries: the full oracle-checked registry minus the
@@ -122,6 +125,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
         timings[name] = round(min(reps), 3)
+        # deterministic checkpoint hygiene: queries that localCheckpoint
+        # (PPJoin index, CC rounds, IVF probes) otherwise leave
+        # persisted RDDs to GC-timed ContextCleaner bursts — a source
+        # of mid-run noise on a 100-query session
+        clear_persistent_rdds(spark)
 
     # Flagship composition: the full 5-table star-schema build (parity
     # mode, real parquet sinks) over the reference fixture, timed like

@@ -116,6 +116,30 @@ def s3a_confs(
     return confs
 
 
+def clear_persistent_rdds(spark: SparkSession) -> int:
+    """Explicitly unpersist every persistent RDD in the context.
+
+    Operators that ``localCheckpoint`` bounded frames (PPJoin's prefix
+    index, CC rounds, IVF probe lists) leave their checkpoint RDDs
+    persisted until the JVM ContextCleaner notices the Python refs are
+    gone — GC-timing-dependent, so a long single-session run (the
+    driver's 110-query gate, bench) accumulates them in bursts
+    (observed up to 19 after the CC queries, dropping to 4 only when
+    GC happened to fire). Harness loops call this BETWEEN queries —
+    after a query's result is fully materialized its checkpoints are
+    dead weight; the next query builds fresh plans. Returns how many
+    were dropped."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        n = 0
+        for rdd in list(jmap.values()):
+            rdd.unpersist(False)
+            n += 1
+        return n
+    except Exception:
+        return 0
+
+
 _SHIPPED_APP_IDS: set[str] = set()
 
 

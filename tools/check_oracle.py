@@ -93,9 +93,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    from data_lake_with_spark_spark.session import clear_persistent_rdds
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        clear_persistent_rdds(spark)  # checkpoint hygiene between queries
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
