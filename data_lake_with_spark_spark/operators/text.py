@@ -400,3 +400,40 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r"\s+", " "
     )
     return df.withColumn("fp", F.md5(F.trim(normalized)))
+
+
+#: Compact multilingual stopword list for the stopword-ratio quality
+#: signal (union of the LANG_MARKERS function words plus bare English
+#: articles/prepositions). Deliberately small + deterministic so the
+#: SQL oracle carries the identical list inline.
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "el", "la", "de", "que", "los", "le", "les",
+    "des", "est", "der", "die", "das", "und", "ist",
+)
+
+
+def stopword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio quality signal (Gopher-style: natural prose has
+    a healthy function-word fraction; machine-generated lists,
+    boilerplate, and keyword-stuffed spam sit near 0): token count,
+    stopword occurrence count, and their ratio per document.
+
+    JVM-side array ``filter`` over the whitespace tokens — no UDF, no
+    shuffle (pure projection; the ratio is an unrounded int/int
+    division, so the oracle matches bitwise). Compose with
+    ``quality_score``/``check_expectations`` as a gate column; the
+    list is :data:`STOPWORDS` (swap for a real per-language list in
+    production — the plan shape is identical).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return df.select(
+        "*",
+        n.cast("bigint").alias("n_tokens"),
+        stop_n.cast("bigint").alias("n_stopwords"),
+        F.when(n > 0, stop_n / n)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("stopword_ratio"),
+    )

@@ -1131,6 +1131,39 @@ WHERE rn <= 20
 """
 
 
+def q111_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal (text.stopword_stats): the
+    function-word fraction per document — the brief's third named
+    quality axis next to length and punctuation. Pure projection
+    (JVM array filter, no UDF); ratio unrounded so the DuckDB
+    list_filter twin matches bitwise."""
+    from data_lake_with_spark_spark.operators.text import stopword_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return stopword_stats(d).select(
+        "doc_id", "n_tokens", "n_stopwords", "stopword_ratio"
+    )
+
+
+from data_lake_with_spark_spark.operators.text import STOPWORDS as _STOPWORDS
+
+_O_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+O_Q111 = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains([{_O_STOPLIST}], x)))
+            AS BIGINT) AS n_stopwords,
+       CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> list_contains([{_O_STOPLIST}], x)))
+                 / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+FROM t
+"""
+
+
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text.lang_scores(d).select(
@@ -3592,6 +3625,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q108_incremental_aggregate": (q108_incremental_aggregate, O_Q108),
     "q109_train_val_test_split": (q109_train_val_test_split, O_Q109),
     "q110_sample_per_group": (q110_sample_per_group, O_Q110),
+    "q111_stopword_stats": (q111_stopword_stats, O_Q111),
 }
 
 

@@ -161,3 +161,19 @@ def test_tfidf_top_terms_ranks_rare_terms_highest(spark):
     # doc 3 only has zero-scoring terms; deterministic tiebreak returns one
     assert top[3] == "common"
     assert all(r["rank"] == 1 for r in rows)
+
+
+def test_stopword_stats_values(spark):
+    from data_lake_with_spark_spark.operators.text import stopword_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),   # 3 stopwords of 5 tokens
+            (2, "spark catalyst tungsten"),  # none
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_stopwords"], r["stopword_ratio"])
+           for r in stopword_stats(df).collect()}
+    assert got[1] == (5, 3, 3 / 5)
+    assert got[2] == (3, 0, 0.0)
