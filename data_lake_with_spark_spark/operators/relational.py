@@ -216,9 +216,13 @@ def incremental_agg_update(
     Scale shape: the delta aggregates partial map-side to one row per
     touched key (a CDC batch touches few keys), then ONE full-outer
     join against the state on the key — the state itself never
-    rescans its source. Sums route through DECIMAL(18,6) so the
-    incremental path is EXACTLY the recompute path (value-oracled in
-    q108 against a from-scratch aggregation).
+    rescans its source. Sums route through DECIMAL(18,6) AND the
+    returned ``sum_col`` STAYS decimal(18,6): round-tripping the
+    running sum through double each batch would silently break the
+    "incremental == recompute exactly" guarantee once |total|
+    exceeds ~2^53/1e6 ≈ 9e9 — fatal for a 100 TB rollup. Cast to
+    double only in a read-side view (value-oracled in q108 against a
+    from-scratch aggregation).
     """
     sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
     delta = (
@@ -254,6 +258,6 @@ def incremental_agg_update(
             + F.coalesce(
                 F.col("__ia_d._dsum"), F.lit(0).cast("decimal(18,6)")
             )
-        ).cast("double").alias(sum_col),
+        ).cast("decimal(18,6)").alias(sum_col),
     )
     return merged.where(F.col(n_col) != 0)

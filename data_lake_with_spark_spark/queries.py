@@ -66,6 +66,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _drain_stream_to_memory(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    output_mode: str,
+    stage_dirs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Run a streaming frame into a memory sink with availableNow,
+    then STOP the query and REMOVE the staging dirs (repeated
+    driver-gate/bench runs previously accumulated staged JSON copies
+    of the events table and live memory-sink queries in /tmp — the
+    advisor's leak). The memory sink retains its materialized rows
+    after stop(), so the returned ``spark.table(name)`` frame stays
+    readable; staging files are only inputs to the already-finished
+    micro-batch, never read again."""
+    import shutil
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+        for d in stage_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
 # --- A. reference-surface relational queries ------------------------------
 
 
@@ -997,16 +1033,10 @@ def q107_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = read_event_stream(spark, stage)
     sb = read_event_stream(spark, stage)
     joined = stream_stream_conversions(sa, sb, within="1 hour")
-    name = "dlws_stream_conversions"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_stream_to_memory(
+        joined, spark, "dlws_stream_conversions", "append", (stage,)
     )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    return out.select(
         "user_id",
         "a_event_id",
         "b_event_id",
@@ -1046,11 +1076,11 @@ def q108_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     base = e.where(F.col("event_id") % 7 != 0)
+    # State sums stay DECIMAL(18,6) end-to-end across batches (the
+    # operator's exactness contract); double only on the final read.
     state = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-            "total"
-        ),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
     )
     inserts = e.where(F.col("event_id") % 7 == 0).select(
         "event_type", "value", F.lit("I").alias("op")
@@ -1058,12 +1088,14 @@ def q108_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes = base.where(F.col("event_id") % 13 == 0).select(
         "event_type", "value", F.lit("D").alias("op")
     )
-    return relational.incremental_agg_update(
+    out = relational.incremental_agg_update(
         state,
         inserts.unionByName(deletes),
         keys=["event_type"],
         value_col="value",
     )
+    # Read-side view: expose double for consumers/oracle parity.
+    return out.withColumn("total", F.col("total").cast("double"))
 
 
 O_Q108 = """
@@ -1324,16 +1356,10 @@ def q76_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.coalesce(4).write.mode("overwrite").json(stage)
     stream = read_event_stream(spark, stage)
     agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
-    name = "dlws_stream_hourly"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_stream_to_memory(
+        agg, spark, "dlws_stream_hourly", "complete", (stage,)
     )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -1693,15 +1719,23 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HLL estimates are engine-specific, so the estimate itself cannot
     hash-match DuckDB — instead the driver-facing output carries the
-    EXACT count plus ``within_bound`` = |approx − exact| ≤ 3·rsd·exact
-    (the same 3σ envelope tests/test_properties.py pins), and the
-    oracle asserts every group's bound holds: the sketch's accuracy
-    is driver-verified, not just pytest-verified. Note the VERIFIER's
-    tradeoff, deliberate here: computing the bound requires the exact
-    distinct too, so this gate query costs more than the sketch alone
-    — a production caller uses ``approx_count_distinct`` by itself
-    (the estimate is dropped from this output because only its
-    bound, not its engine-specific value, is portable)."""
+    EXACT count plus ``within_bound`` = |approx − exact| ≤ 6·rsd·exact.
+    The oracle asserts every group's bound holds, so the sketch's
+    accuracy is driver-verified, not just pytest-verified. The
+    envelope is deliberately 6·rsd here, not the 3σ that
+    tests/test_properties.py pins: rsd is a STANDARD-ERROR multiple,
+    not a hard HLL++ guarantee, so a TRUE-asserting SQL oracle at 3σ
+    would be flaky-by-design across regenerated fixtures/scale
+    factors (deterministic per dataset, but a fresh dataset can
+    legitimately land past 3σ). The tight 3σ check lives in pytest
+    where the dataset is pinned; the 12%-error gate here catches
+    implementation breakage (wrong column, wrong rsd plumbing) while
+    being robust to sketch luck. Note the VERIFIER's tradeoff,
+    deliberate here: computing the bound requires the exact distinct
+    too, so this gate query costs more than the sketch alone — a
+    production caller uses ``approx_count_distinct`` by itself (the
+    estimate is dropped from this output because only its bound, not
+    its engine-specific value, is portable)."""
     e = _t(spark, sf_dir, "events")
     rsd = 0.02
     return (
@@ -1715,7 +1749,7 @@ def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(3 * rsd) * F.col("exact_users")
+                <= F.lit(6 * rsd) * F.col("exact_users")
             ).alias("within_bound"),
         )
     )
@@ -1863,16 +1897,10 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.coalesce(4).write.mode("overwrite").json(stage)
     stream = read_event_stream(spark, stage)
     agg = session_counts(stream, gap="30 minutes", watermark="2 hours")
-    name = "dlws_stream_sessions"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_stream_to_memory(
+        agg, spark, "dlws_stream_sessions", "complete", (stage,)
     )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    return out.select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
             "session_start"
         ),
@@ -2309,16 +2337,10 @@ def q70_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched_windowed_counts(
         stream, dim, "user_id", "c_custkey", "c_mktsegment"
     )
-    name = "dlws_stream_enriched"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_stream_to_memory(
+        agg, spark, "dlws_stream_enriched", "complete", (stage,)
     )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -2888,16 +2910,10 @@ def q84_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.coalesce(2).write.mode("append").json(stage)
     stream = read_event_stream(spark, stage)
     deduped = dedup_stream(stream, keys=("event_id",))
-    name = "dlws_stream_dedup"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_stream_to_memory(
+        deduped, spark, "dlws_stream_dedup", "append", (stage,)
     )
-    q.awaitTermination(120)
-    return spark.table(name).select(
+    return out.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
@@ -3067,25 +3083,32 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="dlws_cdc_")
     stage = os.path.join(root, "in")
     snap = os.path.join(root, "snap")
-    e.coalesce(2).write.mode("overwrite").json(stage)
-    q = cdc_apply_stream(
-        read_event_stream(spark, stage),
-        snap,
-        keys=("user_id",),
-        order_col="ts",
-        tiebreak_cols=("event_id",),
-    )
-    q.awaitTermination(120)
-    snap_df = resolve_format("auto", spark).read_snapshot(spark, snap)
-    # driver-facing ts as the canonical micro string (the stream
-    # parsed it to timestamp; a string avoids tz/type skew vs DuckDB)
-    return snap_df.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-    )
+    try:
+        e.coalesce(2).write.mode("overwrite").json(stage)
+        q = cdc_apply_stream(
+            read_event_stream(spark, stage),
+            snap,
+            keys=("user_id",),
+            order_col="ts",
+            tiebreak_cols=("event_id",),
+        )
+        q.awaitTermination(120)
+        snap_df = resolve_format("auto", spark).read_snapshot(spark, snap)
+        # driver-facing ts as the canonical micro string (the stream
+        # parsed it to timestamp; a string avoids tz/type skew vs
+        # DuckDB). localCheckpoint(eager) pins the rows BEFORE the
+        # snapshot dir is removed below — the driver collects lazily.
+        return snap_df.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        ).localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 O_Q90 = """

@@ -116,8 +116,27 @@ def s3a_confs(
     return confs
 
 
+#: Persistent-RDD ids that existed BEFORE this package first touched a
+#: given SparkContext (keyed by applicationId). Anything in here was
+#: persisted by the caller/harness, not by us — never unpersist it.
+_PRE_EXISTING_PERSISTENT: dict[str, set[int]] = {}
+
+
+def _snapshot_pre_existing_persistent(spark: SparkSession) -> None:
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _PRE_EXISTING_PERSISTENT:
+            return
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        _PRE_EXISTING_PERSISTENT[app_id] = {
+            int(rdd.id()) for rdd in list(jmap.values())
+        }
+    except Exception:
+        pass
+
+
 def clear_persistent_rdds(spark: SparkSession) -> int:
-    """Explicitly unpersist every persistent RDD in the context.
+    """Unpersist persistent RDDs this package's operators left behind.
 
     Operators that ``localCheckpoint`` bounded frames (PPJoin's prefix
     index, CC rounds, IVF probe lists) leave their checkpoint RDDs
@@ -127,12 +146,24 @@ def clear_persistent_rdds(spark: SparkSession) -> int:
     (observed up to 19 after the CC queries, dropping to 4 only when
     GC happened to fire). Harness loops call this BETWEEN queries —
     after a query's result is fully materialized its checkpoints are
-    dead weight; the next query builds fresh plans. Returns how many
-    were dropped."""
+    dead weight; the next query builds fresh plans.
+
+    Scope/contract: RDDs that were already persistent when this
+    package first saw the context (snapshotted in
+    :func:`ensure_runtime_confs`) are the caller's and are left
+    alone. Everything newer is assumed ours — so call this only
+    between queries, when no caller-held DataFrame built since then
+    is still live (dropping a localCheckpoint block makes frames over
+    it unrecomputable: lineage was truncated). Returns how many were
+    dropped."""
     try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        sc = spark.sparkContext
+        keep = _PRE_EXISTING_PERSISTENT.get(sc.applicationId, set())
+        jmap = sc._jsc.getPersistentRDDs()  # noqa: SLF001
         n = 0
         for rdd in list(jmap.values()):
+            if int(rdd.id()) in keep:
+                continue
             rdd.unpersist(False)
             n += 1
         return n
@@ -179,7 +210,10 @@ def ship_package_to_workers(spark: SparkSession) -> None:
         )
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
-        pass  # already registered, or a session without addPyFile
+        # Transient failure (tmpdir full, addPyFile race): do NOT cache
+        # the app_id, so the next ensure_runtime_confs call retries
+        # instead of leaving workers to die with ModuleNotFoundError.
+        return
     _SHIPPED_APP_IDS.add(app_id)
 
 
@@ -192,6 +226,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     the package zip to Python workers (see ship_package_to_workers) so
     pandas-UDF kernels import cleanly wherever the driver runs from.
     """
+    _snapshot_pre_existing_persistent(spark)
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
