@@ -55,6 +55,10 @@ SKIP = {
     # itself is q13's (which IS benched) plus partition pruning,
     # plan-gated in tests/test_similarity.py.
     "q102_ann_ivf_indexed",
+    # same filesystem-dominated index build as q102 (one partition
+    # dir per centroid); its serving plan is q113's (which IS
+    # benched) plus partition pruning.
+    "q114_ann_ivf_indexed_budgeted",
 }
 
 

@@ -1809,6 +1809,44 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= 5
 """
 
+# Budgeted-IVF twin (q113/q114): identical pipeline to O_Q13 except
+# the centroid set derives from a FIXED BUDGET — mod = max(1, n//40),
+# computed in SQL exactly as similarity.ivf_topk computes it in
+# Python (DuckDB's // is floor division on BIGINT, same as Python's
+# on non-negative ints).
+O_Q113 = f"""
+WITH m AS (
+  SELECT GREATEST(1, COUNT(*) // 40) AS md FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings, m
+  WHERE vec_id % m.md = 0),
+assigned AS (
+  SELECT cent_id, neighbor_id, cv2 FROM (
+    SELECT c.cent_id, e.vec_id AS neighbor_id, e.embedding AS cv2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+probes AS (
+  SELECT cent_id, query_id, qv FROM (
+    SELECT c.cent_id, e.vec_id AS query_id, e.embedding AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_O_COS.format(a='a.cv2', b='p.qv')} AS cos
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE p.query_id != a.neighbor_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
 
 def q14_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5-hot-key events table
@@ -2685,6 +2723,63 @@ def q102_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the index dir vanishes (localCheckpoint
         # pins the served result; the driver may collect lazily)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def q113_ann_ivf_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in the PRODUCTION configuration: a FIXED centroid
+    budget (``target_centroids=40``) instead of q13's fixed sampling
+    rate (``centroid_mod=50``). The distinction is the one real
+    scale trap the round-5 10× probe measured (α=0.83): a fixed mod
+    grows the centroid count linearly with the corpus, making the
+    broadcast-argmin assignment O(N²·d/mod); a fixed budget K keeps
+    it O(N·K·d) — the FAISS-style shape you would actually deploy at
+    100 TB (K ≈ √N chosen by the operator, nprobe/K of the corpus
+    read per probe). q13 stays registered as the parity pin; THIS
+    entry keeps the deployable config continuously driver-verified
+    and benched (round-5 verdict item #1). The oracle derives the
+    same budgeted mod in SQL — ``GREATEST(1, COUNT(*) // 40)`` is
+    bit-identical to the operator's ``max(1, n // 40)`` — so the
+    whole path (budget → mod → centroid set → assignment → probe →
+    rank) value-matches DuckDB."""
+    from data_lake_with_spark_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=4,
+        target_centroids=40,
+    )
+
+
+def q114_ann_ivf_indexed_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index serving under the same fixed centroid budget
+    as q113 (build_ivf_index/ivf_topk_indexed with
+    ``target_centroids=40``): the index build assigns against a
+    bounded centroid set and the probe reads only the probed
+    ``cent_id=`` partitions. Same oracle as q113 — identical results
+    to the inline budgeted IVF over the same centroid set; the index
+    changes the I/O profile, not the answer (q102's pattern, now for
+    the deployable config)."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="dlws_ivf_idxb_")
+    try:
+        build_ivf_index(emb, idx, target_centroids=40)
+        out = ivf_topk_indexed(
+            spark, idx, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -3649,6 +3744,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q109_train_val_test_split": (q109_train_val_test_split, O_Q109),
     "q110_sample_per_group": (q110_sample_per_group, O_Q110),
     "q111_stopword_stats": (q111_stopword_stats, O_Q111),
+    "q113_ann_ivf_budgeted": (q113_ann_ivf_budgeted, O_Q113),
+    "q114_ann_ivf_indexed_budgeted": (q114_ann_ivf_indexed_budgeted, O_Q113),
 }
 
 
@@ -3681,6 +3778,20 @@ _ROTATED_IN = (
     "q77_multimodal_features",
     "q90_streaming_cdc",
     "q53_approx_distinct",
+    # round 6: the five operator classes added in round 5 (stream-
+    # stream interval join, incremental view maintenance, leakage-
+    # safe split, k-per-group sampling, stopword quality) — the only
+    # oracled families never yet driver-hard-verified — plus the
+    # PRODUCTION-config IVF pair (fixed centroid budget, the r5
+    # verdict's #1 item: the deployable config becomes the
+    # continuously driver-verified one; q13/q102 stay as parity pins)
+    "q107_streaming_conversions",
+    "q108_incremental_aggregate",
+    "q109_train_val_test_split",
+    "q110_sample_per_group",
+    "q111_stopword_stats",
+    "q113_ann_ivf_budgeted",
+    "q114_ann_ivf_indexed_budgeted",
 )
 _ROTATED_OUT = (
     # round 4
@@ -3705,17 +3816,44 @@ _ROTATED_OUT = (
     "q05_deterministic_sample",
     "q23_minhash_pairs",
     "q30_token_stats",
+    # round 6 demotions (each driver-hard-verified in an earlier
+    # round; every family keeps an in-window representative:
+    # distinct via q19/q21, anti-join via the staying q08 semi-join,
+    # aggregation via q01/q37/q40, SimHash's dedup family via
+    # q18/q22/q24/q42/q46-q48, fingerprint's text family via
+    # q11/q28/q29/q36/q50, SQL entry via q40. q53 is demoted on the
+    # r5 advisor's explicit call: a TRUE-asserting sketch-bound
+    # oracle is flaky-by-design across regenerated fixtures — the
+    # widened 6·rsd gate stays value-verified in the local replica,
+    # the strict 3σ check lives in pytest on the pinned dataset.
+    "q03_distinct_flags",
+    "q09_anti_join",
+    "q14_salted_aggregation",
+    "q25_simhash",
+    "q31_fingerprint",
+    "q32_sql_entrypoint",
+    "q53_approx_distinct",
 )
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with the round's rotation applied: promoted
+    """Registry names with the cumulative rotation applied: promoted
     queries take the demoted queries' window slots; demoted queries
-    move to the tail (still registered, still oracled)."""
+    move to the tail (still registered, still oracled). A name can be
+    promoted in one round and demoted in a later one (q53: in r5b,
+    out r6) — the positional swap pairs then CHAIN (q30→q53 in r5,
+    q53→q114 in r6 ⇒ q30's slot now holds q114), and the re-demoted
+    name appears only in the tail."""
     swap = dict(zip(_ROTATED_OUT, _ROTATED_IN))
-    names = [
-        swap.get(n, n) for n in _REGISTRY if n not in set(_ROTATED_IN)
-    ]
+    promoted = set(_ROTATED_IN)
+    names: list[str] = []
+    for n in _REGISTRY:
+        if n in promoted:
+            continue  # surfaces via a swap chain (window) or the tail
+        m = n
+        while m in swap:
+            m = swap[m]
+        names.append(m)
     names.extend(_ROTATED_OUT)
     return names
 
