@@ -4,13 +4,15 @@ Model: a multimodal asset is a row with a ``binary`` payload column +
 typed metadata (modality, mime, width/height/duration, …). The
 Spark-side plumbing — schema, batching, partition-sized Arrow
 transfer via ``mapInPandas`` — is real and tested. Decode is real
-for the uncompressed formats pure numpy can parse (binary PPM and
-24-bit BMP: :func:`decode_image`, pixel features, nearest-neighbor
-resize with lossless PPM re-encode); compressed codec formats
-(JPEG/PNG/video containers) fall back to deterministic byte-keyed
-stubs because media libraries are not available in this environment —
-swap the fallback branch for PIL/ffmpeg calls in production, inside
-the same mapInPandas kernels.
+for every format stdlib+numpy can parse: binary PPM, uncompressed
+24-bit BMP, and non-interlaced 8-bit PNG (gray / RGB / palette /
+gray+alpha / RGBA — PNG is zlib-DEFLATE plus five per-row filters,
+both implementable without a codec library; see :func:`decode_image`),
+plus PCM WAV audio. Remaining codec formats (JPEG/MP3/video
+containers) fall back to deterministic byte-keyed stubs because
+media libraries are not available in this environment — swap the
+fallback branch for PIL/ffmpeg calls in production, inside the same
+mapInPandas kernels.
 
 Scale notes: payloads ride in parquet binary columns; keep row groups
 small enough that an Arrow batch of payloads fits executor memory
@@ -66,22 +68,193 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """REAL image decode for the uncompressed formats parseable in
-    pure numpy — binary PPM (``P6``) and uncompressed 24-bit BMP —
-    returning an ``(H, W, 3)`` uint8 RGB array, or ``None`` when the
-    payload is not one of them (JPEG/PNG/video need codec libraries
-    this container lacks; those fall back to the byte-stats stub).
+#: PNG 8-byte signature.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Both parsers are vectorized ``np.frombuffer`` reshapes — no
-    per-pixel Python — which is also the template a PIL/ffmpeg-backed
-    production decoder should follow inside the same mapInPandas
-    kernels.
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG's five per-row filters (spec §9: None/Sub/Up/
+    Average/Paeth) on the decompressed scanline stream — ``h`` rows
+    of ``1 + stride`` bytes each — returning an (h, stride) uint8
+    array. Filters None/Sub/Up are vectorized (Sub is a per-lane
+    prefix sum mod 256); Average/Paeth are inherently sequential in
+    x (each pixel depends on the just-reconstructed left neighbor),
+    so those rows run a Python loop — correctness-first, and per-ROW
+    dispatch means images written with fast filters never pay it.
+    """
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            lanes = row.reshape(stride // bpp, bpp).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            rl, pl, cl = row.tolist(), prev.tolist(), [0] * stride
+            for x in range(stride):
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur[:] = cl
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            rl, pl, cl = row.tolist(), prev.tolist(), [0] * stride
+            for x in range(stride):
+                a = cl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cl[x] = (rl[x] + pred) & 0xFF
+            cur[:] = cl
+        else:
+            return None
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Pure stdlib+numpy PNG decode: zlib-inflate the IDAT stream,
+    reverse the per-row filters, map the color type to RGB. Supports
+    non-interlaced 8-bit-per-sample images in all five PNG color
+    types — gray (0), RGB (2), palette (3), gray+alpha (4), RGBA (6);
+    alpha is dropped, gray replicated to 3 channels, palette looked
+    up through PLTE. Interlaced (Adam7) and 16-bit images return
+    ``None`` (rare in training corpora; a codec lib handles them in
+    production)."""
+    import zlib
+
+    import numpy as np
+
+    try:
+        pos = len(_PNG_SIG)
+        ihdr = None
+        idat = bytearray()
+        plte = None
+        while pos + 8 <= len(payload):
+            clen = int.from_bytes(payload[pos : pos + 4], "big")
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"PLTE":
+                plte = body
+            elif ctype == b"IDAT":
+                idat.extend(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + body + crc
+        if ihdr is None or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, color, _comp, _filt, interlace = ihdr[8:13]
+        if depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None or (color == 3 and plte is None):
+            return None
+        stride = w * channels
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, channels)
+        if px is None:
+            return None
+        px = px.reshape(h, w, channels)
+        if color == 2:
+            return px.copy()
+        if color == 6 or color == 4:
+            px = px[:, :, :-1]  # drop alpha
+        if px.shape[2] == 1:
+            if color == 3:
+                pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+                return pal[px[:, :, 0]].copy()
+            return np.repeat(px, 3, axis=2).copy()
+        return px.copy()
+    except (ValueError, IndexError, zlib.error):
+        return None
+
+
+def encode_png(img, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for an (H, W, 3) uint8 array (color type 2,
+    one filter type for every row) — the round-trip twin of
+    :func:`_decode_png` for tests and for materializing decoded
+    assets without a codec library."""
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int64)
+    rows = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub
+            filt = (cur - np.concatenate([np.zeros(3, np.int64), cur[:-3]])) % 256
+        elif filter_type == 2:  # Up
+            filt = (cur - prev) % 256
+        else:
+            raise ValueError("encoder supports filter types 0/1/2")
+        rows.append(filter_type)
+        rows.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes):
+    """REAL image decode for every format stdlib+numpy can parse —
+    binary PPM (``P6``), uncompressed 24-bit BMP, and non-interlaced
+    8-bit PNG (all five color types; PNG is zlib-DEFLATE + five
+    per-row filters, no codec library needed — see :func:`_decode_png`)
+    — returning an ``(H, W, 3)`` uint8 RGB array, or ``None`` when
+    the payload is none of them (JPEG/video need codec libraries this
+    container lacks; those fall back to the byte-stats stub).
+
+    The PPM/BMP parsers are vectorized ``np.frombuffer`` reshapes —
+    no per-pixel Python — which is also the template a PIL/ffmpeg-
+    backed production decoder should follow inside the same
+    mapInPandas kernels.
     """
     import numpy as np
 
     if payload is None or len(payload) < 16:
         return None
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single-ws>
         try:

@@ -156,3 +156,144 @@ def test_sample_frames_fanout(spark):
     assert len(frames) == 3
     assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
     assert all(f["asset_id"] == 3 for f in frames)
+
+
+def _fwd_filter(flat, bpp, ftypes):
+    """Spec-forward PNG filtering (PNG spec §9) — the test-side twin
+    of multimodal._png_unfilter, covering Average/Paeth which the
+    package encoder deliberately doesn't emit."""
+    h, stride = flat.shape
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        cur = flat[y].tolist()
+        ft = ftypes[y % len(ftypes)]
+        raw.append(ft)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = cur[x] - a
+            elif ft == 2:
+                v = cur[x] - b
+            elif ft == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            raw.append(v & 0xFF)
+        prev = cur
+    return bytes(raw)
+
+
+def _png(w, h, color, channels, flat, ftypes, plte=None):
+    import zlib
+
+    def chunk(ct, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ct
+            + body
+            + zlib.crc32(ct + body).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    png = M._PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", plte)
+    raw = _fwd_filter(flat, channels, ftypes)
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_round_trip_all_encoder_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        out = M.decode_image(M.encode_png(img, filter_type=ft))
+        assert out is not None and (out == img).all(), f"filter {ft}"
+
+
+def test_decode_png_average_and_paeth_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    png = _png(9, 13, 2, 3, img.reshape(13, 27), [3, 4, 1, 2, 0])
+    out = M.decode_image(png)
+    assert out is not None and (out == img).all()
+
+
+def test_decode_png_color_types_map_to_rgb():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    out = M.decode_image(_png(7, 5, 0, 1, gray.reshape(5, 7), [4, 3]))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    out = M.decode_image(_png(4, 6, 6, 4, rgba.reshape(6, 16), [4, 2, 3]))
+    assert (out == rgba[:, :, :3]).all()
+
+    ga = rng.integers(0, 256, size=(3, 8, 2), dtype=np.uint8)
+    out = M.decode_image(_png(8, 3, 4, 2, ga.reshape(3, 16), [2, 4]))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 5, 1), dtype=np.uint8)
+    out = M.decode_image(
+        _png(5, 5, 3, 1, idx.reshape(5, 5), [1, 0], plte=pal.tobytes())
+    )
+    assert (out == pal[idx[:, :, 0]]).all()
+
+
+def test_decode_png_rejects_unsupported_gracefully():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = M.encode_png(img)
+    # 16-bit depth → None (byte at IHDR offset: depth)
+    bad = bytearray(good)
+    bad[len(M._PNG_SIG) + 8 + 8] = 16
+    assert M.decode_image(bytes(bad)) is None
+    # truncated IDAT → None, not an exception
+    assert M.decode_image(good[: len(good) // 2]) is None
+
+
+def test_extract_features_uses_real_pixels_for_png(spark):
+    import numpy as np
+
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    png = M.encode_png(img, filter_type=1)
+    rows = [(9, "image", "image/png", png, 8, 8, None)]
+    feats = M.extract_features(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    ).collect()[0]
+    # pixel stats of the DECODED image (constant 200), not byte stats
+    # of the compressed container
+    assert feats["feat_mean"] == 200.0
+    assert feats["feat_std"] == 0.0
+
+
+def test_resize_images_real_nearest_neighbor_for_png(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    rows = [(10, "image", "image/png", M.encode_png(img, 2), 6, 10, None)]
+    out = M.resize_images(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA), width=3, height=5
+    ).collect()[0]
+    resized = M.decode_image(out["payload"])  # re-encoded as PPM
+    assert resized.shape == (5, 3, 3)
+    yi = np.minimum((np.arange(5) * 10) // 5, 9)
+    xi = np.minimum((np.arange(3) * 6) // 3, 5)
+    assert (resized == img[yi][:, xi]).all()
