@@ -18,11 +18,21 @@ contract, selected by backend name:
   - ``tiktoken`` — true BPE ids decoded back to token strings through
     an Arrow-batched pandas UDF. Import-gated: raises ImportError
     with the install hint when the package is absent (as here).
+  - ``bpe_mini`` — true greedy rank-ordered BPE (functions/bpe.py,
+    pure Python) over the VENDORED merges table
+    (resources/bpe_merges_mini.jsonl, trained by tools/train_bpe.py).
+    Runs through the same Arrow-batched pandas-UDF shape as the
+    tiktoken backend — one model load per worker process, cached —
+    so the model-backed seam contract is TESTED offline, not
+    import-gated away.
 - ``language_id(df, backend=...)`` appends ``lang_pred string``
   - ``markers`` — the oracle-checked marker-word argmax
     (text.lang_scores), JVM-side.
   - ``fasttext`` — model-based prediction via a pandas UDF over the
     same contract; import- and model-path-gated.
+  - ``char_ngram`` — Cavnar-Trenkle rank-ordered char-n-gram
+    profiles (functions/langid_ngram.py, vendored seed model), the
+    dependency-free tested twin of the fasttext backend.
 
 Every backend is a pure projection (no shuffle); the pandas-UDF
 backends batch through Arrow, load their model once per worker
@@ -33,6 +43,12 @@ everything consumes the ``tokens`` / ``lang_pred`` columns.
 
 from __future__ import annotations
 
+# Module-level on purpose: the pandas-UDF backends annotate their
+# kernels with ``pd.Series``, and under PEP-563 string annotations
+# PySpark resolves those hints against MODULE globals — a
+# function-local ``import pandas as pd`` leaves the hint unresolvable
+# (PySparkNotImplementedError: UNSUPPORTED_SIGNATURE).
+import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,10 +103,32 @@ def _tokenize_tiktoken(
     return df.withColumn(out_col, bpe_tokens(F.col(text_col)))
 
 
+def _tokenize_bpe_mini(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bpe_tokens(texts: pd.Series) -> pd.Series:
+        # one tokenizer per worker process, reused across Arrow
+        # batches (module-level cache survives between batches of the
+        # same worker — the exact lifecycle the tiktoken/fasttext
+        # backends rely on)
+        from data_lake_with_spark_spark.functions import bpe
+
+        tok = getattr(bpe, "_VENDORED_CACHE", None)
+        if tok is None:
+            tok = bpe.load_vendored()
+            bpe._VENDORED_CACHE = tok
+        return texts.map(lambda t: tok.encode(t or ""))
+
+    return df.withColumn(out_col, bpe_tokens(F.col(text_col)))
+
+
 TOKENIZERS = {
     "whitespace": _tokenize_whitespace,
     "gpt2_regex": _tokenize_gpt2_regex,
     "tiktoken": _tokenize_tiktoken,
+    "bpe_mini": _tokenize_bpe_mini,
 }
 
 
@@ -147,9 +185,23 @@ def _langid_fasttext(
     return df.withColumn(out_col, predict(F.col(text_col)))
 
 
+def _langid_char_ngram(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def predict(texts: pd.Series) -> pd.Series:
+        from data_lake_with_spark_spark.functions.langid_ngram import classify
+
+        return texts.map(lambda t: classify(t or ""))
+
+    return df.withColumn(out_col, predict(F.col(text_col)))
+
+
 LANG_BACKENDS = {
     "markers": _langid_markers,
     "fasttext": _langid_fasttext,
+    "char_ngram": _langid_char_ngram,
 }
 
 

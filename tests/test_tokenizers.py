@@ -99,3 +99,88 @@ def test_model_backends_import_gated(spark):
     if not have_fasttext:
         with pytest.raises(ImportError, match="fasttext"):
             language_id(_df(spark), backend="fasttext")
+
+
+def test_bpe_trainer_is_deterministic_and_compresses():
+    from data_lake_with_spark_spark.functions.bpe import (
+        BPETokenizer,
+        train_bpe,
+    )
+
+    corpus = ["low lower lowest", "new newer newest", "low low newest"] * 3
+    m1 = train_bpe(corpus, 30)
+    m2 = train_bpe(list(reversed(corpus)), 30)
+    assert m1 == m2  # order-independent, tie-broken deterministically
+    tok = BPETokenizer(m1)
+    toks = tok.encode("low lowest newer")
+    # lossless + compressive: fewer tokens than characters
+    assert "".join(toks) == "low lowest newer"
+    assert len(toks) < len("low lowest newer")
+
+
+def test_bpe_vendored_model_loads_and_is_lossless():
+    from data_lake_with_spark_spark.functions.bpe import load_vendored
+
+    tok = load_vendored()
+    assert len(tok.ranks) > 50  # a real learned table, not a stub
+    for text in (
+        "the fast key order sort table scan merge",
+        "Hello, world! It's 2026.",
+        "",
+        "tabs\tand\nnewlines stay lossless",
+    ):
+        assert "".join(tok.encode(text)) == text
+    # fixture-vocabulary words merge to whole word pieces
+    assert tok.encode("the fast merge")[:2] == ["the", " fast"]
+
+
+def test_bpe_mini_backend_through_spark_seam(spark):
+    from data_lake_with_spark_spark.functions.bpe import load_vendored
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in tokenize(_df(spark), backend="bpe_mini").collect()
+    }
+    tok = load_vendored()
+    for doc_id, text in SAMPLES:
+        assert got[doc_id] == tok.encode(text)  # seam == local model
+        assert "".join(got[doc_id]) == text
+    # contract: same output columns/types as every other tokenizer
+    # backend (simpleString ignores the nullability flag, which
+    # pandas-UDF array results mark containsNull=true)
+    a = tokenize(_df(spark), backend="bpe_mini").schema
+    b = tokenize(_df(spark)).schema
+    assert [(f.name, f.dataType.simpleString()) for f in a] == [
+        (f.name, f.dataType.simpleString()) for f in b
+    ]
+
+
+def test_char_ngram_langid_classifies_held_out_sentences():
+    from data_lake_with_spark_spark.functions.langid_ngram import classify
+
+    held_out = {
+        "en": "The old man sat near the window and watched the birds.",
+        "es": "Los estudiantes escribieron una carta muy larga para el profesor.",
+        "fr": "Les étudiants ont écrit une longue lettre pour le professeur.",
+        "de": "Die Studenten schrieben einen sehr langen Brief für den Professor.",
+    }
+    for lang, sentence in held_out.items():
+        assert classify(sentence) == lang
+    assert classify("") == "und"
+
+
+def test_char_ngram_backend_through_spark_seam(spark):
+    rows = [
+        (1, "the cat and the dog sat near the house"),
+        (2, "el perro y el gato estaban en la casa"),
+        (3, "le chien et le chat étaient dans la maison"),
+        (4, "der hund und die katze waren in dem haus"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id(df, backend="char_ngram").collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de"}
+    # contract: same schema as the oracled markers backend
+    assert language_id(df, backend="char_ngram").columns == language_id(df).columns
