@@ -525,7 +525,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
-    collect_threshold: int = 2_000_000,
+    collect_threshold: int = 1_500_000,
     algorithm: str = "pointer_jump",
 ) -> DataFrame:
     """Connected components over a candidate-pair graph: every node
@@ -542,7 +542,12 @@ def connected_components(
       non-trivial labels back as a map join. Each distributed
       iteration below costs seconds of scheduling latency regardless
       of data size, so for graphs this small the loop is pure
-      overhead. 2M edges ≈ 32 MB on the driver.
+      overhead. The 1.5M default sits at the MEASURED crossing
+      (SCALING_r06.md: min-of-2 on synthetic star graphs, driver
+      wins 6.8s vs 9.0s at 1M edges, loses 13.6s vs 8.6s at 2M and
+      64.6s vs 24.0s at 8M — the collect + Python loop grows
+      super-linearly past it); on a real cluster the driver collect
+      also pays network, so err lower, not higher.
     - larger: iterative distributed min-label propagation (below).
       This is the 100 TB path — star-edge inputs
       (:func:`minhash_star_edges`) keep the edge count linear in

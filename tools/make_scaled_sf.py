@@ -68,12 +68,20 @@ def main() -> int:
         # inflated MinHash band collisions 139× — a fixture artifact,
         # not a workload property.)
         alpha = "abcdefghijklmnopqrstuvwxyz"
-        # 1 + (k-1) % 25 is never 0 mod 26, so NO replica's shift is
-        # the identity (k % 26 would silently duplicate replica 0's
-        # text verbatim at k=26 — review finding); identical to k for
-        # factor ≤ 26, which keeps existing probe fixtures stable
-        shift = 1 + (k - 1) % 25
-        shifted = alpha[shift:] + alpha[:shift]
+        # AFFINE cipher i -> (a*i + b) mod 26 per replica: 12 valid
+        # multipliers x 26 shifts = 312 DISTINCT bijections, so no two
+        # replicas share a mapping up to factor 312. (The previous
+        # shift-only guard `1 + (k-1) % 25` avoided the identity but
+        # cycled with period 25 — at factor 30, replicas 1&26, 2&27,
+        # 3&28, 4&29 carried IDENTICAL text and injected ~10M
+        # cross-replica true pairs into the 30x PPJoin rung, a fixture
+        # artifact. b = k % 26 keeps replicas 1..25 byte-identical to
+        # the old Caesar shifts, so earlier probe fixtures reproduce.)
+        coprimes = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+        if k >= 26 * len(coprimes):
+            raise ValueError(f"factor {factor} exceeds {26 * len(coprimes)} distinct ciphers")
+        a_mul, b_add = coprimes[k // 26], k % 26
+        shifted = "".join(alpha[(a_mul * i + b_add) % 26] for i in range(26))
         return d.select(
             (F.col("doc_id") + k * ID_OFF).alias("doc_id"),
             F.translate("text", alpha, shifted).alias("text"),
