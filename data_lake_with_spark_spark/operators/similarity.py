@@ -769,3 +769,74 @@ def bucketed_topk_multiprobe(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    centroid_mod: int = 50,
+    target_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then drop WITHIN-CLUSTER semantic near-duplicates
+    — rows whose cosine to a lower-id row in the same cluster exceeds
+    ``threshold``. The curation step between exact/MinHash dedup
+    (surface text) and nothing: it removes re-phrasings and
+    boilerplate variants that share meaning but no shingles.
+
+    Returns every corpus row as ``(id, cluster, kept)`` — ``kept`` is
+    false iff a lower-id same-cluster row is semantically closer than
+    ``threshold`` (greedy min-id representative, the paper's cheap
+    deterministic variant of per-group selection; deterministic ties
+    via the id order, no RNG).
+
+    Scale shape — the whole point of clustering first: pairwise
+    similarity runs ONLY within clusters, so the candidate count is
+    Σ kᵢ² over cluster sizes instead of N². Assignment is the same
+    broadcast-argmin as IVF (no corpus shuffle); the pair join
+    shuffles on cluster id. Pass ``target_centroids`` (FAISS-style
+    fixed budget, q113's knob) so E[k] = N/K stays bounded as the
+    corpus grows — with K ∝ N, Σ kᵢ² stays linear in N. Deterministic
+    centroid seeds (``id % mod == 0``) keep the operator
+    SQL-oracle-portable; production swaps in kmeans() centroids with
+    identical downstream plumbing.
+    """
+    if target_centroids is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_centroids))
+    cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cent_v")
+    )
+    assigned = kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).join(
+        corpus.select(id_col, vec_col), on=id_col
+    )
+    left = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dominated = (
+        left.join(right, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_expr("_va", "_vb", vec_dim), 6) > threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dom", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -437,3 +437,72 @@ def stopword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("stopword_ratio"),
     )
+
+
+def ngram_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-frequency rarity signal — the engine-exact stand-in for
+    the LM-perplexity quality filter (CCNet, Wenzek et al. 2020 bins
+    documents by language-model perplexity; the portable analog is
+    "how typical are this document's character n-grams of the
+    corpus"). Per document: ``n_ngrams`` and ``mean_freq`` = the mean
+    corpus-wide relative frequency of its char n-grams. Low values =
+    unusual text (gibberish, wrong-language, encoding damage); high
+    values = boilerplate-like text. Bin or threshold downstream
+    exactly like a perplexity score.
+
+    Exactness contract (why mean-frequency, not log-perplexity): the
+    score is ``Σ count(gᵢ) / (n_ngrams · total)`` — integer sums with
+    ONE trailing IEEE division, bitwise-reproducible by any engine.
+    A log-based score would hit libm ulp skew between JVM and C
+    implementations of log(); the rarity ORDERING this filter needs
+    survives the monotone transform either way.
+
+    Scale shape: one position-explode pass (codegen'd substring, the
+    MinHash formulation) feeds both the model (n-gram → count groupBy)
+    and the per-doc join. The model is bounded by the n-gram SPACE,
+    not the corpus — |alphabet|³ for trigrams — so it always
+    broadcasts, and the per-doc aggregation is one partial-agg
+    groupBy on the id. Docs shorter than ``n`` are dropped (no
+    n-grams), matching the SQL oracle.
+    """
+    # explicit-count repartition before the explode: the corpus is
+    # small-bytes/high-CPU (KBs of text exploding into millions of
+    # grams), and a bare repartition(col) is an AQE coalescing target
+    # that collapses the whole pipeline to ONE task (the measured
+    # MinHash trap, dedup.minhash_signatures).
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.where(F.length(text_col) >= n)
+        .repartition(parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_txt"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
+            ).alias("_i"),
+        )
+        .select(F.col(id_col), F.expr(f"substring(_txt, _i, {n})").alias("_g"))
+    )
+    model = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+    total = grams.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        grams.join(F.broadcast(model), on="_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("_c").alias("_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            (F.col("_sum") / (F.col("n_ngrams") * F.col("_total"))).alias(
+                "mean_freq"
+            ),
+        )
+    )

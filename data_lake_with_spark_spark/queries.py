@@ -1848,6 +1848,71 @@ WHERE rank <= 5
 """
 
 
+def q115_ngram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (text.ngram_rarity): per-doc
+    mean corpus frequency of its char trigrams — the CCNet-style
+    LM-perplexity binning signal, formulated as integer sums + one
+    division so Spark and DuckDB agree bitwise (a log-space score
+    would hit JVM-vs-libm log() ulp skew; the filter's ordering is
+    invariant under the monotone transform)."""
+    from data_lake_with_spark_spark.operators.text import ngram_rarity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_rarity(d, n=3)
+
+
+O_Q115 = """
+WITH tri AS (
+  SELECT doc_id, substr(text, g, 3) AS g3
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS g) s
+  WHERE len(text) >= 3),
+model AS (SELECT g3, COUNT(*) AS c FROM tri GROUP BY g3),
+total AS (SELECT COUNT(*) AS t FROM tri)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / (COUNT(*) * MAX(t))
+         AS mean_freq
+FROM tri JOIN model USING (g3) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def q116_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (similarity.semantic_dedup — SemDeDup,
+    Abbas et al. 2023): cluster the embedding space with the
+    deterministic IVF coarse quantizer, then mark within-cluster rows
+    whose cosine to a lower-id row exceeds the threshold as dropped.
+    Pairwise similarity never leaves a cluster (Σk² not N²); the
+    centroid budget knob (q113) bounds cluster sizes at scale."""
+    from data_lake_with_spark_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.85, centroid_mod=50)
+
+
+O_Q116 = f"""
+WITH cents AS (
+  SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings
+  WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT e.vec_id, c.cluster, e.embedding,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({{l2}}, 6) ASC, c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {{cos}} > 0.85)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+"""
+
+
 def q14_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5-hot-key events table
     (operators/skew.py) — identical results to a direct groupBy, but
@@ -3254,6 +3319,13 @@ _O_L2SQ = (
     "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
 )
 
+# O_Q116 is authored as a template next to its query (the L2 helper is
+# defined here, after that point in the file); resolve it now.
+O_Q116 = O_Q116.format(
+    l2=_O_L2SQ.format(a="e.embedding", b="c.cent_v"),
+    cos=_O_COS.format(a="a.embedding", b="b.embedding"),
+)
+
 O_Q41 = f"""
 WITH cents AS (
   SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings
@@ -3746,6 +3818,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q111_stopword_stats": (q111_stopword_stats, O_Q111),
     "q113_ann_ivf_budgeted": (q113_ann_ivf_budgeted, O_Q113),
     "q114_ann_ivf_indexed_budgeted": (q114_ann_ivf_indexed_budgeted, O_Q113),
+    "q115_ngram_rarity": (q115_ngram_rarity, O_Q115),
+    "q116_semantic_dedup": (q116_semantic_dedup, O_Q116),
 }
 
 

@@ -293,3 +293,67 @@ def test_ivf_target_centroids_budget(spark, sf_dir):
     mod = max(1, n // 20)
     n_cents = emb.where((F.col("vec_id") % mod) == 0).count()
     assert 15 <= n_cents <= 25
+
+
+def test_semantic_dedup_marks_within_cluster_near_dups(spark):
+    """Two near-identical vectors land in one cluster: the higher id
+    is dropped; an orthogonal vector in another cluster is kept."""
+    from data_lake_with_spark_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid seed (id % 2 == 0 with mod=2... use mod=10 below: ids 0,10)
+        (10, [0.0, 1.0, 0.0, 0.0]),  # second centroid seed
+        (3, [1.0, 0.001, 0.0, 0.0]),  # near-dup of id 0's direction
+        (7, [0.999, 0.01, 0.0, 0.0]),  # near-dup, higher id -> dropped
+        (11, [0.0, 1.0, 0.002, 0.0]),  # near-dup of 10 -> dropped (10 < 11)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(df, threshold=0.9, centroid_mod=10).collect()
+    }
+    assert got[0] == (0, True)      # lowest id of its group
+    assert got[3] == (0, False)     # dominated by 0
+    assert got[7] == (0, False)     # dominated by 0 and 3
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)   # dominated by 10
+    # every input row is present with a verdict
+    assert len(got) == len(rows)
+
+
+def test_semantic_dedup_threshold_gates_and_keeps_all_rows(spark):
+    """threshold above every pairwise cosine keeps everything (the
+    operator only DROPS on strict >); lowering it below a known pair's
+    cosine drops exactly the higher id of that pair."""
+    from data_lake_with_spark_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),   # cos(0,3) ≈ 0.9939
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    keep_all = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.9999, centroid_mod=10).collect()
+    }
+    assert keep_all == {0: True, 3: True, 10: True}
+    drop_one = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.99, centroid_mod=10).collect()
+    }
+    assert drop_one == {0: True, 3: False, 10: True}
+
+
+def test_semantic_dedup_target_centroids_budget(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators.similarity import semantic_dedup
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.95, target_centroids=20)
+    n_clusters = out.select("cluster").distinct().count()
+    assert n_clusters <= 25  # ~20 target, never unbounded
+    # verdict column is total: one row per input vector
+    assert out.count() == emb.count()

@@ -177,3 +177,49 @@ def test_stopword_stats_values(spark):
            for r in stopword_stats(df).collect()}
     assert got[1] == (5, 3, 3 / 5)
     assert got[2] == (3, 0, 0.0)
+
+
+def test_ngram_rarity_hand_computed(spark):
+    """Tiny corpus with hand-computable trigram counts: 'aaaa' yields
+    trigrams [aaa, aaa]; 'aaab' yields [aaa, aab]; 'xy' has none and
+    drops. Corpus counts: aaa=3, aab=1, total=4."""
+    from data_lake_with_spark_spark.operators.text import ngram_rarity
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "xy")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["mean_freq"])
+        for r in ngram_rarity(df, n=3).collect()
+    }
+    # doc 1: (3+3)/(2*4) = 0.75 ; doc 2: (3+1)/(2*4) = 0.5
+    assert got == {1: (2, 0.75), 2: (2, 0.5)}
+
+
+def test_ngram_rarity_orders_boilerplate_above_gibberish(spark, sf_dir):
+    """The quality-filter property: a doc made of corpus-common text
+    scores higher mean_freq than injected gibberish."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.text import ngram_rarity
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    weird = spark.createDataFrame(
+        [(999_999, "qzkwxv jqzzrr vvkkqq zzzqqq wwxxyy")], ["doc_id", "text"]
+    )
+    scored = ngram_rarity(
+        d.select("doc_id", "text").unionByName(weird)
+    ).collect()
+    by_id = {r["doc_id"]: r["mean_freq"] for r in scored}
+    gib = by_id.pop(999_999)
+    assert all(v > gib for v in by_id.values())
+
+
+def test_ngram_rarity_plan_stays_jvm_side(spark, sf_dir):
+    from data_lake_with_spark_spark.operators.text import ngram_rarity
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = ngram_rarity(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
