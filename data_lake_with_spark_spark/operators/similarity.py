@@ -840,3 +840,185 @@ def semantic_dedup(
             F.coalesce(~F.col("_dom"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    target_codes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``dim``-d
+    space into ``m`` subspaces of ``dim/m`` dims; each subspace's
+    codebook is the sub-vectors of the deterministic seed rows
+    (``id % centroid_mod == 0`` — the same SQL-portable quantizer the
+    IVF family uses; production k-means each subspace with identical
+    downstream plumbing). Returns ``(subspace, code, cent_sub)`` —
+    |codes| × m rows, always broadcast-sized. ``target_codes`` is the
+    q113-style fixed-budget knob (codebook size must NOT grow with
+    the corpus)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if target_codes is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_codes))
+    w = dim // m
+    slices = F.array(*[F.slice(F.col(vec_col), s * w + 1, w) for s in range(m)])
+    return (
+        corpus.where((F.col(id_col) % centroid_mod) == 0)
+        .select(F.col(id_col).alias("code"), F.posexplode(slices))
+        .select(
+            F.col("pos").cast("bigint").alias("subspace"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("col").alias("cent_sub"),
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` code ids — one nearest codebook
+    entry (squared L2, 6-dp rounded, code-asc tiebreak) per subspace.
+    Output ``(id, subspace, code)`` in long form: m small ints per
+    vector instead of dim floats — the 32×-compressed representation
+    ANN serving stores at 100 TB. One broadcast join + per-(id,
+    subspace) argmin window; the corpus never shuffles by value."""
+    w = dim // m
+    slices = F.array(*[F.slice(F.col(vec_col), s * w + 1, w) for s in range(m)])
+    sub_rows = corpus.select(
+        F.col(id_col), F.posexplode(slices)
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_sub_v"),
+    )
+    w_arg = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    return (
+        sub_rows.join(F.broadcast(codebooks), on="subspace")
+        .withColumn("_d", F.round(l2sq_expr("_sub_v", "cent_sub"), 6))
+        .withColumn("_rn", F.row_number().over(w_arg))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the ``m × |codes|`` distance table (query sub-vector vs every
+    codebook entry — broadcast-sized), then approximate each corpus
+    distance as the SUM of its m table entries via one join on
+    (subspace, code) + a groupBy — the corpus contributes only its
+    code ids, never its vectors. Returns (query_id, neighbor_id,
+    adc_dist, rank), self-matches excluded.
+
+    Exactness: per-subspace distances round to 6 dp and sum as
+    DECIMAL(18,6) — float addition is not associative and the m-way
+    sum order differs between engines; decimal summation makes
+    adc_dist bit-identical cross-engine (the q108 contract applied
+    to ADC)."""
+    w = dim // m
+    slices = F.array(*[F.slice(F.col(vec_col), s * w + 1, w) for s in range(m)])
+    q_subs = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(slices)
+    ).select(
+        "query_id",
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_q_sub"),
+    )
+    table = (
+        q_subs.join(F.broadcast(codebooks), on="subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            F.round(l2sq_expr("_q_sub", "cent_sub"), 6)
+            .cast("decimal(18,6)")
+            .alias("_dsub"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(table), on=["subspace", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_dsub").cast("double").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the FAISS ``IndexRefine``
+    pattern — how PQ is actually served): :func:`pq_topk` produces a
+    ``shortlist``-sized candidate set from codes alone, then ONLY the
+    shortlisted vectors are fetched for an exact squared-L2 re-rank
+    to the final top-``k``. Returns (query_id, neighbor_id, l2_dist,
+    rank).
+
+    Why the two stages: quantization error makes raw ADC rank-noisy
+    (measured on the isotropic fixture: ADC@5 recall 0.08 vs exact
+    L2, but exact-top-5-in-ADC-shortlist-50 = 0.52 at m=8 / 0.72 at
+    m=16 — the shortlist is good even when the pointwise ranks are
+    not). At 100 TB the corpus contributes 8 small ints per vector to
+    stage 1; stage 2 touches ``n_queries × shortlist`` vectors — a
+    point-lookup-sized semi-join, not a scan."""
+    short = pq_topk(
+        codes, codebooks, queries, k=shortlist, dim=dim, m=m, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        short.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2sq_expr("_cv", "_qv"), 6).alias("l2_dist"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )

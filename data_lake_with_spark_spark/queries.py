@@ -1913,6 +1913,161 @@ FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
 """
 
 
+_PQ_DIM, _PQ_M, _PQ_W = 64, 8, 8
+
+
+def q117_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_codebooks /
+    pq_encode — Jégou et al. 2011): the 64-d embeddings split into 8
+    subspaces, each vector stored as 8 code ids (32× compression) —
+    the representation ANN serving ships at 100 TB. Deterministic
+    per-subspace codebooks (seed rows id % 50) keep the whole
+    encode argmin SQL-portable."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    return pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
+
+
+def q118_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k nearest neighbors over PQ codes (similarity.pq_topk):
+    per-query distance TABLE against the codebooks (broadcast), one
+    (subspace, code) join + decimal-summed groupBy over the encoded
+    corpus — the corpus contributes 8 small ints per vector, never
+    its floats. Decimal summation makes the m-way distance sum
+    bit-identical cross-engine (float addition is not associative)."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    codes = pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
+    return pq_topk(
+        codes,
+        cb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        dim=_PQ_DIM,
+        m=_PQ_M,
+    )
+
+
+# Shared PQ oracle scaffolding: per-subspace slices of the embedding,
+# the seed codebooks, and the per-(vector, subspace) nearest code.
+_O_PQ_BASE = f"""
+subs AS (SELECT CAST(s AS BIGINT) AS subspace
+         FROM UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)),
+cb AS (
+  SELECT subspace, CAST(vec_id AS BIGINT) AS code,
+         embedding[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS cent_sub
+  FROM embeddings, subs WHERE vec_id % 50 = 0),
+ev AS (
+  SELECT vec_id, subspace,
+         embedding[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS sub_v
+  FROM embeddings, subs),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ev.vec_id, ev.subspace, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY ev.vec_id, ev.subspace
+             ORDER BY ROUND({{l2ec}}, 6) ASC, cb.code ASC) AS rn
+    FROM ev JOIN cb USING (subspace)) WHERE rn = 1)
+"""
+
+O_Q117 = f"""
+WITH {_O_PQ_BASE}
+SELECT vec_id, subspace, code FROM enc
+"""
+
+_O_PQ_ADC = f"""
+qv AS (
+  SELECT vec_id AS query_id, subspace,
+         embedding[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS q_sub
+  FROM embeddings, subs WHERE vec_id < 10),
+dtable AS (
+  SELECT query_id, subspace, code,
+         CAST(ROUND({{l2qc}}, 6) AS DECIMAL(18,6)) AS dsub
+  FROM qv JOIN cb USING (subspace)),
+scored AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(dsub) AS DOUBLE) AS adc_dist
+  FROM enc e JOIN dtable t ON e.subspace = t.subspace AND e.code = t.code
+  WHERE t.query_id != e.vec_id
+  GROUP BY 1, 2)
+"""
+
+O_Q118 = f"""
+WITH {_O_PQ_BASE},
+{_O_PQ_ADC}
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q119_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving as deployed (similarity.pq_topk_rerank — the FAISS
+    IndexRefine pattern): ADC shortlist of 50 from codes alone, exact
+    squared-L2 re-rank of only the shortlisted vectors to the final
+    top-5. The corpus contributes code ids to stage 1 and
+    n_queries×50 vector fetches to stage 2 — never a full-vector
+    scan."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    codes = pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
+    return pq_topk_rerank(
+        emb,
+        codes,
+        cb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        shortlist=50,
+        dim=_PQ_DIM,
+        m=_PQ_M,
+    )
+
+
+O_Q119 = f"""
+WITH {_O_PQ_BASE},
+{_O_PQ_ADC},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= 50),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({{l2re}}, 6) AS l2_dist
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id)
+SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, l2_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM rescored)
+WHERE rank <= 5
+"""
+
+
 def q14_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5-hot-key events table
     (operators/skew.py) — identical results to a direct groupBy, but
@@ -3319,11 +3474,22 @@ _O_L2SQ = (
     "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
 )
 
-# O_Q116 is authored as a template next to its query (the L2 helper is
-# defined here, after that point in the file); resolve it now.
+# O_Q116/O_Q117/O_Q118 are authored as templates next to their queries
+# (the L2 helper is defined here, after that point in the file);
+# resolve them now.
 O_Q116 = O_Q116.format(
     l2=_O_L2SQ.format(a="e.embedding", b="c.cent_v"),
     cos=_O_COS.format(a="a.embedding", b="b.embedding"),
+)
+O_Q117 = O_Q117.format(l2ec=_O_L2SQ.format(a="ev.sub_v", b="cb.cent_sub"))
+O_Q118 = O_Q118.format(
+    l2ec=_O_L2SQ.format(a="ev.sub_v", b="cb.cent_sub"),
+    l2qc=_O_L2SQ.format(a="qv.q_sub", b="cb.cent_sub"),
+)
+O_Q119 = O_Q119.format(
+    l2ec=_O_L2SQ.format(a="ev.sub_v", b="cb.cent_sub"),
+    l2qc=_O_L2SQ.format(a="qv.q_sub", b="cb.cent_sub"),
+    l2re=_O_L2SQ.format(a="c.embedding", b="qe.embedding"),
 )
 
 O_Q41 = f"""
@@ -3820,6 +3986,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q114_ann_ivf_indexed_budgeted": (q114_ann_ivf_indexed_budgeted, O_Q113),
     "q115_ngram_rarity": (q115_ngram_rarity, O_Q115),
     "q116_semantic_dedup": (q116_semantic_dedup, O_Q116),
+    "q117_pq_encode": (q117_pq_encode, O_Q117),
+    "q118_pq_topk": (q118_pq_topk, O_Q118),
+    "q119_pq_topk_rerank": (q119_pq_topk_rerank, O_Q119),
 }
 
 
