@@ -1384,6 +1384,92 @@ GROUP BY 1, 2, 3
 """
 
 
+def q120_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) windowed streaming aggregation — q76's shape
+    with window=1h, slide=30m, so every event lands in exactly two
+    overlapping windows. Oracled like q76 (availableNow + complete
+    mode = the batch aggregate): the DuckDB twin fans each event out
+    to its ⌈w/s⌉ = 2 containing windows via a generate_series unnest
+    against the same epoch-aligned 30-minute buckets Spark's window()
+    produces."""
+    import tempfile
+
+    from data_lake_with_spark_spark.streaming.events import (
+        read_event_stream,
+        windowed_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_slide_")
+    e.coalesce(4).write.mode("overwrite").json(stage)
+    stream = read_event_stream(spark, stage)
+    agg = windowed_counts(
+        stream, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    out = _drain_stream_to_memory(
+        agg, spark, "dlws_stream_sliding", "complete", (stage,)
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+O_Q120 = """
+WITH fan AS (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+           - k * INTERVAL '30 minutes' AS ws,
+         event_type, value
+  FROM events, UNNEST(generate_series(0, 1)) AS t(k))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_value
+FROM fan
+GROUP BY 1, 2, 3
+"""
+
+
+def q121_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (skew.salted_join — escalation level 3
+    of the skew story, closing the one §7-M6 utility that had no
+    oracled query): the events fact side gets a deterministic row-
+    hash salt, the customer dim side replicates across the 8 salts,
+    and the join on (key, salt) produces EXACTLY the rows of the
+    plain equi-join — which is the oracle: DuckDB runs the unsalted
+    join. The events table's 5 hot user_ids are the keys AQE would
+    otherwise split at runtime; salting is the declarative fallback
+    when both sides are too big to broadcast."""
+    from data_lake_with_spark_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(e, c, on=["user_id"], salt=8).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+
+
+O_Q121 = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q77_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents→fake binary assets→mapInPandas
     feature extraction (Arrow-batched, shuffle-free). VALUE-ORACLED
@@ -3989,6 +4075,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q117_pq_encode": (q117_pq_encode, O_Q117),
     "q118_pq_topk": (q118_pq_topk, O_Q118),
     "q119_pq_topk_rerank": (q119_pq_topk_rerank, O_Q119),
+    "q120_streaming_sliding": (q120_streaming_sliding, O_Q120),
+    "q121_salted_join": (q121_salted_join, O_Q121),
 }
 
 

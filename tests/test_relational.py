@@ -208,3 +208,38 @@ def test_incremental_agg_update_matches_recompute_and_drops_empty(spark):
         "c": (1, 7.0),
         "d": (-1, -1.0),
     }
+
+
+def test_salted_join_equals_plain_join_and_spreads_keys(spark):
+    """salted_join == plain equi-join row-for-row; the salt column
+    never leaks; hot keys actually spread across salts."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.skew import SALT_COL, salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else f"k{i}", float(i)) for i in range(200)],
+        ["row_id", "k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k3", "B"), ("missing", "Z")],
+        ["k", "tag"],
+    )
+    got = salted_join(left, right, on=["k"], salt=4)
+    assert SALT_COL not in got.columns
+    plain = left.join(right, on=["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's 100 rows hash to >1 salt partition
+    n_salts = (
+        left.where(F.col("k") == "hot")
+        .withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(4)),
+        )
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
