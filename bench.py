@@ -42,6 +42,7 @@ SKIP = {
     "q64_frame_sampling",
     "q70_streaming_enriched",
     "q107_streaming_conversions",
+    "q120_streaming_sliding",
     # same semantics as q33_dedup_clusters (which IS benched) through
     # the iterative distributed CC branches: on local mode their cost
     # is pure per-round scheduler latency, which measures the

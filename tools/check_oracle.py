@@ -92,6 +92,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name used to skip SILENTLY and report "all
+        # green" over the remaining names — a verification hole (a
+        # q70 typo shipped an unverified change once)
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     from data_lake_with_spark_spark.session import clear_persistent_rdds
 
