@@ -5,14 +5,15 @@ typed metadata (modality, mime, width/height/duration, …). The
 Spark-side plumbing — schema, batching, partition-sized Arrow
 transfer via ``mapInPandas`` — is real and tested. Decode is real
 for every format stdlib+numpy can parse: binary PPM, uncompressed
-24-bit BMP, and non-interlaced 8-bit PNG (gray / RGB / palette /
-gray+alpha / RGBA — PNG is zlib-DEFLATE plus five per-row filters,
-both implementable without a codec library; see :func:`decode_image`),
-plus PCM WAV audio. Remaining codec formats (JPEG/MP3/video
-containers) fall back to deterministic byte-keyed stubs because
-media libraries are not available in this environment — swap the
-fallback branch for PIL/ffmpeg calls in production, inside the same
-mapInPandas kernels.
+24-bit BMP, non-interlaced 8-bit PNG (zlib-DEFLATE plus five
+per-row filters), BASELINE JFIF JPEG in 4:4:4/4:2:0/grayscale
+(huffman + dequantize + vectorized 8×8 IDCT + chroma upsample +
+YCbCr→RGB — ``functions/jpeg.py``, with a matching encoder for the
+lossy round-trip tests), and PCM WAV audio. Remaining codec formats
+(progressive JPEG, MP3, video containers) fall back to deterministic
+byte-keyed stubs because media libraries are not available in this
+environment — swap the fallback branch for PIL/ffmpeg calls in
+production, inside the same mapInPandas kernels.
 
 Scale notes: payloads ride in parquet binary columns; keep row groups
 small enough that an Arrow batch of payloads fits executor memory
@@ -255,6 +256,14 @@ def decode_image(payload: bytes):
         return None
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        # baseline JFIF JPEG: real pure-numpy decode (huffman +
+        # dequant + vectorized 8x8 IDCT + chroma upsample + YCbCr);
+        # progressive/arithmetic return None and fall back to the
+        # byte-stats stub upstream
+        from data_lake_with_spark_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single-ws>
         try:

@@ -297,3 +297,84 @@ def test_resize_images_real_nearest_neighbor_for_png(spark):
     yi = np.minimum((np.arange(5) * 10) // 5, 9)
     xi = np.minimum((np.arange(3) * 6) // 3, 5)
     assert (resized == img[yi][:, xi]).all()
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_round_trip_all_modes():
+    """Baseline JPEG is lossy — assert PSNR floors per mode on a
+    smooth gradient (JPEG's design case), plus exactness on flat."""
+    import numpy as np
+
+    from data_lake_with_spark_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for q, kw, floor in (
+        (95, {}, 50.0),
+        (85, {}, 45.0),
+        (85, {"subsample": True}, 40.0),
+        (30, {}, 33.0),
+    ):
+        dec = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        assert dec is not None and dec.shape == img.shape
+        p = _psnr(img, dec)
+        assert p >= floor, f"q={q} {kw}: psnr {p:.1f} < {floor}"
+    gray3 = np.repeat(
+        (((yy + xx) * 4) % 256).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    dec = decode_jpeg(encode_jpeg(gray3, 90, grayscale=True))
+    assert dec.shape == gray3.shape and _psnr(gray3, dec) >= 44.0
+    flat = np.full((17, 23, 3), 123, np.uint8)
+    assert _psnr(flat, decode_jpeg(encode_jpeg(flat, 90))) >= 90.0
+
+
+def test_jpeg_shape_preservation_and_rejection():
+    import numpy as np
+
+    from data_lake_with_spark_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    for shape in ((1, 1, 3), (7, 9, 3), (9, 7, 3), (17, 31, 3)):
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        for kw in ({}, {"subsample": True}):
+            d = decode_jpeg(encode_jpeg(im, 90, **kw))
+            assert d is not None and d.shape == shape, (shape, kw)
+    assert decode_jpeg(b"not a jpeg at all, definitely not") is None
+    # truncated stream → None, not an exception
+    good = encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), 85)
+    assert decode_jpeg(good[: len(good) // 3]) is None
+    # progressive SOF2 marker → None (honest fallback, not garbage)
+    prog = bytearray(good)
+    sof0 = prog.find(b"\xff\xc0")
+    prog[sof0 + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_extract_features_uses_real_pixels_for_jpeg(spark):
+    import numpy as np
+
+    from data_lake_with_spark_spark.functions.jpeg import encode_jpeg
+
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rows = [(11, "image", "image/jpeg", encode_jpeg(img, 95), 16, 16, None)]
+    feats = M.extract_features(
+        spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    ).collect()[0]
+    # decoded pixel stats of the flat image, not byte stats of the
+    # compressed container (flat blocks quantize losslessly)
+    assert abs(feats["feat_mean"] - 200.0) < 1.0
+    assert feats["feat_std"] < 1.0

@@ -30,6 +30,11 @@ PROBES = [
     "q92_token_jaccard_ppjoin",  # PPJoin similarity join
     "q100_dedup_clusters_two_phase",  # CC distributed regime
     "q105_quantized_topk",  # int8 ANN serving
+    # round 6 additions
+    "q113_ann_ivf_budgeted",  # fixed-centroid-budget IVF (the production config)
+    "q115_ngram_rarity",  # perplexity-proxy quality filter
+    "q116_semantic_dedup",  # SemDeDup within-cluster pruning
+    "q118_pq_topk",  # PQ ADC serving
 ]
 
 
