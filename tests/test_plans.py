@@ -230,3 +230,43 @@ def test_incremental_agg_no_base_rescan(spark, sf_dir):
     p = plan(spark, sf_dir, "q108_incremental_aggregate")
     assert "BatchEvalPython" not in p
     assert "partial_" in p  # map-side combine on the delta
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q113_ann_ivf_budgeted",
+        "q115_ngram_rarity",
+        "q116_semantic_dedup",
+        "q117_pq_encode",
+        "q118_pq_topk",
+        "q121_salted_join",
+    ],
+)
+def test_round6_queries_stay_jvm_side(spark, sf_dir, name):
+    """None of the round-6 operators may fall back to Python
+    evaluation — they are all built-in expression pipelines."""
+    p = plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_pq_codebooks_and_probes_broadcast(spark, sf_dir):
+    """PQ's joins must broadcast the small side (codebooks, distance
+    table) — the corpus never shuffles by value for encode or ADC."""
+    for name in ("q117_pq_encode", "q118_pq_topk"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+
+
+def test_semantic_dedup_centroids_broadcast_and_cluster_shuffle(spark, sf_dir):
+    """Assignment is a broadcast argmin (no corpus shuffle for the
+    centroid join); the only value shuffle keys are cluster/id."""
+    p = plan(spark, sf_dir, "q116_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ngram_rarity_model_broadcasts(spark, sf_dir):
+    """The trigram model is bounded by |alphabet|^3 and must join
+    broadcast-side, never shuffle the gram stream against it."""
+    p = plan(spark, sf_dir, "q115_ngram_rarity")
+    assert "BroadcastHashJoin" in p
