@@ -1974,13 +1974,20 @@ def q116_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.85, centroid_mod=50)
+    # FIXED centroid budget, not a fixed sampling rate: the 30× probe
+    # measured centroid_mod=50 at α=0.89 (centroids ∝ corpus ⇒
+    # assignment O(N²·d/mod)) — the exact q13 trap. The budgeted mod
+    # is SQL-derivable (O_Q113's pattern), so the REGISTERED config
+    # is the production one; no parity pin needed for a new operator.
+    return semantic_dedup(emb, threshold=0.85, target_centroids=40)
 
 
 O_Q116 = f"""
-WITH cents AS (
-  SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings
-  WHERE vec_id % 50 = 0),
+WITH m AS (
+  SELECT GREATEST(1, COUNT(*) // 40) AS md FROM embeddings),
+cents AS (
+  SELECT vec_id AS cluster, embedding AS cent_v FROM embeddings, m
+  WHERE vec_id % m.md = 0),
 assigned AS (
   SELECT vec_id, cluster, embedding FROM (
     SELECT e.vec_id, c.cluster, e.embedding,
@@ -2007,15 +2014,19 @@ def q117_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_encode — Jégou et al. 2011): the 64-d embeddings split into 8
     subspaces, each vector stored as 8 code ids (32× compression) —
     the representation ANN serving ships at 100 TB. Deterministic
-    per-subspace codebooks (seed rows id % 50) keep the whole
-    encode argmin SQL-portable."""
+    per-subspace codebooks under a FIXED code budget
+    (``target_codes=40`` — the 30× probe measured the fixed-rate
+    ``centroid_mod=50`` config at α=1.22, codes ∝ corpus ⇒ encode
+    O(N²); the budgeted mod is SQL-derivable so the registered
+    config IS the production one) keep the whole encode argmin
+    SQL-portable."""
     from data_lake_with_spark_spark.operators.similarity import (
         pq_codebooks,
         pq_encode,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, target_codes=40)
     return pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
 
 
@@ -2033,7 +2044,7 @@ def q118_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, target_codes=40)
     codes = pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
     return pq_topk(
         codes,
@@ -2050,10 +2061,11 @@ def q118_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_PQ_BASE = f"""
 subs AS (SELECT CAST(s AS BIGINT) AS subspace
          FROM UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)),
+pqm AS (SELECT GREATEST(1, COUNT(*) // 40) AS md FROM embeddings),
 cb AS (
   SELECT subspace, CAST(vec_id AS BIGINT) AS code,
          embedding[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS cent_sub
-  FROM embeddings, subs WHERE vec_id % 50 = 0),
+  FROM embeddings, subs, pqm WHERE vec_id % pqm.md = 0),
 ev AS (
   SELECT vec_id, subspace,
          embedding[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS sub_v
@@ -2115,7 +2127,7 @@ def q119_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, centroid_mod=50)
+    cb = pq_codebooks(emb, dim=_PQ_DIM, m=_PQ_M, target_codes=40)
     codes = pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
     return pq_topk_rerank(
         emb,
