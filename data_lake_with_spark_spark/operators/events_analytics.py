@@ -138,3 +138,48 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by the period of their FIRST event; cell (cohort, k) =
+    distinct users of that cohort active k periods later.
+
+    Two shuffles: the per-user min (partial-aggregable groupBy) and
+    the final (cohort, offset) distinct-count; the per-user cohort
+    frame joins back broadcast-or-shuffle on user id as Catalyst
+    prefers. Offsets are exact integers per period: day/week counts
+    from ``datediff`` of truncated dates, month from
+    ``months_between`` of month-starts — no float fuzz in any mode.
+    Returns (cohort, offset, n_users).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period {period!r}: use day, week, or month")
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("_cohort")
+    )
+    act = events.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(period, F.col(ts_col)).alias("_p"),
+    ).distinct()
+    if period == "month":
+        offset = F.months_between(F.col("_p"), F.col("_cohort"))
+    elif period == "week":
+        offset = F.datediff(F.col("_p"), F.col("_cohort")) / 7
+    else:
+        offset = F.datediff(F.col("_p"), F.col("_cohort"))
+    return (
+        act.join(first, on="_u")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            offset.cast("int").alias("offset"),
+            F.col("_u"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("_u").alias("n_users"))
+    )

@@ -2166,6 +2166,89 @@ WHERE rank <= 5
 """
 
 
+def q122_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid time-series resample with forward fill
+    (timeseries.resample_ffill — the hypertable
+    ``time_bucket_gapfill`` shape): hourly per-event-type totals laid
+    over the global hour grid, gaps carried forward per key, leading
+    gaps left NULL. The oracle reproduces the fill portably with the
+    count-over/max-within-group trick (no IGNORE NULLS dependency)."""
+    from data_lake_with_spark_spark.operators.timeseries import resample_ffill
+
+    e = _t(spark, sf_dir, "events")
+    out = resample_ffill(e, key_col="event_type", step="1 hour", trunc_unit="hour")
+    return out.select(
+        "key",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "total_value",
+        "filled",
+    )
+
+
+O_Q122 = """
+WITH agg AS (
+  SELECT event_type AS key,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
+grid AS (
+  SELECT k.key, g.bucket
+  FROM (SELECT DISTINCT key FROM agg) k
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket) g),
+j AS (
+  SELECT grid.key, grid.bucket, agg.total
+  FROM grid LEFT JOIN agg USING (key, bucket)),
+f AS (
+  SELECT key, bucket, total,
+         COUNT(total) OVER (PARTITION BY key ORDER BY bucket) AS grp
+  FROM j)
+SELECT key,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       MAX(total) OVER (PARTITION BY key, grp) AS total_value,
+       (total IS NULL) AS filled
+FROM f
+"""
+
+
+def q123_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (events_analytics.cohort_retention):
+    users cohorted by first-event DAY (the fixture spans 30 days —
+    monthly cohorts would collapse to one degenerate cell and verify
+    nothing); cell (cohort, k) = distinct users active k days later.
+    Offsets are datediff of day-truncated dates — exact integers."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        cohort_retention,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = cohort_retention(e, period="day")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "offset",
+        "n_users",
+    )
+
+
+O_Q123 = """
+WITH first AS (
+  SELECT user_id,
+         date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+  FROM events GROUP BY 1),
+act AS (
+  SELECT DISTINCT user_id,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS p
+  FROM events)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(datediff('day', cohort, p) AS INTEGER) AS offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q14_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the 5-hot-key events table
     (operators/skew.py) — identical results to a direct groupBy, but
@@ -4089,6 +4172,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q119_pq_topk_rerank": (q119_pq_topk_rerank, O_Q119),
     "q120_streaming_sliding": (q120_streaming_sliding, O_Q120),
     "q121_salted_join": (q121_salted_join, O_Q121),
+    "q122_resample_ffill": (q122_resample_ffill, O_Q122),
+    "q123_cohort_retention": (q123_cohort_retention, O_Q123),
 }
 
 

@@ -160,3 +160,43 @@ def test_quantize_int8_roundtrip(spark):
     deq = [v / rows[1]["scale"] for v in rows[1]["qvec"]]
     for d, x in zip(deq, [1.0, -0.5, 0.25, 0.0]):
         assert abs(d - x) <= 0.5 / rows[1]["scale"] + 1e-9
+
+
+def test_cohort_retention_hand_computed(spark):
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # u1 cohort day 1
+        (1, "2024-01-03 09:00:00"),  # u1 offset 2
+        (2, "2024-01-01 23:59:59"),  # u2 cohort day 1
+        (2, "2024-01-01 00:00:01"),  # same day, still offset 0 once
+        (3, "2024-01-02 05:00:00"),  # u3 cohort day 2
+        (3, "2024-01-03 05:00:00"),  # u3 offset 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = {
+        (r["cohort"].strftime("%Y-%m-%d"), r["offset"]): r["n_users"]
+        for r in cohort_retention(df, period="day").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1, u2
+        ("2024-01-01", 2): 1,   # u1
+        ("2024-01-02", 0): 1,   # u3
+        ("2024-01-02", 1): 1,   # u3
+    }
+
+
+def test_cohort_retention_rejects_unknown_period(spark):
+    import pytest
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        cohort_retention,
+    )
+
+    df = spark.createDataFrame([(1, "2024-01-01")], ["user_id", "ts"])
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="quarter")
