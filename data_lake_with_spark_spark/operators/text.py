@@ -506,3 +506,61 @@ def ngram_rarity(
             ),
         )
     )
+
+
+#: Vendored linear quality-classifier weights (bias, then one weight
+#: per feature in FEATURE ORDER: stopword_ratio, mean_word_len,
+#: digit_ratio). Hand-set plausible values standing in for a trained
+#: model — the deliverable is the INFERENCE PLUMBING: a linear model
+#: evaluated as a plain JVM expression (no UDF, no model server), the
+#: way a distilled quality classifier actually ships into a 100 TB
+#: scan. Swap for trained weights without touching the plan shape.
+QUALITY_CLF_WEIGHTS: tuple[float, float, float, float] = (
+    -1.0,   # bias
+    6.0,    # stopword_ratio: prose has function words
+    -0.25,  # mean_word_len: very long "words" = code/URLs/garbage
+    -8.0,   # digit_ratio: number-dense text is rarely prose
+)
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: tuple[float, float, float, float] = QUALITY_CLF_WEIGHTS,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear quality classifier evaluated scan-side — the CCNet /
+    fastText-classifier stage of a curation pipeline as ONE pure-JVM
+    projection: three exact features (each an int/int ratio — one
+    IEEE division, engine-portable), a dot product in fixed written
+    order, and a boolean decision.
+
+    The raw margin ``z`` is emitted instead of ``sigmoid(z)``:
+    exp() differs in ulps between JVM and C libm, while the margin
+    and the decision are bit-exact cross-engine — and the sigmoid is
+    monotone, so thresholding z IS thresholding the probability.
+    Returns (*, n_tokens, stopword_ratio, mean_word_len, digit_ratio,
+    quality_z, accept).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    digits = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[0-9]", "")
+    )
+    chars = F.length(F.col(text_col))
+    x1 = F.when(n > 0, stop_n / n).otherwise(F.lit(0.0))
+    x2 = F.when(n > 0, nonspace / n).otherwise(F.lit(0.0))
+    x3 = F.when(chars > 0, digits / chars).otherwise(F.lit(0.0))
+    w0, w1, w2, w3 = weights
+    z = F.lit(w0) + F.lit(w1) * x1 + F.lit(w2) * x2 + F.lit(w3) * x3
+    return df.select(
+        "*",
+        n.cast("bigint").alias("n_tokens"),
+        x1.alias("stopword_ratio"),
+        x2.alias("mean_word_len"),
+        x3.alias("digit_ratio"),
+        z.alias("quality_z"),
+        (z > F.lit(threshold)).alias("accept"),
+    )

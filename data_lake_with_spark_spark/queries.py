@@ -1196,6 +1196,57 @@ FROM t
 """
 
 
+def q124_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendored linear quality classifier evaluated scan-side
+    (text.quality_classifier — the CCNet/fastText-classifier stage as
+    ONE JVM projection): three exact int/int-ratio features, a dot
+    product in fixed written order, a boolean decision. The raw
+    margin is emitted instead of sigmoid(margin) because exp()
+    differs in ulps between JVM and C libm while the margin and the
+    decision are bit-exact — and sigmoid is monotone, so the decision
+    is identical."""
+    from data_lake_with_spark_spark.operators.text import quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_classifier(d).select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "mean_word_len",
+        "digit_ratio",
+        "quality_z",
+        "accept",
+    )
+
+
+O_Q124 = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) AS chars
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_O_STOPLIST}], x)))
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x1,
+         CASE WHEN len(toks) > 0
+              THEN nonspace / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x2,
+         CASE WHEN chars > 0
+              THEN digits / CAST(chars AS DOUBLE) ELSE 0.0 END AS x3
+  FROM t)
+SELECT doc_id, n_tokens,
+       x1 AS stopword_ratio, x2 AS mean_word_len, x3 AS digit_ratio,
+       -1.0 + 6.0 * x1 + -0.25 * x2 + -8.0 * x3 AS quality_z,
+       (-1.0 + 6.0 * x1 + -0.25 * x2 + -8.0 * x3) > 0.0 AS accept
+FROM f
+"""
+
+
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text.lang_scores(d).select(
@@ -4174,6 +4225,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q121_salted_join": (q121_salted_join, O_Q121),
     "q122_resample_ffill": (q122_resample_ffill, O_Q122),
     "q123_cohort_retention": (q123_cohort_retention, O_Q123),
+    "q124_quality_classifier": (q124_quality_classifier, O_Q124),
 }
 
 

@@ -223,3 +223,28 @@ def test_ngram_rarity_plan_stays_jvm_side(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = ngram_rarity(d)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_margin_and_decision(spark):
+    """Hand-computed margin on constructed docs; sigmoid-free output
+    and decision semantics; empty docs default features to 0."""
+    from data_lake_with_spark_spark.operators.text import quality_classifier
+
+    rows = [
+        (1, "the cat and the dog is on a mat"),       # prose: many stopwords
+        (2, "0123456789 0123456789 0123456789"),      # digit-dense
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    # doc1: 9 tokens, stopwords {the,and,the,is,on,a} = 6 -> x1=6/9
+    # nonspace = 23 chars (3+3+3+3+3+2+2+1+3) -> x2 = 23/9; digits 0
+    z1 = -1.0 + 6.0 * (6 / 9) + -0.25 * (23 / 9) + -8.0 * 0.0
+    assert abs(got[1]["quality_z"] - z1) < 1e-12
+    assert got[1]["accept"] is True
+    # doc2: 3 tokens, 0 stopwords; nonspace 30; digits 30 of 32 chars
+    z2 = -1.0 + 6.0 * 0.0 + -0.25 * (30 / 3) + -8.0 * (30 / 32)
+    assert abs(got[2]["quality_z"] - z2) < 1e-12
+    assert got[2]["accept"] is False
+    # plan stays JVM-side
+    p = quality_classifier(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
