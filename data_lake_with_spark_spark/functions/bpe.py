@@ -32,9 +32,14 @@ from collections.abc import Iterable
 #: GPT-2-style pre-tokenizer in Python-`re` syntax (`re` lacks \\p{L};
 #: [^\\W\\d_] is the unicode-aware letter class). Contractions, then
 #: optionally-space-prefixed letter/digit/punct runs, then whitespace.
+#: The punct run must include '_' explicitly: underscore is neither a
+#: "letter" ([^\\W\\d_] excludes it) nor "[^\\s\\w]" (it IS \\w), so
+#: without the alternation a bare '_' silently VANISHED and broke the
+#: lossless-concatenation contract (found by the hypothesis fuzzer;
+#: GPT-2's real \\p{L}/\\p{N} classes treat _ as punctuation).
 _PRETOKEN_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
 
 

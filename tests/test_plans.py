@@ -270,3 +270,12 @@ def test_ngram_rarity_model_broadcasts(spark, sf_dir):
     broadcast-side, never shuffle the gram stream against it."""
     p = plan(spark, sf_dir, "q115_ngram_rarity")
     assert "BroadcastHashJoin" in p
+
+
+def test_resample_ffill_two_key_shuffles_no_python(spark, sf_dir):
+    """q122's contract: bucket agg + fill window shuffle on the key;
+    the grid bounds ride as a broadcast row (no driver action), and
+    nothing falls back to Python eval."""
+    p = plan(spark, sf_dir, "q122_resample_ffill")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

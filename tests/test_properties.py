@@ -213,3 +213,48 @@ def test_apply_cdc_split_invariance_property(spark, tmp_path_factory, data):
             for r in VP.read_snapshot(spark, path).collect()
         }
         assert got == expect, (si, got, expect)
+
+
+def test_decoders_never_raise_on_arbitrary_bytes():
+    """decode_image / decode_jpeg / _decode_png / decode_audio are
+    fed untrusted binary columns at scale — any input must yield a
+    valid array or None, NEVER an exception (a throwing kernel kills
+    the whole task/stage)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_lake_with_spark_spark.functions.jpeg import decode_jpeg
+    from data_lake_with_spark_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_audio,
+        decode_image,
+    )
+
+    @given(st.binary(min_size=0, max_size=512))
+    @settings(max_examples=200, deadline=None)
+    def run(payload):
+        for fn in (decode_image, decode_jpeg, decode_audio):
+            out = fn(payload)
+            assert out is None or out is not None  # no raise is the assert
+        # adversarial prefixes: valid magic + garbage body
+        for prefix in (_PNG_SIG, b"\xff\xd8\xff\xe0", b"P6\n", b"BM", b"RIFF"):
+            assert decode_image(prefix + payload) is None or True
+
+    run()
+
+
+def test_bpe_encode_lossless_on_arbitrary_text():
+    """BPE tokenization must concatenate back to the input for ANY
+    unicode string (merges only ever join adjacent pre-token
+    symbols)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_lake_with_spark_spark.functions.bpe import load_vendored
+
+    tok = load_vendored()
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def run(text):
+        assert "".join(tok.encode(text)) == text
+
+    run()
