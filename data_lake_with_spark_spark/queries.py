@@ -4272,6 +4272,22 @@ _ROTATED_IN = (
     "q111_stopword_stats",
     "q113_ann_ivf_budgeted",
     "q114_ann_ivf_indexed_budgeted",
+    # round 6b: the ten operator classes built THIS round go straight
+    # into the window rather than waiting a round — trigram-rarity
+    # quality, SemDeDup, the PQ serving trio, sliding windows, salted
+    # join, gapfill resample, cohort retention, and the vendored
+    # linear classifier; validated against the driver's exact gate by
+    # tools/driver_sim.py before promotion
+    "q115_ngram_rarity",
+    "q116_semantic_dedup",
+    "q117_pq_encode",
+    "q118_pq_topk",
+    "q119_pq_topk_rerank",
+    "q120_streaming_sliding",
+    "q121_salted_join",
+    "q122_resample_ffill",
+    "q123_cohort_retention",
+    "q124_quality_classifier",
 )
 _ROTATED_OUT = (
     # round 4
@@ -4313,6 +4329,25 @@ _ROTATED_OUT = (
     "q31_fingerprint",
     "q32_sql_entrypoint",
     "q53_approx_distinct",
+    # round 6b demotions — all driver-hard verified in rounds 1-5;
+    # every family keeps an in-window representative: windows via
+    # q07 (q17 out), profiling via q101 expectations (q15 out),
+    # MinHash via q18/q24 (q22 out), lang/text via q11/q36/q50/q111
+    # + incoming q115/q124 (q28, q29 out), grouping via q01/q40
+    # (q37 out), k-means via incoming q116's kmeans_assign (q41 out),
+    # dedup via q18/q21/q24/q46-q48... q42 span dedup out with the
+    # family otherwise intact, interval joins via q44 as-of (q45 out),
+    # embedding near-dup via q47's LSH path (q46 exact-path out)
+    "q15_profile_columns",
+    "q17_sessionize",
+    "q22_minhash_signatures",
+    "q28_lang_id",
+    "q29_quality_score",
+    "q37_rollup_revenue",
+    "q41_kmeans_step",
+    "q42_span_dedup",
+    "q45_range_join",
+    "q46_embedding_near_dup",
 )
 
 
