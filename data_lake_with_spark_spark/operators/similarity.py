@@ -170,12 +170,21 @@ def cosine_expr(a: str, b: str, dim: int | None = None) -> Column:
       ``k`` raises at runtime (``raise_error``) rather than yielding
       a NULL that threshold filters would silently drop — a wrong
       ``vec_dim`` surfaces as an error, not missing neighbors. NULL
-      arrays still yield NULL (outer-join semantics). CAVEAT: in
-      window-heavy plans (the topk family) janino fails to compile
-      the wide expression and the interpreted fallback is SLOWER than
-      the fold — use the unrolled form only in projection/join
-      shapes, and verify with .explain that WholeStageCodegen still
-      covers the scoring stage.
+      arrays still yield NULL (outer-join semantics). CAVEAT (now
+      load-bearing — round-6 verdict #1): this single-Column form
+      unrolls THREE k-term sums (dot + both norms, ~3k multiplies
+      plus element_at bounds checks) into whichever generated method
+      consumes it; in join+window plans janino hits its 64 KB method
+      limit, whole-stage codegen fails, and the interpreted fallback
+      is SLOWER than the fold. The pair-scoring operators therefore
+      do NOT use this branch any more: they precompute per-vector
+      norms once (:func:`norm_expr`, a plain scan-side projection)
+      and score each pair with the dot product only
+      (:func:`dot_expr` + :func:`cosine_from_parts`) — one k-term
+      sum per pair instead of three, small enough to compile in
+      every plan shape (gated by tests/test_plan_gates.py with
+      ``spark.sql.codegen.fallback`` disabled). Use this dim branch
+      only in standalone projection shapes.
     """
     if dim is not None:
         ea = [F.element_at(F.col(a), i).cast("double") for i in range(1, dim + 1)]
@@ -220,6 +229,262 @@ def cosine_expr(a: str, b: str, dim: int | None = None) -> Column:
     )
 
 
+def dot_expr(a: str, b: str, dim: int | None = None) -> Column:
+    """Dot product of two array<float> columns, double-accumulated in
+    ascending element order (bit-identical to the fold and to a
+    DuckDB sequential ``list_sum``). ``dim=k`` unrolls to k scalar
+    products — ONE k-term sum, sized to stay under janino's 64 KB
+    method limit even inside join+window generated code (the
+    3-sums-in-one ``cosine_expr(dim=...)`` form does not; round-6
+    verdict #1). NULL array → NULL."""
+    if dim is None:
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    d = F.element_at(F.col(a), 1).cast("double") * F.element_at(F.col(b), 1).cast(
+        "double"
+    )
+    for i in range(2, dim + 1):
+        d = d + F.element_at(F.col(a), i).cast("double") * F.element_at(
+            F.col(b), i
+        ).cast("double")
+    return d
+
+
+def norm_expr(a: str, dim: int | None = None) -> Column:
+    """L2 norm of an array<float> column: sqrt of the squares summed
+    in ascending element order (bit-identical to the fold twin).
+    Computed ONCE PER VECTOR in a plain scan-side projection, then
+    carried as a column through the pair-producing joins — so the
+    per-pair expression is just ``dot/(na*nb)`` and each vector's
+    norm is never recomputed per candidate.
+
+    With ``dim=k`` the width contract is enforced HERE (one check per
+    vector instead of per pair): a non-null array whose length ≠ k
+    raises (``raise_error``) rather than NULLing — a wrong
+    ``vec_dim`` surfaces as an error, not as silently-missing
+    neighbors. NULL array → NULL norm → NULL cosine downstream
+    (outer-join semantics preserved)."""
+    if dim is None:
+        return F.sqrt(
+            F.expr(
+                f"aggregate({a}, cast(0.0 as double), "
+                f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+            )
+        )
+    s = F.element_at(F.col(a), 1).cast("double") * F.element_at(F.col(a), 1).cast(
+        "double"
+    )
+    for i in range(2, dim + 1):
+        s = s + F.element_at(F.col(a), i).cast("double") * F.element_at(
+            F.col(a), i
+        ).cast("double")
+    return F.when(
+        F.col(a).isNull() | (F.size(F.col(a)) == dim), F.sqrt(s)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"norm_expr(dim={dim}): array length != {dim} — "
+                "wrong vec_dim would silently drop pairs"
+            )
+        ).cast("double")
+    )
+
+
+def cosine_from_parts(dot: Column, na: Column, nb: Column) -> Column:
+    """Guarded cosine from a pair dot product and two precomputed
+    norms: ``dot/(na*nb)`` with the same zero-norm NULL guard (and
+    the same operation order, hence bit-identical values) as
+    :func:`cosine_expr`."""
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def cosine_to_set_arrow(
+    df: DataFrame,
+    set_mat,
+    vec_col: str,
+    dim: int,
+    out_col: str = "cos_arr",
+) -> DataFrame:
+    """Append ``array<double>`` of RAW cosines from each row's vector
+    to a small fixed vector set (a ``numpy (k, dim)`` float64 matrix,
+    closure-shipped to the Python workers) — the vectorized scoring
+    kernel for broadcast-argmin assignment.
+
+    Bit-exactness contract (what lets the SQL oracle keep
+    hash-matching): the accumulation is VECTORIZED OVER ROWS but
+    SEQUENTIAL OVER DIMS — ``acc += A[:, j] * B[:, j]`` for j
+    ascending — so every dot/norm is the identical IEEE operation
+    sequence as the JVM ``aggregate`` fold and DuckDB's
+    ``list_dot_product``; ``float32 → float64`` widening is exact;
+    division grouping is ``dot / (na * nb)``; zero-norm pairs yield
+    NULL. ROUNDING IS NOT DONE HERE — callers round JVM-side
+    (``F.round``) so engine rounding semantics stay untouched (the
+    round-5 lesson: rounding itself is the only divergence).
+
+    Why a Python kernel in the hot path: the JVM alternatives both
+    lose — the ``aggregate`` fold is CodegenFallback (interpreted
+    per-element, the 100× bottleneck), and a dim-unrolled scalar
+    expression either overflows janino's 64 KB method limit
+    (interpreted fallback, round-6 verdict #1) or costs seconds of
+    generated-code compilation per stage. This is the
+    :func:`all_pairs_blas` pattern, Arrow-batched and norm-hoisted:
+    per batch it is k×dim×rows vectorized flops, no codegen at all.
+
+    NULL embeddings yield a NULL ``out_col`` (outer-join semantics);
+    a non-null vector of width ≠ ``dim`` raises (the ``vec_dim``
+    width contract, same as :func:`norm_expr`).
+    """
+    import numpy as np
+
+    cmat = np.ascontiguousarray(set_mat, dtype=np.float64)
+    if cmat.ndim != 2 or cmat.shape[1] != dim:
+        raise ValueError(
+            f"cosine_to_set_arrow: set matrix must be (k, {dim}), got {cmat.shape}"
+        )
+    cnorm = np.zeros(cmat.shape[0])
+    for j in range(dim):
+        cnorm = cnorm + cmat[:, j] * cmat[:, j]
+    cnorm = np.sqrt(cnorm)
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    fields = df.schema.fields
+    out_schema = StructType(
+        list(fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    names = [f.name for f in fields]
+    vpos = names.index(vec_col)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            col = pdf.iloc[:, vpos]
+            mask = col.notna().to_numpy()
+            out = pd.Series([None] * len(pdf), dtype=object, index=pdf.index)
+            if mask.any():
+                vecs = [np.asarray(v) for v in col[mask]]
+                widths = {v.shape[0] for v in vecs}
+                if widths != {dim}:
+                    raise ValueError(
+                        f"cosine_to_set_arrow(dim={dim}): array length in "
+                        f"{sorted(widths)} — wrong vec_dim would silently "
+                        "drop pairs"
+                    )
+                a = np.stack(vecs).astype(np.float64)
+                dot = np.zeros((a.shape[0], cmat.shape[0]))
+                na = np.zeros(a.shape[0])
+                for j in range(dim):
+                    dot = dot + a[:, j : j + 1] * cmat[None, :, j]
+                    na = na + a[:, j] * a[:, j]
+                na = np.sqrt(na)
+                denom = na[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / denom
+                cos = np.where(denom > 0, cos, np.nan)
+                rows = [
+                    [None if np.isnan(x) else float(x) for x in r] for r in cos
+                ]
+                out[np.flatnonzero(mask)] = pd.Series(rows, dtype=object).values
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(score, schema=out_schema)
+
+
+def cosine_pairs_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    dim: int,
+    out_col: str = "cos_raw",
+) -> DataFrame:
+    """Append the RAW cosine between two array columns of each row,
+    Arrow-batched with the same bit-exactness contract as
+    :func:`cosine_to_set_arrow` (rows vectorized, dims sequential,
+    rounding left to the JVM caller). The pair-scoring twin for join
+    outputs — candidate verification after IVF/LSH candidate
+    generation."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = df.schema.fields
+    out_schema = StructType(list(fields) + [StructField(out_col, DoubleType())])
+    names = [f.name for f in fields]
+    apos, bpos = names.index(a_col), names.index(b_col)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ca, cb = pdf.iloc[:, apos], pdf.iloc[:, bpos]
+            mask = (ca.notna() & cb.notna()).to_numpy()
+            out = np.full(len(pdf), np.nan)
+            if mask.any():
+                va = [np.asarray(v) for v in ca[mask]]
+                vb = [np.asarray(v) for v in cb[mask]]
+                widths = {v.shape[0] for v in va} | {v.shape[0] for v in vb}
+                if widths != {dim}:
+                    raise ValueError(
+                        f"cosine_pairs_arrow(dim={dim}): array length in "
+                        f"{sorted(widths)} — wrong vec_dim would silently "
+                        "drop pairs"
+                    )
+                a = np.stack(va).astype(np.float64)
+                b = np.stack(vb).astype(np.float64)
+                dot = np.zeros(a.shape[0])
+                na = np.zeros(a.shape[0])
+                nb = np.zeros(a.shape[0])
+                for j in range(dim):
+                    dot = dot + a[:, j] * b[:, j]
+                    na = na + a[:, j] * a[:, j]
+                    nb = nb + b[:, j] * b[:, j]
+                denom = np.sqrt(na) * np.sqrt(nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dot / denom, np.nan)
+                out[mask] = cos
+            pdf = pdf.copy()
+            # NaN must cross Arrow as NULL, not NaN — Spark orders NaN
+            # ABOVE every real value, which would corrupt the rank
+            # window; NULLs sort last like the JVM guard's NULLs.
+            pdf[out_col] = (
+                pd.Series(out, index=pdf.index)
+                .astype(object)
+                .mask(np.isnan(out), None)
+            )
+            yield pdf
+
+    return df.mapInPandas(score, schema=out_schema)
+
+
+def _attach_norm(df: DataFrame, vec_col: str, out_col: str, dim: int | None):
+    """``df`` + a precomputed-norm column when ``dim`` is given (the
+    janino-safe pair-scoring path); identity when ``dim`` is None
+    (the fold path computes norms inline per pair)."""
+    if dim is None:
+        return df
+    return df.withColumn(out_col, norm_expr(vec_col, dim))
+
+
+def _paired_cos(dim: int | None, a: str, b: str, a_nrm: str, b_nrm: str) -> Column:
+    """6-dp-rounded pair cosine: dot-only against precomputed norm
+    columns when ``dim`` is given, the self-contained fold otherwise.
+    Both branches produce bit-identical doubles (same ascending
+    accumulation, same ``dot/(na*nb)`` grouping) — only the generated
+    code size differs."""
+    if dim is None:
+        return F.round(cosine_expr(a, b), 6)
+    return F.round(
+        cosine_from_parts(dot_expr(a, b, dim), F.col(a_nrm), F.col(b_nrm)), 6
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -234,17 +499,25 @@ def brute_force_topk(
     The query side is broadcast — the corpus never shuffles for the
     join; ties broken by neighbor id for determinism.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = _attach_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        "_qn",
+        vec_dim,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _attach_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        "_cn",
+        vec_dim,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("cv", "qv", vec_dim), 6).alias("cos"),
+            _paired_cos(vec_dim, "cv", "qv", "_cn", "_qn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -300,42 +573,113 @@ def ivf_topk(
     cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cos_c").desc(), F.col("cent_id").asc()
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_expr("cv", "cent_v", vec_dim), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("cent_id", "neighbor_id", "cv")
-    )
+    qsel = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc()
     )
+    # Query-side probing stays JVM-fold in BOTH paths: the query
+    # batch × centroid set is tiny, and the fold is bit-identical to
+    # the Arrow kernel (same sequential accumulation).
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v", vec_dim), 6))
+        qsel.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v"), 6))
         .withColumn("_rn", F.row_number().over(w_probe))
         .where(F.col("_rn") <= nprobe)
         .select("cent_id", "query_id", "qv")
     )
-    scored = (
-        assigned.join(F.broadcast(probes), on="cent_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr("cv", "qv", vec_dim), 6).alias("cos"),
+    if vec_dim is None:
+        w_assign = Window.partitionBy("neighbor_id").orderBy(
+            F.col("cos_c").desc(), F.col("cent_id").asc()
         )
-    )
+        assigned = (
+            corp.crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", F.round(cosine_expr("cv", "cent_v"), 6))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .where(F.col("_rn") == 1)
+            .select("cent_id", "neighbor_id", "cv")
+        )
+        scored = (
+            assigned.join(F.broadcast(probes), on="cent_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_expr("cv", "qv"), 6).alias("cos"),
+            )
+        )
+    else:
+        assigned = _assign_argmax_arrow(corp, cents, "cv", vec_dim)
+        scored = cosine_pairs_arrow(
+            assigned.join(F.broadcast(probes), on="cent_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "cv", "qv"),
+            "cv",
+            "qv",
+            vec_dim,
+        ).select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos"))
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= k
+    )
+
+
+def _assign_argmax_arrow(
+    corp: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    dim: int,
+    max_centroids: int = 8192,
+) -> DataFrame:
+    """Nearest-centroid assignment via the Arrow scoring kernel —
+    the vec_dim production path of :func:`ivf_topk` /
+    :func:`build_ivf_index`.
+
+    ``cents`` (``cent_id``, ``cent_v``) is collected to the driver
+    (bounded — raises past ``max_centroids``, naming the JVM-fold
+    alternative) and shipped to workers as a numpy matrix; the
+    corpus gets an array of raw cosines per row
+    (:func:`cosine_to_set_arrow`), then the argmax runs JVM-side on
+    the 6-dp-ROUNDED array: ``array_position(rounded,
+    array_max(rounded))`` picks the FIRST maximal slot and the slots
+    are ordered by ascending ``cent_id`` — exactly the fold path's
+    ``row_number() OVER (ORDER BY cos DESC, cent_id ASC)`` tie
+    semantics, with NO corpus-wide window shuffle: assignment is now
+    scan → mapInPandas → project, one pipelined stage. All-NULL
+    cosine rows (zero-norm or NULL vectors) coalesce to slot 1 =
+    lowest cent_id, again matching the fold's NULLS-LAST pick.
+
+    Returns ``(cent_id, neighbor_id_or_id, cv...)`` — every column of
+    ``corp`` plus ``cent_id``.
+    """
+    import numpy as np
+
+    cent_rows = cents.orderBy("cent_id").limit(max_centroids + 1).collect()
+    if len(cent_rows) > max_centroids:
+        raise ValueError(
+            f"_assign_argmax_arrow: centroid set exceeds {max_centroids}; "
+            "pass target_centroids (fixed budget) or use the vec_dim=None "
+            "JVM-fold path for unbounded centroid sets."
+        )
+    if not cent_rows:
+        return corp.withColumn("cent_id", F.lit(None).cast("bigint")).where(
+            F.lit(False)
+        )
+    cent_ids = [r["cent_id"] for r in cent_rows]
+    cmat = np.stack([np.asarray(r["cent_v"], dtype=np.float64) for r in cent_rows])
+    scored = cosine_to_set_arrow(corp, cmat, vec_col, dim, out_col="_cos_arr")
+    rounded = F.transform(F.col("_cos_arr"), lambda c: F.round(c, 6))
+    idx = F.coalesce(
+        F.array_position(rounded, F.array_max(rounded)), F.lit(1)
+    ).cast("int")
+    id_arr = F.array(*[F.lit(c) for c in cent_ids])
+    return scored.select(
+        F.element_at(id_arr, idx).alias("cent_id"),
+        *[c for c in corp.columns],
     )
 
 
@@ -408,17 +752,25 @@ def build_ivf_index(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cos_c").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v", vec_dim), 6))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("cent_id", id_col, vec_col)
-    )
+    if vec_dim is None:
+        w_assign = Window.partitionBy(id_col).orderBy(
+            F.col("cos_c").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            corpus.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v"), 6))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .where(F.col("_rn") == 1)
+            .select("cent_id", id_col, vec_col)
+        )
+    else:
+        # production path: Arrow-kernel argmax (no corpus-wide window
+        # shuffle in the build; bit-identical assignment — see
+        # _assign_argmax_arrow)
+        assigned = _assign_argmax_arrow(
+            corpus.select(id_col, vec_col), cents, vec_col, vec_dim
+        ).select("cent_id", id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/lists"
     )
@@ -452,7 +804,7 @@ def ivf_topk_indexed(
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v", vec_dim), 6))
+        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v"), 6))
         .withColumn("_rn", F.row_number().over(w_probe))
         .where(F.col("_rn") <= nprobe)
         .select("cent_id", "query_id", "qv")
@@ -469,15 +821,21 @@ def ivf_topk_indexed(
     # this makes the short-circuit explicit in the plan).
     probe_filter = F.col("cent_id").isin(probe_ids) if probe_ids else F.lit(False)
     lists = spark.read.parquet(f"{path}/lists").where(probe_filter)
-    scored = (
+    pairs = (
         lists.join(F.broadcast(probes), on="cent_id")
         .where(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_expr(vec_col, "qv", vec_dim), 6).alias("cos"),
-        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), vec_col, "qv")
     )
+    if vec_dim is None:
+        scored = pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(vec_col, "qv"), 6).alias("cos"),
+        )
+    else:
+        scored = cosine_pairs_arrow(pairs, vec_col, "qv", vec_dim).select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos")
+        )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -678,11 +1036,25 @@ def bucketed_topk(
     the corpus bucketed/partitioned by ``bucket`` and the probe is a
     partition-pruned co-located join.
     """
-    cb = lsh_sign_buckets(corpus, vec_col, dims).select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    cb = _attach_norm(
+        lsh_sign_buckets(corpus, vec_col, dims).select(
+            F.col("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cv",
+        "_cn",
+        vec_dim,
     )
-    qb = lsh_sign_buckets(queries, vec_col, dims).select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qb = _attach_norm(
+        lsh_sign_buckets(queries, vec_col, dims).select(
+            F.col("bucket"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        ),
+        "qv",
+        "_qn",
+        vec_dim,
     )
     scored = (
         cb.join(F.broadcast(qb), on="bucket", how="inner")
@@ -690,7 +1062,7 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("cv", "qv", vec_dim), 6).alias("cos"),
+            _paired_cos(vec_dim, "cv", "qv", "_cn", "_qn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -739,11 +1111,25 @@ def bucketed_topk_multiprobe(
     """
     b = len(dims)
     n_flips = b if max_flips is None else max(0, min(max_flips, b))
-    cb = lsh_sign_buckets(corpus, vec_col, dims).select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    cb = _attach_norm(
+        lsh_sign_buckets(corpus, vec_col, dims).select(
+            F.col("bucket"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cv",
+        "_cn",
+        vec_dim,
     )
-    qb = lsh_sign_buckets(queries, vec_col, dims).select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qb = _attach_norm(
+        lsh_sign_buckets(queries, vec_col, dims).select(
+            F.col("bucket"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        ),
+        "qv",
+        "_qn",
+        vec_dim,
     )
     flips = [F.col("bucket")] + [
         F.concat(
@@ -753,8 +1139,9 @@ def bucketed_topk_multiprobe(
         )
         for i in range(n_flips)
     ]
+    probe_carry = ["query_id", "qv"] + (["_qn"] if vec_dim is not None else [])
     probes = qb.select(
-        "query_id", "qv", F.explode(F.array(*flips)).alias("bucket")
+        *probe_carry, F.explode(F.array(*flips)).alias("bucket")
     )
     scored = (
         cb.join(F.broadcast(probes), on="bucket", how="inner")
@@ -762,7 +1149,7 @@ def bucketed_topk_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("cv", "qv", vec_dim), 6).alias("cos"),
+            _paired_cos(vec_dim, "cv", "qv", "_cn", "_qn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -814,20 +1201,30 @@ def semantic_dedup(
     assigned = kmeans_assign(corpus, cents, id_col=id_col, vec_col=vec_col).join(
         corpus.select(id_col, vec_col), on=id_col
     )
-    left = assigned.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+    left = _attach_norm(
+        assigned.select(
+            F.col("cluster"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+        ),
+        "_va",
+        "_na",
+        vec_dim,
     )
-    right = assigned.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+    right = _attach_norm(
+        assigned.select(
+            F.col("cluster"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+        ),
+        "_vb",
+        "_nb",
+        vec_dim,
     )
     dominated = (
         left.join(right, on="cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_expr("_va", "_vb", vec_dim), 6) > threshold)
+        .where(_paired_cos(vec_dim, "_va", "_vb", "_na", "_nb") > threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_dom", F.lit(True))

@@ -3199,11 +3199,14 @@ def q113_ann_ivf_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    # vec_dim=64: the dim-unrolled cosine (scalar codegen'd sums, no
-    # interpreted fold) — measured 37.2→22.1s at 100× on the
-    # broadcast-argmin assignment, bit-identical values (same
-    # ascending element order), and it RAISES on a width mismatch
-    # instead of silently NULLing (the cosine_expr contract).
+    # vec_dim=64: norm-precomputed scoring (norm_expr once per vector
+    # at the scan, dot_expr only per pair) — bit-identical values
+    # (same ascending accumulation, same dot/(na*nb) grouping), and
+    # norm_expr RAISES on a width mismatch instead of silently
+    # NULLing. This shape compiles: the former 3-sums-in-one unrolled
+    # cosine blew janino's 64 KB method limit in the window plans and
+    # ran interpreted (round-6 verdict #1); the no-fallback gate in
+    # tests/test_plan_gates.py holds it compiled.
     return ivf_topk(
         emb,
         emb.where(F.col("vec_id") < 10),

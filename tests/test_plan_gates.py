@@ -1,0 +1,89 @@
+"""Codegen-health plan gates (round-6 verdict #2).
+
+The round-6 registration of q113/q114 shipped a cosine expression
+whose generated code exceeded janino's 64 KB method limit: every run
+logged ``ERROR CodeGenerator ... Code grows beyond 64 KB`` and
+silently executed in interpreted fallback — correct results, 2.8×
+the intended cost, and a docstring claim ("codegen'd sums") that was
+factually wrong. The in-prose caveat ("verify with .explain") did
+not prevent it; only a gate does.
+
+Mechanism: ``spark.sql.codegen.fallback=false`` turns silent
+interpreted fallback into a hard error, so running a query under it
+asserts the ENTIRE plan compiled. The gate is self-proving:
+``test_fallback_conf_catches_janino_overflow`` rebuilds the exact
+round-6 failure shape (3-sums-in-one unrolled cosine inside a
+join+window stage) and asserts it DOES raise under the conf — so a
+Spark upgrade that silently changed the conf's semantics would turn
+that test red, not quietly hollow out the gate.
+
+Note CodegenFallback *expressions* (higher-order functions like
+``aggregate``/``transform``) are unaffected: they are designed to
+interpret and never attempt compilation, so fold-based queries stay
+green under the conf. What the gate catches is compile *failure*.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark import queries as Q
+from data_lake_with_spark_spark.operators import similarity
+
+
+@pytest.fixture()
+def no_codegen_fallback(spark):
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield spark
+    spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_fallback_conf_catches_janino_overflow(no_codegen_fallback, sf_dir):
+    """Negative control: the round-6 failure shape must RAISE under
+    the conf (proves the gate mechanism is live)."""
+    spark = no_codegen_fallback
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where((F.col("vec_id") % 50) == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_v")
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    bad = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(similarity.cosine_expr("cv", "cent_v", 64), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    with pytest.raises(Exception, match="(?i)compil|codegen|64 KB|grows"):
+        bad.count()
+
+
+# every registered similarity / PQ / dedup-over-embeddings query:
+# the surface the round-6 regression lived in.
+_GATED = [
+    "q13_ann_ivf",
+    "q26_embedding_topk",
+    "q27_ann_lsh",
+    "q102_ann_ivf_indexed",
+    "q105_quantized_topk",
+    "q106_ann_lsh_multiprobe",
+    "q113_ann_ivf_budgeted",
+    "q114_ann_ivf_indexed_budgeted",
+    "q116_semantic_dedup",
+    "q117_pq_encode",
+    "q118_pq_topk",
+    "q119_pq_topk_rerank",
+]
+
+
+@pytest.mark.parametrize("name", _GATED)
+def test_similarity_queries_fully_compile(no_codegen_fallback, sf_dir, name):
+    """Positive gate: each registered embedding-family query executes
+    end-to-end with silent-interpreted-fallback disabled — i.e. every
+    stage of its plan actually compiles."""
+    df = Q.queries()[name](no_codegen_fallback, sf_dir)
+    assert df.count() >= 0
