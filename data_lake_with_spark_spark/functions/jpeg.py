@@ -140,7 +140,14 @@ def _dct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-unstuffing; RSTn markers reset huffman bit alignment."""
+    byte-unstuffing. Markers — INCLUDING RSTn — stop the prefetch
+    without being consumed: the round-6 advisor showed that skipping
+    RSTn inside ``_fill`` discarded up to 24 bits of still-unread
+    pre-marker entropy data sitting in the prefetch buffer (reading
+    ``AA CC F0 FF D0 55`` yielded 0x55 first instead of 0xAA).
+    Restart markers are consumed only at MCU-interval boundaries via
+    :meth:`restart`, which also lets the decode loop reset its DC
+    predictors per T.81 E.2.4."""
 
     def __init__(self, data: bytes, start: int):
         self.data = data
@@ -158,12 +165,7 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:  # stuffed 0xFF data byte
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker
-                    self.pos += 2
-                    self.bitbuf = 0
-                    self.nbits = 0
-                    continue
-                else:  # scan terminator (EOI or next marker)
+                else:  # any marker (RSTn, EOI, next segment): stop here
                     return self.nbits > 0
                 b = 0xFF
             else:
@@ -171,6 +173,26 @@ class _BitReader:
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
         return True
+
+    def restart(self) -> None:
+        """Consume one RSTn at an MCU-interval boundary: drop the pad
+        bits, then the 2-byte marker. Because ``_fill`` never reads
+        past a marker, whatever is buffered here is pre-marker pad —
+        at most the 7 one-bits completing the interval's last byte
+        (F.1.2.3); dropping it loses no entropy data."""
+        if self.nbits >= 8:
+            raise ValueError("jpeg: >7 bits pending at restart boundary")
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("jpeg: expected RSTn at restart interval")
 
     def read_bit(self) -> int:
         if self.nbits == 0 and not self._fill():
@@ -224,6 +246,7 @@ def _decode_jpeg_inner(payload: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
@@ -274,8 +297,9 @@ def _decode_jpeg_inner(payload: bytes):
                 sel.append((cs, tt >> 4, tt & 0x0F))
             scan = (sel, pos + 2 + seglen)
             break
-        # else: APPn/COM/DRI skipped (DRI only matters for RSTn, which
-        # the bit reader already handles)
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = int.from_bytes(body[0:2], "big")
+        # else: APPn/COM skipped
         pos += 2 + seglen
     if frame is None or scan is None:
         return None
@@ -296,8 +320,16 @@ def _decode_jpeg_inner(payload: bytes):
         planes.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
     pred = [0] * len(comps)
     sel_by_comp = {cs: (td, ta) for cs, td, ta in sel}
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # T.81 E.2.4: consume RSTn (pad bits + marker) and
+                # reset every DC predictor — each restart interval is
+                # an independently-decodable run.
+                reader.restart()
+                pred = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, ch, cv, tq) in enumerate(comps):
                 td, ta = sel_by_comp[cid]
                 dct_t, act = huff_dc[td], huff_ac[ta]
@@ -430,13 +462,17 @@ def _encode_block(
 
 def encode_jpeg(
     img: np.ndarray, quality: int = 85, subsample: bool = False,
-    grayscale: bool = False,
+    grayscale: bool = False, restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W, 3) uint8 RGB as baseline JFIF JPEG — 4:4:4, 4:2:0
     with ``subsample=True`` (2×2 chroma averaging), or 1-component
     grayscale with ``grayscale=True`` (luma only — exercises the
     decoder's single-plane path). Annex-K tables at the libjpeg
-    quality scaling."""
+    quality scaling. ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that-many MCUs (pad-to-byte + marker + DC
+    predictor reset, T.81 E.2.4) — the common libjpeg output shape
+    the decoder must round-trip bit-identically to the unrestarted
+    stream."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     rgb = img.astype(np.float64)
@@ -488,8 +524,16 @@ def encode_jpeg(
     bw = _BitWriter()
     pred = [0, 0, 0]
     inv_zz = ZIGZAG  # coeff order: zz[i] = block.flat[ZIGZAG[i]]
+    mcu_i = 0
+    rst_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()  # pad to byte boundary with 1-bits
+                bw.out += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                rst_i += 1
+                pred = [0, 0, 0]
+            mcu_i += 1
             for ci, (cid, chf, cvf, tq, q) in enumerate(ch_factors):
                 dc_enc = dcl if ci == 0 else dcc
                 ac_enc = acl if ci == 0 else acc
@@ -541,6 +585,8 @@ def encode_jpeg(
     for ci, (cid, *_rest) in enumerate(ch_factors):
         td = ta = 0 if ci == 0 else 1
         sos += bytes([cid, (td << 4) | ta])
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos += bytes([0, 63, 0])
     out += seg(0xDA, bytes(sos))
     out += bw.out

@@ -47,10 +47,26 @@ from __future__ import annotations
 # kernels with ``pd.Series``, and under PEP-563 string annotations
 # PySpark resolves those hints against MODULE globals — a
 # function-local ``import pandas as pd`` leaves the hint unresolvable
-# (PySparkNotImplementedError: UNSUPPORTED_SIGNATURE).
-import pandas as pd  # noqa: F401
+# (PySparkNotImplementedError: UNSUPPORTED_SIGNATURE). But guarded
+# (round-6 advisor): the pure-JVM backends (whitespace, gpt2_regex,
+# markers) must import fine on a pandas-less driver; only selecting a
+# pandas-UDF backend requires pandas, enforced in _require_pandas.
+try:
+    import pandas as pd  # noqa: F401
+except ImportError:  # pragma: no cover - exercised on pandas-less drivers
+    pd = None  # type: ignore[assignment]
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _require_pandas(backend: str) -> None:
+    if pd is None:
+        raise ImportError(
+            f"tokenizer backend {backend!r} is a pandas UDF and needs "
+            "pandas on the driver; the JVM backends (whitespace, "
+            "gpt2_regex, markers) work without it"
+        )
 
 #: The public GPT-2 pre-tokenizer pattern (also used by tiktoken's
 #: ``gpt2`` encoding) in Java-regex syntax.
@@ -85,6 +101,7 @@ def _tokenize_tiktoken(
             "use backend='whitespace' (oracled) or 'gpt2_regex' (the "
             "same encoding's pre-tokenizer, JVM-side)."
         ) from e
+    _require_pandas("tiktoken")
 
     import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
@@ -104,6 +121,7 @@ def _tokenize_tiktoken(
 
 
 def _tokenize_bpe_mini(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    _require_pandas("bpe_mini")
     import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
 
@@ -170,6 +188,7 @@ def _langid_fasttext(
         ) from e
     if not model_path:
         raise ValueError("language_id(backend='fasttext') requires model_path=")
+    _require_pandas("fasttext")
 
     import pandas as pd
     from pyspark.sql.types import StringType
@@ -186,6 +205,7 @@ def _langid_fasttext(
 
 
 def _langid_char_ngram(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    _require_pandas("char_ngram")
     import pandas as pd
     from pyspark.sql.types import StringType
 

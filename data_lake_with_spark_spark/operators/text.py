@@ -476,6 +476,11 @@ def ngram_rarity(
     # that collapses the whole pipeline to ONE task (the measured
     # MinHash trap, dedup.minhash_signatures).
     parts = df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint: the gram frame feeds TWO consumers (model
+    # build + per-doc join) and each action would otherwise re-run
+    # the filter+repartition+explode+substring pipeline per consumer
+    # (round-6 advisor: it ran three times). One materialized pass is
+    # the "one position-explode pass" the contract promises.
     grams = (
         df.where(F.length(text_col) >= n)
         .repartition(parts, F.col(id_col))
@@ -487,9 +492,12 @@ def ngram_rarity(
             ).alias("_i"),
         )
         .select(F.col(id_col), F.expr(f"substring(_txt, _i, {n})").alias("_g"))
+        .localCheckpoint()
     )
     model = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
-    total = grams.select(F.count(F.lit(1)).alias("_total"))
+    # total derives from the (broadcast-sized) model, not a third
+    # pass over the gram frame: Σ counts ≡ the gram count.
+    total = model.select(F.sum("_c").alias("_total"))
     return (
         grams.join(F.broadcast(model), on="_g")
         .groupBy(id_col)

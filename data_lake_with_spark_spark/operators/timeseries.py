@@ -48,6 +48,13 @@ def resample_ffill(
             .cast("double")
             .alias("_total")
         )
+        # the aggregate feeds THREE consumers (bounds, key set, grid
+        # join); without materialization each one re-scans the events
+        # source (per-consumer column pruning defeats exchange reuse —
+        # caught by the scan-count plan gate: 3 parquet scans). One
+        # checkpoint of the |keys|×|buckets|-bounded aggregate keeps
+        # the raw corpus read at exactly one pass.
+        .localCheckpoint()
     )
     bounds = agg.select(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")

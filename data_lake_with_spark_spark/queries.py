@@ -91,14 +91,26 @@ def _drain_stream_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(120)
-    finally:
+        # awaitTermination returns False on timeout — raise THEN (with
+        # staging inputs still on disk, so the run is retryable)
+        # instead of silently returning a partial memory table after
+        # deleting the only copy of its inputs (round-6 advisor).
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish availableNow "
+                "drain within 120s; staging dirs retained for retry: "
+                f"{stage_dirs}"
+            )
+    except Exception:
         try:
             q.stop()
         except Exception:
             pass
-        for d in stage_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+        raise
+    q.stop()
+    for d in stage_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
 
 

@@ -200,3 +200,19 @@ def test_cohort_retention_rejects_unknown_period(spark):
     df = spark.createDataFrame([(1, "2024-01-01")], ["user_id", "ts"])
     with pytest.raises(ValueError, match="period"):
         cohort_retention(df, period="quarter")
+
+
+def test_cohort_retention_shuffle_budget(spark, sf_dir):
+    """Plan gate (round-6 verdict #5): cohort retention is
+    partial-aggregable throughout — per-user min groupBy, activity
+    distinct, broadcast join of the (small) cohort frame, and the
+    two-phase countDistinct. Pinned at ≤5 Exchange nodes and two
+    source scans (first-event pass + activity pass — inherent to the
+    cohort definition), no Python stages."""
+    from data_lake_with_spark_spark import queries as Q
+
+    df = Q.queries()["q123_cohort_retention"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 2
+    assert p.count("Exchange") <= 5
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p

@@ -339,6 +339,60 @@ def test_jpeg_round_trip_all_modes():
     assert _psnr(flat, decode_jpeg(encode_jpeg(flat, 90))) >= 90.0
 
 
+def test_jpeg_restart_markers_round_trip():
+    """RSTn handling (round-6 advisor, medium): a restart stream must
+    decode BIT-IDENTICALLY to the unrestarted stream — restarts change
+    the entropy coding (pad + marker + DC predictor reset), never the
+    dequantized coefficients. Intervals of 1 (marker between every
+    MCU — maximal pad/reset traffic), a non-divisor interval, and >8
+    restarts (RSTn index wraps 0-7) are all exercised, in 4:4:4,
+    4:2:0, and grayscale modes."""
+    import numpy as np
+
+    from data_lake_with_spark_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:41, 0:57]
+    img = np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, ((xx * yy) // 4) % 256], axis=2
+    ).astype(np.uint8)
+    noisy = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for im in (img, noisy):
+        for kw in ({}, {"subsample": True}, {"grayscale": True}):
+            base = decode_jpeg(encode_jpeg(im, 85, **kw))
+            assert base is not None
+            for ri in (1, 3, 7):
+                enc = encode_jpeg(im, 85, restart_interval=ri, **kw)
+                assert b"\xff\xdd" in enc  # DRI segment present
+                dec = decode_jpeg(enc)
+                assert dec is not None, (kw, ri)
+                assert np.array_equal(dec, base), (kw, ri)
+
+
+def test_jpeg_bitreader_never_discards_premarker_bits():
+    """The advisor's exact repro: with entropy bytes followed by an
+    RST marker inside the prefetch window, the first bits read must
+    come from the PRE-marker data (0xAA), not from after it (0x55) —
+    _fill stops at markers instead of consuming them."""
+    from data_lake_with_spark_spark.functions.jpeg import _BitReader
+
+    r = _BitReader(bytes([0xAA, 0xCC, 0xF0, 0xFF, 0xD0, 0x55]), 0)
+    assert r.read_bits(8) == 0xAA
+    assert r.read_bits(8) == 0xCC
+    assert r.read_bits(8) == 0xF0
+    # only the marker remains: reading past it must fail, not skip it
+    import pytest as _pytest
+
+    with _pytest.raises(EOFError):
+        r.read_bit()
+    # and restart() consumes exactly the marker, exposing post-data
+    r.restart()
+    assert r.read_bits(8) == 0x55
+
+
 def test_jpeg_shape_preservation_and_rejection():
     import numpy as np
 

@@ -248,3 +248,17 @@ def test_quality_classifier_margin_and_decision(spark):
     # plan stays JVM-side
     p = quality_classifier(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_classifier_is_scan_side_projection(spark, sf_dir):
+    """Plan gate (round-6 verdict #5): the vendored linear classifier
+    lowers to ONE shuffle-free JVM projection over the scan — zero
+    Exchange, zero Python — the shape that lets a distilled quality
+    model run inside a 100 TB scan at scan speed."""
+    from data_lake_with_spark_spark import queries as Q
+
+    df = Q.queries()["q124_quality_classifier"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert p.count("Scan parquet") == 1
