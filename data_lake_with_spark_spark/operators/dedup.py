@@ -225,15 +225,37 @@ def jaccard_verify_pairs(
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
-    return (
+    joined = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+            "shs_a",
+            "shs_b",
             F.size("shs_a").alias("sz_a"),
             F.size("shs_b").alias("sz_b"),
+        )
+    )
+    if threshold > 0:
+        # size-ratio early exit (round-6 verdict #7): J(A,B) ≤
+        # min(|A|,|B|)/max(|A|,|B|), and sizes are O(1) array-length
+        # reads — pairs that cannot reach the threshold skip the
+        # O(shingles/doc) array_intersect entirely. The 1e-6 slack
+        # keeps pairs whose exact J sits just under the threshold but
+        # ROUNDS to it (the emitted jaccard is round(·, 6) ≥ t), so
+        # the survivor set is bit-identical to the unbounded path.
+        joined = joined.where(
+            F.least("sz_a", "sz_b")
+            >= (F.lit(threshold) - F.lit(1e-6)) * F.greatest("sz_a", "sz_b")
+        )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+            "sz_a",
+            "sz_b",
         )
         .select(
             "id_a",

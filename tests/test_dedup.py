@@ -66,6 +66,38 @@ def test_ngram_jaccard_prefilter_bounds_join(spark):
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 4)}
 
 
+def test_jaccard_verify_size_bound_is_result_invariant(spark):
+    """The size-ratio early exit (J <= min/max) must be invisible in
+    the output: threshold=t survivors are bit-identical to filtering
+    the threshold=0 output at >= t, including on pairs the bound
+    prunes (size-skewed) and pairs at the rounding boundary."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the river!"),
+            (3, "the quick brown fox"),  # size-skewed vs 1: bound prunes at t=0.5
+            (4, "xyzzy plugh abracadabra totally disjoint content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], ["id_a", "id_b"]
+    )
+    for t in (0.2, 0.5, 0.9):
+        fast = dedup.jaccard_verify_pairs(docs, pairs, shingle_k=5, threshold=t)
+        slow = dedup.jaccard_verify_pairs(
+            docs, pairs, shingle_k=5, threshold=0.0
+        ).where(F.col("jaccard") >= t)
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(map(tuple, slow.collect()))
+        assert got == want, f"t={t}: {got} != {want}"
+    # the bound actually prunes (1,3) at t=0.5: |shs_3|/|shs_1| < 0.5,
+    # yet (1,2) survives — proves the filter path is exercised
+    high = dedup.jaccard_verify_pairs(docs, pairs, shingle_k=5, threshold=0.5)
+    ids = {(r["id_a"], r["id_b"]) for r in high.collect()}
+    assert (1, 2) in ids and (1, 3) not in ids
+
+
 def test_simhash_near_dups_close_in_hamming(spark):
     out = dedup.simhash(_docs(spark), bits=16)
     rows = {r["doc_id"]: r["simhash"] for r in out.collect()}
