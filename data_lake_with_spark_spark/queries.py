@@ -4358,16 +4358,23 @@ _ROTATED_OUT = (
     # round 6b demotions — all driver-hard verified in rounds 1-5;
     # every family keeps an in-window representative: windows via
     # q07 (q17 out), profiling via q101 expectations (q15 out),
-    # MinHash via q18/q24 (q22 out), lang/text via q11/q36/q50/q111
-    # + incoming q115/q124 (q28, q29 out), grouping via q01/q40
+    # grouping via q01/q40
     # (q37 out), k-means via incoming q116's kmeans_assign (q41 out),
     # dedup via q18/q21/q24/q46-q48... q42 span dedup out with the
     # family otherwise intact, interval joins via q44 as-of (q45 out),
-    # embedding near-dup via q47's LSH path (q46 exact-path out)
+    # embedding near-dup via q47's LSH path (q46 exact-path out).
+    # Round 7 amendment (r6 verdict #3): the 6b plan demoted q22
+    # (MinHash signatures) and q28 (lang-ID) — but both families'
+    # CODE changed since their last driver-hard verification (the r5
+    # MinHash ⌈n/4⌉-digest generalization; the r6 PEP-563 pandas-UDF
+    # fix), so they return to the window and their pairing slots pass
+    # to q110/q111 instead — both driver-verified green in r6
+    # (CORRECTNESS_r06.json), with sampling keeping q104/q109 and
+    # text stats keeping q11/q36/q50/q115/q124 in-window.
     "q15_profile_columns",
     "q17_sessionize",
-    "q22_minhash_signatures",
-    "q28_lang_id",
+    "q110_sample_per_group",
+    "q111_stopword_stats",
     "q29_quality_score",
     "q37_rollup_revenue",
     "q41_kmeans_step",
