@@ -1074,3 +1074,133 @@ def duplicated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The excision pass :func:`duplicated_spans` detects for — the
+    actual Lee et al. 2022 operation: rewrite every document with all
+    occurrences of corpus-recurring ``window``-token spans removed,
+    keeping only tokens no recurring span covers.
+
+    Output: ``(id, clean_text, n_tokens_kept, n_tokens)`` — one row
+    per input document, including fully-excised docs
+    (``clean_text = ''``) and docs shorter than ``window`` (pass
+    through whitespace-normalized: the rebuild joins tokens with a
+    single space, as any token-level rewrite must).
+
+    Plan shape (all JVM expressions, no Python): the recurring-span
+    set comes from the same single span-groupBy as detection; one
+    hash join of span starts against that set marks hit positions;
+    one explode widens hits to covered token positions; a left-anti
+    join drops covered tokens; one final groupBy rebuilds the text in
+    position order (``array_sort(collect_list(struct(pos, tok)))`` —
+    sorts within each doc's group, never a global sort). Six shuffles
+    total, every one keyed on span-hash or doc id — at 100 TB the
+    span join keys become ``xxhash64(span)`` exactly as in
+    :func:`duplicated_spans`, and no stage ever holds more than one
+    document's tokens in a single row. Beyond-reference LLM-pipeline
+    operator (the detect half is q42; this is the rewrite half).
+    """
+    from data_lake_with_spark_spark.operators.text import tokens
+
+    bad = duplicated_spans(docs, window, min_docs, id_col, text_col).select(
+        "span"
+    )
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    starts = (
+        base.where(F.size("_t") >= window)
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - (window - 1))
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            "_i",
+            F.array_join(F.slice("_t", F.col("_i"), window), " ").alias(
+                "span"
+            ),
+        )
+    )
+    covered = (
+        starts.join(bad, "span")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (window - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    tokrows = base.select(
+        F.col(id_col), F.posexplode("_t").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
+    cleaned = (
+        tokrows.join(covered, [id_col, "_p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+            "n_tokens",
+        )
+    )
+
+def canonical_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    order_by: "list[Column]",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Pick ONE canonical survivor per near-duplicate cluster by an
+    explicit preference order — the selection policy production dedup
+    actually ships: keep the best-quality (most-starred, longest,
+    canonical-URL…) member of each duplicate group, not the lowest id.
+    (:func:`minhash_dedup`'s greedy drop-higher-id and the
+    min-id-per-cluster convention are tie-breaks of convenience;
+    corpus quality improves when the survivor is CHOSEN.)
+
+    ``clusters`` is a ``(id, cluster)`` assignment — the output of
+    :func:`connected_components`, which labels every node including
+    singletons, so this is a total pass: every cluster emits exactly
+    one row. ``order_by`` ranks within a cluster, best first, and
+    must end in a unique tiebreak (the id) for determinism.
+
+    Plan: one hash join on the id (cluster assignment is ≤ one row
+    per doc) + one window shuffle on the cluster label. No driver
+    action; at 100 TB both shuffles key on ids, and cluster skew is
+    bounded by the largest duplicate group — the same bound the CC
+    step already carries.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(*order_by)
+    return (
+        df.join(clusters, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

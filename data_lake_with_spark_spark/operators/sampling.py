@@ -240,3 +240,94 @@ def sample_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+def relative_buckets(
+    df: DataFrame,
+    group_col: str,
+    order_by: "list[Column]",
+    k: int = 3,
+    labels: "tuple[str, ...] | None" = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group relative bucketing — CCNet's head/middle/tail split
+    generalized: rank rows within each ``group_col`` partition by
+    ``order_by`` (best first) and assign bucket
+    ``floor(k * (rank-1) / n)``, so every group splits into ``k``
+    near-equal bands REGARDLESS of its absolute signal distribution.
+    This is how per-language quality gates avoid the classic trap of
+    one absolute threshold judging all languages by the head
+    language's distribution.
+
+    The bucket index is computed in pure INTEGER arithmetic
+    (``(k·(rank−1)) div n``) — no float quantile boundaries, so the
+    assignment is bit-identical across engines and the SQL oracle
+    reproduces it with ``//``. One window shuffle on the group key;
+    rank and count share the same window frame, so Spark evaluates
+    both in a single pass. ``order_by`` must be a total order
+    (include a unique tiebreak column) or ranks are
+    nondeterministic — same contract as every window op here.
+    ``labels=None`` emits the integer bucket index instead.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if labels is not None and len(labels) != k:
+        raise ValueError(f"need exactly k={k} labels, got {labels!r}")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    r = F.row_number().over(w)
+    # exact integer division as (a - a%n)/n: the subtraction makes the
+    # final / an exact-multiple division, so no FP-boundary rounding
+    a = F.lit(k) * (r - F.lit(1))
+    idx = ((a - (a % n)) / n).cast("int")
+    out = df.withColumn("_bidx", idx)
+    if labels is None:
+        return out.withColumnRenamed("_bidx", bucket_col)
+    lab = F.lit(labels[-1])
+    for i in range(k - 2, -1, -1):
+        lab = F.when(F.col("_bidx") == i, F.lit(labels[i])).otherwise(lab)
+    return out.withColumn(bucket_col, lab).drop("_bidx")
+
+
+def shard_assignment(
+    df: DataFrame,
+    key: Column,
+    n_shards: int,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic training-shard writer assignment: shard =
+    ``md5(key)``'s first 8 hex digits mod ``n_shards`` (uniform,
+    key-skew-proof — a hot natural key still lands in one shard but
+    shard SIZES stay balanced because md5 is uniform over keys), and
+    a stable 1-based position within the shard ordered by the full
+    hash (so shard contents are a deterministic pseudo-random
+    permutation of the corpus — exactly the "global shuffle" a
+    training run wants, without a global sort).
+
+    This is the WebDataset/TFRecord shard layout op: downstream
+    writers do ``.repartitionByRange(shard_col, pos_col)`` or
+    ``partitionBy(shard_col)`` and each shard file is internally
+    shuffled, reproducibly. One window shuffle on the shard id (the
+    md5 mod is a scan-side projection); cross-engine reproducible —
+    the oracle computes the identical hex arithmetic with ``//`` and
+    string comparison.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(key)
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_h").asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )

@@ -4128,6 +4128,175 @@ FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
 
 # --- registry -------------------------------------------------------------
 
+def q125_relative_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language relative quality bucketing
+    (sampling.relative_buckets): rank docs within each language by
+    quality and split into head/middle/tail thirds — the per-group
+    relative threshold that avoids judging every language by the head
+    language's absolute distribution (CCNet buckets by per-language
+    perplexity terciles; same shape). Bucket index is pure integer
+    arithmetic ((3·(rank−1)) div n), bit-identical across engines."""
+    from data_lake_with_spark_spark.operators.sampling import relative_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(d).select("doc_id", "lang", "quality")
+    return relative_buckets(
+        scored, "lang", [F.col("quality").desc(), F.col("doc_id").asc()], k=3
+    ).select("doc_id", "lang", "quality", "bucket")
+
+
+O_Q125 = f"""
+WITH c AS (
+  SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS n_chars_measured,
+         {_o_ratio('[.,;:!?]', 'punct_ratio')},
+         {_o_ratio('[0-9]', 'digit_ratio')}
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         0.5 * least(n_chars_measured / 500.0, 1.0)
+             + 0.5 * (1.0 - least(punct_ratio + digit_ratio, 1.0)) AS quality
+  FROM c),
+r AS (
+  SELECT doc_id, lang, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM q)
+SELECT doc_id, lang, quality,
+       CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+def q126_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION (dedup.remove_duplicated_spans) — the rewrite
+    half of Lee et al. 2022 suffix-array dedup (q42 is the detect
+    half): every document reconstructed with all occurrences of
+    corpus-recurring 8-token spans removed; fully-excised docs emit
+    clean_text = ''."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(d, window=8, min_docs=2)
+
+
+O_Q126 = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+tokrows AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+starts AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+  WHERE len(t) >= 8),
+bad AS (
+  SELECT span FROM starts GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT st.doc_id, st.i + d.d AS pos
+  FROM starts st JOIN bad USING (span),
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS d) d),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok FROM tokrows tr
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens
+FROM toks tk LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q127_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (sampling.shard_assignment):
+    shard = first-8-hex-digits-of-md5 mod 16, position = stable rank
+    within the shard by full hash — the WebDataset/TFRecord writer
+    assignment, giving balanced shards whose contents are a
+    reproducible pseudo-random permutation (the 'global shuffle' a
+    training run wants, without a global sort)."""
+    from data_lake_with_spark_spark.operators.sampling import shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_assignment(
+        d.select("doc_id"), F.col("doc_id").cast("string"), n_shards=16
+    ).select("doc_id", "shard", "shard_pos")
+
+
+O_Q127 = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substring(hh, 1, 8))::BIGINT % 16 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substring(hh, 1, 8))::BIGINT % 16
+            ORDER BY hh, CAST(doc_id AS VARCHAR)) AS BIGINT) AS shard_pos
+FROM h
+"""
+
+
+def q128_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax survivor selection (dedup.canonical_per_cluster):
+    connected-component near-dup clusters (q33's star-edge graph),
+    then keep the HIGHEST-quality member of each cluster instead of
+    the lowest id — the selection policy production dedup ships
+    (BigCode keeps most-starred; web dedup keeps canonical URL)."""
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_star_edges(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+    clusters = dedup.connected_components(d.select("doc_id"), edges).select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+    scored = text.quality_score(d).select("doc_id", "lang", "quality")
+    return dedup.canonical_per_cluster(
+        scored, clusters, [F.col("quality").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "cluster", "lang", "quality")
+
+
+O_Q128 = f"""
+WITH RECURSIVE sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS id_a,
+         doc_id AS id_b
+  FROM banded),
+pairs AS (SELECT DISTINCT id_a, id_b FROM star WHERE id_a <> id_b),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+clusters AS (
+  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+  FROM reach GROUP BY node),
+c AS (
+  SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS n_chars_measured,
+         {_o_ratio('[.,;:!?]', 'punct_ratio')},
+         {_o_ratio('[0-9]', 'digit_ratio')}
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         0.5 * least(n_chars_measured / 500.0, 1.0)
+             + 0.5 * (1.0 - least(punct_ratio + digit_ratio, 1.0)) AS quality
+  FROM c),
+r AS (
+  SELECT q.doc_id, cl.cluster, q.lang, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM q JOIN clusters cl USING (doc_id))
+SELECT doc_id, cluster, lang, quality FROM r WHERE rn = 1
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4252,6 +4421,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q122_resample_ffill": (q122_resample_ffill, O_Q122),
     "q123_cohort_retention": (q123_cohort_retention, O_Q123),
     "q124_quality_classifier": (q124_quality_classifier, O_Q124),
+    "q125_relative_quality_buckets": (q125_relative_quality_buckets, O_Q125),
+    "q126_remove_duplicated_spans": (q126_remove_duplicated_spans, O_Q126),
+    "q127_shard_assignment": (q127_shard_assignment, O_Q127),
+    "q128_canonical_per_cluster": (q128_canonical_per_cluster, O_Q128),
 }
 
 

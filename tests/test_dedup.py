@@ -412,3 +412,60 @@ def test_two_phase_truncated_labels_are_fixed_points(spark):
         }
     for x, lab in labels.items():
         assert labels[lab] == lab, (x, lab, labels)
+
+
+def test_remove_duplicated_spans_excises_recurring_spans(spark):
+    # docs 1 and 2 share an 8-token boilerplate prefix; their tails
+    # and doc 3 are unique
+    boiler = "please subscribe to our newsletter for more updates today"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, boiler + " delta epsilon"),
+            (3, "entirely unique content with no repeated spans at all"),
+            (4, "short doc"),  # shorter than the window: passes through
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicated_spans(
+        docs, window=8, min_docs=2
+    ).collect()}
+    # every 8-window inside the 9-token boilerplate recurs in both
+    # docs, so all 9 boilerplate tokens are covered in each
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[1]["n_tokens_kept"] == 3 and out[1]["n_tokens"] == 12
+    assert out[3]["clean_text"] == "entirely unique content with no repeated spans at all"
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_tokens_kept"] == 2
+
+
+def test_remove_duplicated_spans_fully_excised_doc_survives_empty(spark):
+    text = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicated_spans(
+        docs, window=8, min_docs=2
+    ).collect()}
+    assert set(out) == {1, 2}  # one row per input doc, even when empty
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens_kept"] == 0
+    assert out[1]["n_tokens"] == 8
+
+
+def test_canonical_per_cluster_keeps_best_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, 1, 0.3), (2, 1, 0.9), (3, 1, 0.9), (4, 4, 0.1)],
+        ["doc_id", "_c", "q"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["doc_id", "cluster"]
+    )
+    out = dedup.canonical_per_cluster(
+        docs.select("doc_id", "q"),
+        clusters,
+        [F.col("q").desc(), F.col("doc_id").asc()],
+    ).collect()
+    got = {r["cluster"]: (r["doc_id"], r["q"]) for r in out}
+    # cluster 1: quality tie 2 vs 3 -> lower id wins; singleton kept
+    assert got == {1: (2, 0.9), 4: (4, 0.1)}

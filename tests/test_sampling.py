@@ -166,3 +166,63 @@ def test_sample_per_group_exact_k_and_deterministic(spark, sf_dir):
         d.repartition(7), ["lang"], F.col("doc_id").cast("string"), k=5
     ).collect()}
     assert ids1 == ids2  # partitioning-independent selection
+
+
+def test_relative_buckets_thirds_per_group(spark):
+    # 9 rows in group a -> exactly 3/3/3; 4 rows in group b -> the
+    # integer split floor(3*(r-1)/n) gives 2/1/1 (head gets the
+    # remainder first)
+    rows = [("a", i, float(100 - i)) for i in range(9)] + [
+        ("b", 100 + i, float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "id", "sig"])
+    out = sampling.relative_buckets(
+        df, "grp", [F.col("sig").desc(), F.col("id").asc()], k=3
+    )
+    got = {(r["grp"], r["id"]): r["bucket"] for r in out.collect()}
+    # group a: best sig = lowest i (sig=100-i desc)
+    assert [got[("a", i)] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # group b: sig asc ids 103 (sig 3) best
+    assert got[("b", 103)] == "head" and got[("b", 102)] == "head"
+    assert got[("b", 101)] == "middle" and got[("b", 100)] == "tail"
+
+
+def test_relative_buckets_integer_indices_and_validation(spark):
+    df = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)], ["grp", "id", "sig"])
+    out = sampling.relative_buckets(
+        df, "grp", [F.col("sig").asc(), F.col("id").asc()], k=2, labels=None
+    )
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}
+    with pytest.raises(ValueError):
+        sampling.relative_buckets(df, "grp", [F.col("sig")], k=3, labels=("a", "b"))
+
+
+def test_shard_assignment_matches_local_md5_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = sampling.shard_assignment(
+        df, F.col("doc_id").cast("string"), n_shards=7
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # shard matches a local md5 recomputation (engine-portable contract)
+    for i in (0, 13, 127, 199):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        assert by_id[i]["shard"] == int(h[:8], 16) % 7
+    # positions are a permutation 1..len within each shard
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in out:
+        shards[r["shard"]].append(r["shard_pos"])
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic under repartitioning
+    out2 = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in sampling.shard_assignment(
+            df.repartition(11), F.col("doc_id").cast("string"), n_shards=7
+        ).collect()
+    }
+    assert out2 == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out}
