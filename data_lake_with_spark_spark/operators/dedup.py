@@ -1099,8 +1099,9 @@ def remove_duplicated_spans(
     one explode widens hits to covered token positions; a left-anti
     join drops covered tokens; one final groupBy rebuilds the text in
     position order (``array_sort(collect_list(struct(pos, tok)))`` —
-    sorts within each doc's group, never a global sort). Six shuffles
-    total, every one keyed on span-hash or doc id — at 100 TB the
+    sorts within each doc's group, never a global sort). Seven
+    exchange nodes (plan-gated in tests/test_plan_gates.py),
+    every one keyed on span-hash or doc id — at 100 TB the
     span join keys become ``xxhash64(span)`` exactly as in
     :func:`duplicated_spans`, and no stage ever holds more than one
     document's tokens in a single row. Beyond-reference LLM-pipeline

@@ -87,3 +87,38 @@ def test_similarity_queries_fully_compile(no_codegen_fallback, sf_dir, name):
     stage of its plan actually compiles."""
     df = Q.queries()[name](no_codegen_fallback, sf_dir)
     assert df.count() >= 0
+
+
+def _plan(spark, sf_dir, name):
+    df = Q.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r7_operator_shuffle_budgets(spark, sf_dir):
+    """Shuffle-count gates for the round-7 operator classes (same
+    class of gate the r6 verdict item 5 asked for the r6 classes):
+    pinned at the audited exchange-node counts so a regression that
+    adds a corpus shuffle or a Python node turns red.
+
+    - q125 relative buckets: ONE exchange (rank + count share the
+      lang-partition window).
+    - q127 shard assignment: ONE exchange (the md5 mod is scan-side;
+      only the in-shard rank shuffles).
+    - q126 span excision: seven exchange nodes, all keyed on span or
+      doc id (span groupBy, both sides of the hit join, covered
+      distinct, both sides of the anti join, rebuild groupBy +
+      reattach join reusing its partitioning).
+    - q128 canonical selection: cluster join + window on top of the
+      CC output.
+    All four: zero Python eval nodes.
+    """
+    budgets = {
+        "q125_relative_quality_buckets": 1,
+        "q127_shard_assignment": 1,
+        "q126_remove_duplicated_spans": 7,
+        "q128_canonical_per_cluster": 3,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
