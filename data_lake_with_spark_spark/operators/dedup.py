@@ -1205,3 +1205,65 @@ def canonical_per_cluster(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+def minhash_dedup_incremental(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Delta-mode fuzzy dedup — the shape a DAILY ingest actually
+    runs: survivors of a NEW batch against an already-curated corpus.
+    A new doc is dropped if any of its LSH bands collides with (a) any
+    INDEX doc's band, or (b) a lower-id doc within the new batch
+    (identical greedy semantics to :func:`minhash_dedup` — with an
+    empty index this IS minhash_dedup).
+
+    The point is what it never does: index×index candidates are never
+    generated — the join touches index bands only as the build side
+    of a semi-join, so daily cost is O(new·bands) probe rows against
+    the indexed band set, not a re-dedup of the full corpus. In
+    production the index band rows are precomputed once and stored
+    (they are exactly :func:`minhash_bands` output — a parquet table
+    bucketed by band_key); here they are derived inline so the
+    operator is self-contained and oracle-checkable.
+
+    Two shuffles on the new side (signature groupBy, band bucket) +
+    the index-side signature build; the within-batch pass reuses the
+    same band rows via one window. Beyond-reference LLM-pipeline
+    operator.
+    """
+    rows_per_band = num_hashes // bands
+    bn = minhash_bands(
+        minhash_signatures(new, id_col, text_col, num_hashes, shingle_k),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    bi = minhash_bands(
+        minhash_signatures(index, id_col, text_col, num_hashes, shingle_k),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    vs_index = (
+        bn.join(
+            bi.select("band", "band_key").distinct(),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    w = Window.partitionBy("band", "band_key")
+    within = (
+        bn.withColumn("_m", F.min(id_col).over(w))
+        .where(F.col(id_col) > F.col("_m"))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = vs_index.unionByName(within).distinct()
+    return new.join(dropped, id_col, "left_anti")

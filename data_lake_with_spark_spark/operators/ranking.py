@@ -1,0 +1,109 @@
+"""Distributed global ranking — the scale-correct replacement for the
+single-partition window.
+
+``ROW_NUMBER() OVER (ORDER BY …)`` with no PARTITION BY is the classic
+anti-scale trap: Spark plans it as ONE task holding the entire dataset.
+The distributed construction here is the standard two-phase rank:
+
+1. range-partition by the order key (``repartitionByRange`` — Spark
+   samples boundaries, so partitions are balanced even under key skew)
+   and sort within partitions;
+2. count rows per partition (a tiny aggregate, one row per partition),
+   collect the counts — bounded by the partition COUNT, never the data
+   — and broadcast cumulative offsets back;
+3. global rank = partition-local row_number + the partition's offset.
+
+The result is exact and deterministic for any TOTAL order (callers
+must include a unique tiebreak), independent of where the sampled
+boundaries land: boundary placement moves rows between partitions but
+local-rank-plus-offset reproduces the same global rank either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: "list[Column]",
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number under ``order_by`` (a total
+    order — include a unique tiebreak), computed distributed.
+
+    Plan: one range exchange + one partition-local window (the window
+    hash-partitions on ``spark_partition_id()``, which keeps each
+    range partition intact) + a count-per-partition aggregate whose
+    driver collect is bounded by the number of partitions — at 1000
+    executors that is 1000 longs, not data. No stage ever holds more
+    than one range partition.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # samples its boundaries per job, so without it the offsets
+    # (counted in one job) could describe a different partitioning
+    # than the one the final job computes ranks in — silent
+    # corruption, not just nondeterminism. At real scale this is
+    # persist(DISK_ONLY) / a staging write; the one-materialization
+    # cost is inherent to two-phase ranking (the counts must describe
+    # the exact partitioning the ranks use).
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # partition sizes -> cumulative offsets (tiny: one row/partition)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.lit(0)
+    for pid, o in sorted(offsets.items()):
+        if o:
+            off = F.when(F.col("_pid") == pid, F.lit(o)).otherwise(off)
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.withColumn(
+            rank_col, (F.row_number().over(w) + off).cast("bigint")
+        )
+        .drop("_pid")
+    )
+
+
+def length_batches(
+    df: DataFrame,
+    length_col: Column,
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Length-sorted inference batching: order the corpus by sequence
+    length (unique-id tiebreak), then cut consecutive runs of
+    ``batch_size`` into batches — the standard padding-minimizing
+    layout for batched model inference (every batch pads to its own
+    max length instead of the corpus max).
+
+    Emits the input plus ``n_tokens``, the global ``rank`` and
+    ``batch_id = (rank-1) div batch_size``. Built on
+    :func:`global_rank`, so the sort is a range exchange, never a
+    single-partition window.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    with_len = df.withColumn("n_tokens", length_col.cast("bigint"))
+    ranked = global_rank(
+        with_len,
+        [F.col("n_tokens").asc(), F.col(id_col).asc()],
+        rank_col="rank",
+    )
+    a = F.col("rank") - F.lit(1)
+    return ranked.withColumn(
+        batch_col, ((a - (a % F.lit(batch_size))) / F.lit(batch_size)).cast("bigint")
+    )

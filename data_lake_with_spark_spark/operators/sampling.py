@@ -331,3 +331,50 @@ def shard_assignment(
         .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
         .drop("_h")
     )
+
+def mixture_repeats(
+    df: DataFrame,
+    stratum_col: str,
+    weights: "dict[str, float]",
+    key: Column,
+    total: int | None = None,
+    repeats_col: str = "n_repeats",
+) -> DataFrame:
+    """Materialize a target corpus MIXTURE as integer per-document
+    repeat factors — the "data recipe" op: given target proportions
+    per stratum (source/domain/language), each doc in stratum ``s``
+    is consumed ``weight_s · T / n_s`` times per epoch (LLaMA-style
+    sampling proportions, where high-weight small sources repeat >1
+    and down-weighted sources repeat <1, i.e. are subsampled).
+
+    The fractional part is resolved deterministically: every doc gets
+    ``floor(x)`` repeats, plus one more iff the first 16 bits of
+    ``md5(key)`` fall under ``frac(x)·65536`` — so expected stratum
+    totals hit the target (to 1/65536) and the assignment is
+    reproducible across runs, partitionings, and engines (no RNG).
+    Strata absent from ``weights`` get weight 0.0 → ``n_repeats = 0``
+    (dropped from the recipe). ``total`` defaults to the input count
+    (one count job); pass it when known to keep the plan one pass.
+
+    Plan: one tiny stratum-count aggregate broadcast back onto the
+    scan, then a pure projection — the corpus itself never shuffles.
+    Downstream materialization is
+    ``where(n_repeats > 0).withColumn('epoch',
+    explode(sequence(1, n_repeats)))``, still shuffle-free.
+    """
+    t = total if total is not None else df.count()
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.lit(0.0)
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == value, F.lit(float(wt))).otherwise(w)
+    x = w * F.lit(t) / F.col("_n")
+    base = F.floor(x)
+    extra = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint")
+        < (x - base) * F.lit(65536.0)
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .withColumn(repeats_col, (base + extra).cast("bigint"))
+        .drop("_n")
+    )

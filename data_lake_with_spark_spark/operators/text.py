@@ -572,3 +572,88 @@ def quality_classifier(
         z.alias("quality_z"),
         (z > F.lit(threshold)).alias("accept"),
     )
+
+def bloom_positions(gram: Column, k: int, m: int) -> Column:
+    """Array of the ``k`` Bloom bit positions for one n-gram:
+    position_i = first-8-hex-digits of ``md5('{i}|' + gram)`` mod
+    ``m``. Pure md5 arithmetic so an external auditor (or the DuckDB
+    oracle) reproduces the exact filter."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram)), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    k: int = 2,
+    m: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory
+    variant of :func:`ngram_contamination` for when the benchmark
+    union is too large to broadcast as exact grams (multi-benchmark
+    suites at 100 TB): build a Bloom filter over benchmark n-grams
+    (``k`` hashes into ``m`` bits) and flag each corpus document with
+    the count of its distinct n-grams the filter reports present.
+
+    Semantics are the REAL Bloom semantics, false positives included
+    (a corpus gram whose k positions are all set by OTHER benchmark
+    grams counts as flagged) — that is the production trade: the bit
+    set is bounded by ``min(m, k·|bench grams|)`` regardless of
+    benchmark text size, while exact grams grow without bound. The
+    oracle reproduces the identical bit set from the same md5
+    arithmetic, so the false-positive behavior itself is
+    cross-engine-verified.
+
+    Plan: bench side — linear gram explode, k-position explode,
+    distinct (the bit set, broadcast); corpus side — linear gram
+    explode + per-gram position explode, map-side broadcast join
+    against the bit set, then a gram is flagged iff all ``k`` of its
+    positions matched (count == k per (doc, gram)) and docs aggregate
+    flagged-distinct-gram counts. The corpus text never shuffles;
+    the only shuffles are the two bounded aggregates.
+    """
+    bench_bits = (
+        word_ngram_rows(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"), F.col(text_col)
+            ),
+            n,
+            "_bid",
+            text_col,
+        )
+        .where(F.col("g") != "")
+        .select(F.explode(bloom_positions(F.col("g"), k, m)).alias("pos"))
+        .distinct()
+    )
+    corpus_pos = (
+        word_ngram_rows(corpus, n, id_col, text_col)
+        .where(F.col("g") != "")
+        .select(
+            id_col,
+            "g",
+            F.posexplode(bloom_positions(F.col("g"), k, m)).alias("_hi", "pos"),
+        )
+    )
+    flagged = (
+        corpus_pos.join(F.broadcast(bench_bits), "pos")
+        .groupBy(id_col, "g")
+        .agg(F.count_distinct("_hi").alias("_nhit"))
+        .where(F.col("_nhit") == k)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count_distinct("g").cast("bigint").alias("n_flagged_ngrams")
+    )

@@ -4297,6 +4297,158 @@ SELECT doc_id, cluster, lang, quality FROM r WHERE rn = 1
 """
 
 
+def q129_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-mode fuzzy dedup (dedup.minhash_dedup_incremental): the
+    daily-ingest shape — survivors of the NEW batch (doc_id % 10 ∈
+    {8,9}) against the already-curated corpus (doc_id % 10 < 8).
+    index×index candidates are never generated; with an empty index
+    this is exactly q18's greedy minhash_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 >= 8)
+    index = d.where(F.col("doc_id") % 10 < 8)
+    return dedup.minhash_dedup_incremental(
+        new, index, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+
+
+O_Q129 = f"""
+WITH sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig),
+new_b AS (SELECT * FROM banded WHERE doc_id % 10 >= 8),
+idx_k AS (SELECT DISTINCT band, band_key FROM banded WHERE doc_id % 10 < 8),
+vs_idx AS (
+  SELECT DISTINCT doc_id FROM new_b nb
+  WHERE EXISTS (SELECT 1 FROM idx_k ik
+                WHERE ik.band = nb.band AND ik.band_key = nb.band_key)),
+within AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key) AS m
+    FROM new_b) WHERE doc_id > m),
+dropped AS (SELECT doc_id FROM vs_idx UNION SELECT doc_id FROM within)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 10 >= 8
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def q130_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted inference batching (ranking.length_batches):
+    global rank by token count via the DISTRIBUTED two-phase rank
+    (range partition + per-partition row_number + offsets) — never
+    the single-partition no-PARTITION-BY window — then
+    batch = (rank-1) div 32. Every batch pads to its own max length
+    instead of the corpus max."""
+    from data_lake_with_spark_spark.operators.ranking import length_batches
+
+    d = _t(spark, sf_dir, "documents")
+    return length_batches(
+        d.select("doc_id", "text"),
+        F.size(text.tokens(F.col("text"))),
+        batch_size=32,
+    ).select("doc_id", "n_tokens", "rank", "batch_id")
+
+
+O_Q130 = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank
+  FROM t)
+SELECT doc_id, n_tokens, rank,
+       CAST((rank - 1) // 32 AS BIGINT) AS batch_id
+FROM r
+"""
+
+
+def q131_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination
+    (text.bloom_decontaminate): q50's exact-gram check with the
+    constant-memory filter a multi-benchmark suite needs at 100 TB —
+    k=2 md5 hashes into 2^16 bits, REAL Bloom semantics (false
+    positives counted), bit set reproduced bit-for-bit by the
+    oracle's identical md5 arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return text.bloom_decontaminate(corpus, bench, n=3, k=2, m=1 << 16)
+
+
+O_Q131 = """
+WITH btoks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+  FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3 AND array_to_string(t[i:i+2], ' ') <> ''),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5(CAST(h.i AS VARCHAR) || '|' || g), 1, 8))::BIGINT
+      % 65536 AS pos
+  FROM bgrams CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) h),
+ctoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 <> 0),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3 AND array_to_string(t[i:i+2], ' ') <> ''),
+hitcount AS (
+  SELECT cg.doc_id, cg.g, COUNT(*) AS nh
+  FROM cg CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) h
+  JOIN bits b
+    ON b.pos = ('0x' || substring(md5(CAST(h.i AS VARCHAR) || '|' || cg.g),
+                                  1, 8))::BIGINT % 65536
+  GROUP BY cg.doc_id, cg.g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+FROM hitcount WHERE nh = 2 GROUP BY doc_id
+"""
+
+
+def q132_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe materialization (sampling.mixture_repeats): target
+    language mixture {en:.4, es:.2, fr:.2, de:.15, zh:0 (dropped)} as
+    integer per-doc repeat factors — floor(weight·T/n) per doc plus a
+    deterministic md5-resolved extra for the fractional part, so
+    expected stratum totals hit the target with no RNG. The corpus
+    never shuffles; only a tiny stratum-count aggregate broadcasts."""
+    from data_lake_with_spark_spark.operators.sampling import mixture_repeats
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_repeats(
+        d.select("doc_id", "lang"),
+        "lang",
+        {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.15},
+        F.col("doc_id").cast("string"),
+    ).select("doc_id", "lang", "n_repeats")
+
+
+O_Q132 = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT COUNT(*) AS tt FROM documents),
+w AS (
+  SELECT doc_id, lang,
+         CAST(CASE lang WHEN 'de' THEN 0.15 WHEN 'en' THEN 0.4
+                        WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+                        ELSE 0.0 END AS DOUBLE) AS wt
+  FROM documents)
+SELECT w.doc_id, w.lang,
+       CAST(FLOOR(wt * tt / n)
+            + (CASE WHEN ('0x' || substring(md5(CAST(w.doc_id AS VARCHAR)),
+                                            1, 4))::BIGINT
+                         < (wt * tt / n - FLOOR(wt * tt / n)) * 65536.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+FROM w JOIN c USING (lang) CROSS JOIN t
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4425,6 +4577,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q126_remove_duplicated_spans": (q126_remove_duplicated_spans, O_Q126),
     "q127_shard_assignment": (q127_shard_assignment, O_Q127),
     "q128_canonical_per_cluster": (q128_canonical_per_cluster, O_Q128),
+    "q129_incremental_dedup": (q129_incremental_dedup, O_Q129),
+    "q130_length_batches": (q130_length_batches, O_Q130),
+    "q131_bloom_decontaminate": (q131_bloom_decontaminate, O_Q131),
+    "q132_mixture_repeats": (q132_mixture_repeats, O_Q132),
 }
 
 

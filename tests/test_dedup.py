@@ -469,3 +469,36 @@ def test_canonical_per_cluster_keeps_best_quality(spark):
     got = {r["cluster"]: (r["doc_id"], r["q"]) for r in out}
     # cluster 1: quality tie 2 vs 3 -> lower id wins; singleton kept
     assert got == {1: (2, 0.9), 4: (4, 0.1)}
+
+
+def test_incremental_dedup_with_empty_index_equals_batch_dedup(spark):
+    docs = _docs(spark)
+    empty = docs.where(F.lit(False))
+    inc = {r["doc_id"] for r in dedup.minhash_dedup_incremental(
+        docs, empty, num_hashes=4, shingle_k=5, bands=2
+    ).collect()}
+    batch = {r["doc_id"] for r in dedup.minhash_dedup(
+        docs, num_hashes=4, shingle_k=5, bands=2
+    ).collect()}
+    assert inc == batch
+
+
+def test_incremental_dedup_drops_new_docs_matching_index(spark):
+    index = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),
+            (11, "entirely novel content never seen in the index corpus"),
+            (12, "entirely novel content never seen in the index corpus!"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"] for r in dedup.minhash_dedup_incremental(
+        new, index, num_hashes=4, shingle_k=5, bands=2
+    ).collect()}
+    # 10 collides with the index; 12 collides with lower-id 11 within
+    # the batch; 11 survives
+    assert out == {11}

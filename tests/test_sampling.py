@@ -226,3 +226,49 @@ def test_shard_assignment_matches_local_md5_and_is_stable(spark):
         ).collect()
     }
     assert out2 == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out}
+
+
+def test_mixture_repeats_matches_local_recomputation(spark):
+    import hashlib
+    import math
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    weights = {"en": 0.7, "de": 0.2}
+    out = {
+        r["doc_id"]: r["n_repeats"]
+        for r in sampling.mixture_repeats(
+            df, "lang", weights, F.col("doc_id").cast("string")
+        ).collect()
+    }
+    t = len(rows)
+    counts = {"en": sum(1 for _, l in rows if l == "en"),
+              "de": sum(1 for _, l in rows if l == "de")}
+    for i, lang in rows:
+        x = weights[lang] * t / counts[lang]
+        base = math.floor(x)
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        want = base + (1 if u < (x - base) * 65536.0 else 0)
+        assert out[i] == want, (i, lang, out[i], want)
+    # per-stratum totals: each doc contributes base + Bernoulli(frac),
+    # so the total is binomial around the target — bound at 4 sigma
+    for lang in weights:
+        total = sum(out[i] for i, l in rows if l == lang)
+        x = weights[lang] * t / counts[lang]
+        frac = x - math.floor(x)
+        sigma = math.sqrt(counts[lang] * frac * (1 - frac))
+        assert abs(total - weights[lang] * t) <= 4 * sigma + 1
+
+
+def test_mixture_repeats_zero_weight_stratum_drops(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "zh")], ["doc_id", "lang"]
+    )
+    out = {
+        r["doc_id"]: r["n_repeats"]
+        for r in sampling.mixture_repeats(
+            df, "lang", {"en": 1.0}, F.col("doc_id").cast("string")
+        ).collect()
+    }
+    assert out[2] == 0 and out[3] == 0
+    assert out[1] >= 3  # en gets the whole budget: 1.0 * 3 / 1

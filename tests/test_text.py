@@ -262,3 +262,48 @@ def test_quality_classifier_is_scan_side_projection(spark, sf_dir):
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_bloom_decontaminate_never_misses_exact_hits(spark):
+    """Bloom guarantee: zero false negatives — every gram exactly
+    shared with the benchmark is flagged, so per-doc flagged counts
+    dominate the exact ngram_contamination counts."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox tail words here"),
+            (2, "no overlap with anything in that benchmark套"),
+            (3, "jumps over the lazy dog exactly as written"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in text.ngram_contamination(corpus, bench, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_ngrams"]
+        for r in text.bloom_decontaminate(corpus, bench, n=3, k=2).collect()
+    }
+    for doc, n_exact in exact.items():
+        assert bloom.get(doc, 0) >= n_exact
+    assert bloom[1] >= 2 and bloom[3] >= 3
+    assert 2 not in bloom or bloom[2] >= 0  # doc 2 may only FP, never FN
+
+
+def test_bloom_positions_match_local_md5(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("alpha beta gamma",)], ["g"])
+    row = df.select(
+        text.bloom_positions(F.col("g"), k=2, m=65536).alias("p")
+    ).collect()[0]
+    want = [
+        int(hashlib.md5(f"{i}|alpha beta gamma".encode()).hexdigest()[:8], 16)
+        % 65536
+        for i in range(2)
+    ]
+    assert list(row["p"]) == want
