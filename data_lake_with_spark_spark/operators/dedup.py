@@ -1237,12 +1237,16 @@ def minhash_dedup_incremental(
     operator.
     """
     rows_per_band = num_hashes // bands
+    # bn is consumed TWICE (index semi-join + within-batch window);
+    # without the checkpoint the whole new-side shingle→md5→groupBy
+    # lineage executes once per consumer (the ngram_rarity lesson,
+    # ADVICE r6). Band rows are |new|·bands tiny tuples — cheap to pin.
     bn = minhash_bands(
         minhash_signatures(new, id_col, text_col, num_hashes, shingle_k),
         id_col,
         bands,
         rows_per_band,
-    )
+    ).localCheckpoint()
     bi = minhash_bands(
         minhash_signatures(index, id_col, text_col, num_hashes, shingle_k),
         id_col,

@@ -122,3 +122,19 @@ def test_r7_operator_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch2_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the second round-7 operator batch, pinned
+    at the audited counts (q129 audited at 8 AFTER the band-rows
+    localCheckpoint — the double-lineage fix; 13 before)."""
+    budgets = {
+        "q129_incremental_dedup": 8,
+        "q130_length_batches": 1,
+        "q131_bloom_decontaminate": 5,
+        "q132_mixture_repeats": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
