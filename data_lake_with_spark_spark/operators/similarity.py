@@ -1419,3 +1419,74 @@ def pq_topk_rerank(
     return rescored.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= k
     )
+
+def truncated_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style coarse-to-fine ANN (Kusupati et al. 2022 MRL
+    serving): score every candidate on the TRUNCATED embedding prefix
+    (``coarse_dim`` of the full dims — MRL trains prefixes to be
+    usable embeddings), shortlist per query, then exact full-dim
+    re-rank of the shortlist only. Same two-stage serving skeleton as
+    :func:`pq_topk_rerank` (FAISS IndexRefine), with dimension
+    truncation instead of product quantization as the cheap stage.
+
+    Cost shape: the cross-join stage touches ``coarse_dim/dim`` of
+    the float math and carries ONLY the sliced prefix; the shortlist
+    window moves (query, neighbor, score) triples; full vectors are
+    fetched for ``n_queries × shortlist`` rows — a point lookup, not
+    a scan. Returns (query_id, neighbor_id, cos, rank) — exact
+    cosines for the final ranking.
+    """
+    qc = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, coarse_dim).alias("_qc"),
+    )
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, coarse_dim).alias("_cc"),
+    )
+    coarse = (
+        cc.crossJoin(F.broadcast(qc))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("_cc", "_qc"), 6).alias("_ccos"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        coarse.withColumn("_crank", F.row_number().over(w_short))
+        .where(F.col("_crank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        short.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("_cv", "_qv"), 6).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )

@@ -132,6 +132,7 @@ def word_ngram_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "g",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Exploded ``(id, n-gram)`` rows — the shape every n-gram
     consumer actually wants — built from a position explode +
@@ -140,16 +141,22 @@ def word_ngram_rows(
     an interpreted ``transform`` lambda; at sf0.1 this formulation is
     ~3× faster for the contamination/repetition/span pipelines.
     Docs shorter than ``n`` tokens produce no rows (identical to
-    exploding word_ngrams' empty array)."""
+    exploding word_ngrams' empty array). ``pos_col`` additionally
+    emits the gram's 1-based start token position (same projection,
+    no extra work) for position-aware consumers like
+    :func:`contamination_spans`."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_t")).where(
         F.size("_t") >= n
     )
     starts = F.sequence(F.lit(1), F.size("_t") - (n - 1))
-    return base.select(id_col, "_t", F.explode(starts).alias("_i")).select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.array_join(F.slice("_t", F.col("_i"), n), " ").alias(out_col),
-    )
+    ]
+    if pos_col is not None:
+        cols.append(F.col("_i").cast("bigint").alias(pos_col))
+    return base.select(id_col, "_t", F.explode(starts).alias("_i")).select(*cols)
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -656,4 +663,78 @@ def bloom_decontaminate(
     )
     return flagged.groupBy(id_col).agg(
         F.count_distinct("g").cast("bigint").alias("n_flagged_ngrams")
+    )
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest contaminated SPAN per document — the positional
+    refinement of :func:`ngram_contamination`: GPT-3-style
+    decontamination removes the overlapping REGION, not the whole
+    document, so the pipeline needs where the collision is and how
+    long it runs, not just a count.
+
+    For each corpus doc, benchmark-shared ``n``-grams are mapped to
+    their token positions, maximal runs of CONSECUTIVE positions are
+    grouped with the classic gaps-and-islands transform
+    (``pos − row_number()`` is constant within a run), and the
+    longest run wins (ties → earliest). Output per contaminated doc:
+    ``span_start`` (1-based token position), ``span_grams`` (run
+    length in grams), ``span_tokens`` (= span_grams + n − 1, the
+    token width to cut).
+
+    Plan: same broadcast shape as ngram_contamination — benchmark
+    grams distinct + broadcast, corpus side one linear positioned
+    explode, map-side join; then two windows over HIT rows only
+    (collisions are rare by construction, so the windowed frame is
+    tiny relative to the corpus). Corpus text never shuffles.
+    """
+    bench_grams = (
+        word_ngram_rows(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bench_id"),
+                F.col(text_col),
+            ),
+            n,
+            "_bench_id",
+            text_col,
+        )
+        .select("g")
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    hits = (
+        word_ngram_rows(corpus, n, id_col, text_col, pos_col="pos")
+        .where(F.col("g") != "")
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col, "pos")
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    runs = hits.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w_run)
+    )
+    spans = runs.groupBy(id_col, "_grp").agg(
+        F.min("pos").alias("span_start"),
+        F.count(F.lit(1)).cast("bigint").alias("span_grams"),
+    )
+    w_best = Window.partitionBy(id_col).orderBy(
+        F.col("span_grams").desc(), F.col("span_start").asc()
+    )
+    return (
+        spans.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "span_start",
+            "span_grams",
+            (F.col("span_grams") + F.lit(n - 1)).cast("bigint").alias(
+                "span_tokens"
+            ),
+        )
     )

@@ -4449,6 +4449,92 @@ FROM w JOIN c USING (lang) CROSS JOIN t
 """
 
 
+def q133_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest contaminated span per doc (text.contamination_spans):
+    q50's count refined to WHERE and HOW LONG — GPT-3-style
+    decontamination cuts the overlapping region, so the pipeline
+    needs (start, length), produced by the gaps-and-islands transform
+    over benchmark-hit gram positions."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return text.contamination_spans(corpus, bench, n=3)
+
+
+O_Q133 = """
+WITH btoks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+  FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3 AND array_to_string(t[i:i+2], ' ') <> ''),
+ctoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 <> 0),
+cg AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS g
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3),
+hits AS (SELECT doc_id, pos FROM cg JOIN bgrams USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+sp AS (
+  SELECT doc_id, MIN(pos) AS span_start, COUNT(*) AS span_grams
+  FROM isl GROUP BY doc_id, grp),
+r AS (
+  SELECT doc_id, span_start, span_grams,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY span_grams DESC, span_start) AS rn
+  FROM sp)
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_grams AS BIGINT) AS span_grams,
+       CAST(span_grams + 2 AS BIGINT) AS span_tokens
+FROM r WHERE rn = 1
+"""
+
+
+def q134_truncated_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka coarse-to-fine ANN (similarity.truncated_topk_rerank):
+    score on the first 16 of 64 dims (MRL prefix), shortlist 50 per
+    query, exact full-dim re-rank to top-5 — the dimension-truncation
+    sibling of the PQ IndexRefine pair q118/q119."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.truncated_topk_rerank(
+        emb, emb.where(F.col("vec_id") < 10), coarse_dim=16, shortlist=50, k=5
+    )
+
+
+O_Q134 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, embedding[1:16] AS qc
+  FROM embeddings WHERE vec_id < 10),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_O_COS.format(a='c.embedding[1:16]', b='q.qc')} AS ccos
+  FROM embeddings c, q WHERE c.vec_id != q.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ccos DESC, neighbor_id) AS cr
+    FROM coarse) WHERE cr <= 50),
+resc AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_O_COS.format(a='c.embedding', b='q2.qv')} AS cos
+  FROM short s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN q q2 ON q2.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM resc) WHERE rank <= 5
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4581,6 +4667,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q130_length_batches": (q130_length_batches, O_Q130),
     "q131_bloom_decontaminate": (q131_bloom_decontaminate, O_Q131),
     "q132_mixture_repeats": (q132_mixture_repeats, O_Q132),
+    "q133_contamination_spans": (q133_contamination_spans, O_Q133),
+    "q134_truncated_topk_rerank": (q134_truncated_topk_rerank, O_Q134),
 }
 
 
@@ -4643,6 +4731,20 @@ _ROTATED_IN = (
     "q122_resample_ffill",
     "q123_cohort_retention",
     "q124_quality_classifier",
+    # round 7b: the eight operator classes built this round — span
+    # excision, relative buckets, shard layout, canonical selection,
+    # incremental dedup, distributed global rank, Bloom
+    # decontamination, mixture materialization — promoted same-round
+    # after the 30× probe (SCALING_r07.md) and a full driver_sim gate
+    # replay, per the r6 pattern
+    "q125_relative_quality_buckets",
+    "q126_remove_duplicated_spans",
+    "q127_shard_assignment",
+    "q128_canonical_per_cluster",
+    "q129_incremental_dedup",
+    "q130_length_batches",
+    "q131_bloom_decontaminate",
+    "q132_mixture_repeats",
 )
 _ROTATED_OUT = (
     # round 4
@@ -4710,6 +4812,27 @@ _ROTATED_OUT = (
     "q42_span_dedup",
     "q45_range_join",
     "q46_embedding_near_dup",
+    # round 7b demotions — all driver-hard verified green in r6's
+    # 50/50 window (CORRECTNESS_r06.json); every family keeps
+    # in-window representatives: brute-force ANN q26 and embedding
+    # near-dup LSH q47 out with serving covered by q27 LSH +
+    # q113/q114 IVF + q117-q119 PQ + q97 int8; token-jaccard q48 out
+    # with q24 verify + incoming q126/q129 in the dedup family;
+    # correlations q98 out with profiling's q101 staying; event
+    # transitions q99 out with q95/q96/q123 staying; temperature
+    # rebalance q104 out with sampling covered by q109 + incoming
+    # q125/q127/q130/q132; grouping-sets q40 out with q01 in-window
+    # and the rollup/cube/pivot shapes (q37-q39) long driver-verified
+    # in the tail; quantized top-k q105 out with q97 + the PQ trio
+    # staying
+    "q26_embedding_topk",
+    "q47_embedding_near_dup_lsh",
+    "q48_token_jaccard",
+    "q98_column_correlations",
+    "q99_event_transitions",
+    "q104_temperature_rebalance",
+    "q40_grouping_sets",
+    "q105_quantized_topk",
 )
 
 

@@ -475,3 +475,43 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(0, [0.0] * 10)], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(df, dim=10, m=4)
+
+
+def test_truncated_topk_rerank_exact_when_shortlist_covers_corpus(spark):
+    """With shortlist >= corpus the coarse stage cannot lose the true
+    neighbors, so the final ranking must equal brute force exactly."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    fine = similarity.truncated_topk_rerank(
+        emb, q, coarse_dim=8, shortlist=100, k=5
+    )
+    brute = similarity.brute_force_topk(emb, q, k=5)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+           for r in fine.collect()}
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in brute.collect()}
+    assert got == want
+
+
+def test_truncated_topk_rerank_recall_floor_on_fixture(spark, sf_dir):
+    """Serving config on the real fixture: truncation to 16/64 dims
+    with shortlist 50 must keep recall@5 vs exact above a pinned
+    floor (the MRL premise: prefixes are usable embeddings)."""
+    from data_lake_with_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    fine = similarity.truncated_topk_rerank(
+        emb, q, coarse_dim=16, shortlist=50, k=5
+    )
+    brute = similarity.brute_force_topk(emb, q, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in fine.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall

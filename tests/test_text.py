@@ -307,3 +307,28 @@ def test_bloom_positions_match_local_md5(spark):
         for i in range(2)
     ]
     assert list(row["p"]) == want
+
+
+def test_contamination_spans_finds_longest_run(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # tokens 3-8 reproduce the benchmark: grams at pos 3..6 hit
+            (1, "noise words alpha beta gamma delta epsilon zeta trailing"),
+            # two separate short overlaps: 'alpha beta gamma' at pos 1
+            # and at pos 7 (runs of 1 gram each)
+            (2, "alpha beta gamma unrelated stuff here alpha beta gamma"),
+            (3, "no shared trigrams anywhere in this document at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.contamination_spans(
+        corpus, bench, n=3
+    ).collect()}
+    assert out[1]["span_start"] == 3 and out[1]["span_grams"] == 4
+    assert out[1]["span_tokens"] == 6
+    # doc 2: two islands of length 1; earliest wins
+    assert out[2]["span_start"] == 1 and out[2]["span_grams"] == 1
+    assert 3 not in out
