@@ -1490,3 +1490,64 @@ def truncated_topk_rerank(
     return rescored.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= k
     )
+
+def percentile_clip_calibrate(
+    emb: DataFrame,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION percentile clip calibration — the preprocessing
+    step real int8 pipelines run before quantization:
+    :func:`quantize_int8`'s per-vector ``127/amax`` scale is hostage
+    to a single outlier coordinate, so serving stacks clip each
+    dimension to its corpus [p_lo, p_hi] range first (the activation
+    'percentile calibration' of TensorRT/ORT, applied to embeddings).
+
+    Percentiles are EXACT and discrete — the ceil(p·n)-th smallest
+    value per dimension, picked by rank arithmetic — so the result is
+    deterministic and the oracle reproduces it without interpolated-
+    quantile cross-engine ulp risk (the q124 exp() lesson applied to
+    quantiles). Output is long form ``(id, dim, clipped)`` — element
+    rows hash portably in the value oracle (the q97 pattern).
+
+    Plan: one linear posexplode; ONE window shuffle keyed on the
+    dimension (64 partitions of n rows — rank and count share the
+    frame); the per-dim bounds frame is dim-count-sized and broadcast
+    back onto the element stream. The corpus vectors themselves never
+    shuffle.
+    """
+    el = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_p0", "val"),
+    ).select(id_col, (F.col("_p0") + 1).alias("dim"), "val")
+    w_rank = Window.partitionBy("dim").orderBy(
+        F.col("val").asc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("dim"))
+    st = el.withColumn("_rn", F.row_number().over(w_rank)).withColumn("_n", n)
+    bounds = st.groupBy("dim").agg(
+        F.min(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(p_lo) * F.col("_n")), F.col("val")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(p_hi) * F.col("_n")), F.col("val")
+            )
+        ).alias("hi"),
+    )
+    return (
+        el.join(F.broadcast(bounds), "dim")
+        .select(
+            id_col,
+            "dim",
+            F.least(F.greatest(F.col("val"), F.col("lo")), F.col("hi")).alias(
+                "clipped"
+            ),
+        )
+    )

@@ -4535,6 +4535,79 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q135_percentile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension percentile clip calibration
+    (similarity.percentile_clip_calibrate): clip every embedding dim
+    to its corpus [p01, p99] — the int8-calibration preprocessing
+    that protects q97's 127/amax scale from single-coordinate
+    outliers. Exact DISCRETE percentiles by rank arithmetic (no
+    interpolated-quantile cross-engine ulp risk); long-form output
+    (the q97 driver-canonicalizer pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.percentile_clip_calibrate(emb, p_lo=0.01, p_hi=0.99).select(
+        "vec_id", F.col("dim").cast("bigint").alias("dim"), "clipped"
+    )
+
+
+O_Q135 = """
+WITH el AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+st AS (
+  SELECT vec_id, dim, val,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM el),
+b AS (
+  SELECT dim,
+         MIN(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT) THEN val END) AS lo,
+         MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN val END) AS hi
+  FROM st GROUP BY dim)
+SELECT el.vec_id, CAST(el.dim AS BIGINT) AS dim,
+       LEAST(GREATEST(el.val, b.lo), b.hi) AS clipped
+FROM el JOIN b USING (dim)
+"""
+
+
+def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit (profile.snapshot_diff): row-level
+    diff of two corpus versions by md5 content hash —
+    added/removed/changed/unchanged per doc. Workload simulates a
+    re-crawl: v_old = doc_id % 7 != 0, v_new = doc_id % 5 != 0 with
+    every 11th doc's text edited (uppercased)."""
+    from data_lake_with_spark_spark.operators.profile import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, content_cols=["text", "lang", "source"])
+
+
+O_Q136 = """
+WITH o AS (
+  SELECT doc_id, md5(concat_ws(chr(31), text, lang, source)) AS h_old
+  FROM documents WHERE doc_id % 7 <> 0),
+n AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END,
+             lang, source)) AS h_new
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4669,6 +4742,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q132_mixture_repeats": (q132_mixture_repeats, O_Q132),
     "q133_contamination_spans": (q133_contamination_spans, O_Q133),
     "q134_truncated_topk_rerank": (q134_truncated_topk_rerank, O_Q134),
+    "q135_percentile_clip": (q135_percentile_clip, O_Q135),
+    "q136_snapshot_diff": (q136_snapshot_diff, O_Q136),
 }
 
 

@@ -138,3 +138,21 @@ def test_r7_batch2_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch3_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the third round-7 batch: q133 spans
+    (bench broadcast + two windows over hit rows only), q134 MRL
+    rerank (broadcast coarse queries + shortlist window + fetch
+    joins), q135 clip (one dim-keyed window + broadcast bounds),
+    q136 diff (one keyed shuffle per side). Zero Python nodes."""
+    budgets = {
+        "q133_contamination_spans": 3,
+        "q134_truncated_topk_rerank": 4,
+        "q135_percentile_clip": 2,
+        "q136_snapshot_diff": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

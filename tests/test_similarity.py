@@ -515,3 +515,16 @@ def test_truncated_topk_rerank_recall_floor_on_fixture(spark, sf_dir):
     want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall
+
+
+def test_percentile_clip_calibrate_exact_discrete_bounds(spark):
+    # one dimension, values 1..10: p_lo=0.2 -> ceil(2)=2nd smallest=2.0,
+    # p_hi=0.8 -> ceil(8)=8th smallest=8.0
+    emb = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(1, 11)], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r["clipped"] for r in
+           similarity.percentile_clip_calibrate(emb, 0.2, 0.8).collect()}
+    assert out[1] == 2.0 and out[2] == 2.0   # clamped up
+    assert out[9] == 8.0 and out[10] == 8.0  # clamped down
+    assert out[5] == 5.0                      # interior untouched
