@@ -1271,3 +1271,42 @@ def minhash_dedup_incremental(
     )
     dropped = vs_index.unionByName(within).distinct()
     return new.join(dropped, id_col, "left_anti")
+
+def cluster_stats(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Dedup AUDIT report — the QA numbers a dedup run publishes:
+    per stratum (source/crawl/language), document count, duplicate
+    count (docs minus clusters), duplication rate, and the largest
+    cluster size. Consumes a cluster assignment
+    (:func:`connected_components` output shape) joined back to the
+    corpus — two keyed aggregates over (id, cluster, stratum) triples,
+    never the text.
+
+    A cluster spanning strata is attributed to each stratum it
+    touches (counts are per-(stratum ∩ cluster) — the report answers
+    'how duplicated is THIS source', not 'which source owns the
+    cluster')."""
+    joined = docs.select(F.col(id_col), F.col(stratum_col)).join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col
+    )
+    per_cluster = joined.groupBy(stratum_col, cluster_col).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    return per_cluster.groupBy(stratum_col).agg(
+        F.sum("_sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.sum("_sz") - F.count(F.lit(1))).cast("bigint").alias("n_dupes"),
+        # unrounded: int/int is ONE IEEE division, bit-identical
+        # cross-engine; a 6dp round can land on a .xxxxxx5 boundary
+        # where Spark and DuckDB round the same double apart (the q85
+        # divergence class)
+        (
+            (F.sum("_sz") - F.count(F.lit(1))) / F.sum("_sz").cast("double")
+        ).alias("dup_rate"),
+        F.max("_sz").cast("bigint").alias("max_cluster"),
+    )

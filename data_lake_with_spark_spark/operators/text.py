@@ -738,3 +738,116 @@ def contamination_spans(
             ),
         )
     )
+
+def blocklist_stats(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filter signals ("List of Dirty, Naughty…"
+    filtering, Raffel et al. 2020 §2.2 — albeit with a caller-supplied
+    term list): per doc, whole-word hit counts for every blocklist
+    term plus the keep verdict (zero hits). The term list folds into
+    one scan-side projection of ``regexp_count`` expressions — same
+    pure-JVM shape as lang_scores; no shuffle, no UDF, and the oracle
+    reproduces each count with ``regexp_extract_all``.
+
+    Emits per-term counts (auditable: WHICH term fired) rather than a
+    bare boolean — the form a filtering report needs.
+    """
+    if not terms:
+        raise ValueError("blocklist must contain at least one term")
+    c = F.lower(F.col(text_col))
+    cols = [
+        _count_word(c, t).cast("bigint").alias(f"n_{t}") for t in terms
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = sum(
+        (F.col(f"n_{t}") for t in terms), F.lit(0).cast("bigint")
+    )
+    return out.select(
+        id_col,
+        *[f"n_{t}" for t in terms],
+        total.alias("n_blocked"),
+        (total == 0).alias("keep"),
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end decontamination REWRITE (GPT-3 appendix C): remove
+    from every corpus document all tokens covered by ANY
+    benchmark-shared ``n``-gram — :func:`contamination_spans` finds
+    the regions, this cuts them. One row per input doc:
+    ``(id, clean_text, n_tokens_kept, n_tokens)`` — same output
+    contract as ``dedup.remove_duplicated_spans`` (the corpus-recurring
+    twin), so downstream stages are interchangeable.
+
+    Plan: benchmark grams distinct + broadcast (map-side hit
+    detection — the corpus text never shuffles for matching); hit
+    positions widen to covered token positions via one explode +
+    distinct; a left-anti join drops covered tokens; one groupBy
+    rebuilds text in position order.
+    """
+    bench_grams = (
+        word_ngram_rows(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bench_id"),
+                F.col(text_col),
+            ),
+            n,
+            "_bench_id",
+            text_col,
+        )
+        .select("g")
+        .where(F.col("g") != "")
+        .distinct()
+    )
+    covered = (
+        word_ngram_rows(corpus, n, id_col, text_col, pos_col="_i")
+        .where(F.col("g") != "")
+        .join(F.broadcast(bench_grams), "g")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    toks = tokens(F.col(text_col))
+    tokrows = corpus.select(
+        F.col(id_col), F.posexplode(toks).alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
+    cleaned = (
+        tokrows.join(covered, [id_col, "_p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias(
+                "n_tokens_kept"
+            ),
+            "n_tokens",
+        )
+    )

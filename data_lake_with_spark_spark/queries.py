@@ -4608,6 +4608,129 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+def q137_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (text.blocklist_stats): per-doc
+    whole-word hit counts for each blocklist term + the keep verdict —
+    one scan-side projection of regexp_count expressions, auditable
+    per term (the C4 badwords pass, Raffel et al. 2020 §2.2)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.blocklist_stats(d, ["hash", "merge"])
+
+
+O_Q137 = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\\bhash\\b')) AS BIGINT)
+           AS n_hash,
+         CAST(len(regexp_extract_all(lower(text), '\\bmerge\\b')) AS BIGINT)
+           AS n_merge
+  FROM documents)
+SELECT doc_id, n_hash, n_merge,
+       n_hash + n_merge AS n_blocked,
+       (n_hash + n_merge) = 0 AS keep
+FROM c
+"""
+
+
+def q138_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA report (dedup.cluster_stats): per source — doc count,
+    cluster count, duplicate count, duplication rate (unrounded
+    single division), largest cluster — over q33's connected-component
+    clusters. The audit numbers a production dedup run publishes."""
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_star_edges(
+        d, num_hashes=_MINHASH_N, shingle_k=_SHINGLE_K, bands=2
+    )
+    clusters = dedup.connected_components(d.select("doc_id"), edges).select(
+        F.col("id").alias("doc_id"), F.col("cluster")
+    )
+    return dedup.cluster_stats(clusters, d, stratum_col="source")
+
+
+O_Q138 = f"""
+WITH RECURSIVE sh AS ({_O_SHINGLES}),
+sig AS (SELECT doc_id, {_O_SIG_COLS} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig
+),
+star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS id_a,
+         doc_id AS id_b
+  FROM banded),
+pairs AS (SELECT DISTINCT id_a, id_b FROM star WHERE id_a <> id_b),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+j AS (
+  SELECT d.source, c.cluster FROM documents d JOIN clusters c USING (doc_id)),
+pc AS (SELECT source, cluster, COUNT(*) AS sz FROM j GROUP BY source, cluster)
+SELECT source,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dupes,
+       (SUM(sz) - COUNT(*)) / CAST(SUM(sz) AS DOUBLE) AS dup_rate,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster
+FROM pc GROUP BY source
+"""
+
+
+def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination rewrite (text.decontaminate_spans,
+    GPT-3 appendix C): every corpus doc re-emitted with all tokens
+    covered by ANY benchmark-shared 3-gram removed — q50 counts, q133
+    locates, this CUTS. Same output contract as q126's
+    corpus-recurring twin."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return text.decontaminate_spans(corpus, bench, n=3)
+
+
+O_Q139 = """
+WITH btoks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+  FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3 AND array_to_string(t[i:i+2], ' ') <> ''),
+ctoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 50 <> 0),
+tokrows AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+cg AS (
+  SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3),
+covered AS (
+  SELECT DISTINCT cg.doc_id, cg.i + d.d AS pos
+  FROM cg JOIN bgrams USING (g),
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS d) d),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok FROM tokrows tr
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens
+FROM ctoks tk LEFT JOIN agg a USING (doc_id)
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4744,6 +4867,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q134_truncated_topk_rerank": (q134_truncated_topk_rerank, O_Q134),
     "q135_percentile_clip": (q135_percentile_clip, O_Q135),
     "q136_snapshot_diff": (q136_snapshot_diff, O_Q136),
+    "q137_blocklist_filter": (q137_blocklist_filter, O_Q137),
+    "q138_dedup_report": (q138_dedup_report, O_Q138),
+    "q139_decontaminate": (q139_decontaminate, O_Q139),
 }
 
 

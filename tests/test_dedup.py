@@ -502,3 +502,22 @@ def test_incremental_dedup_drops_new_docs_matching_index(spark):
     # 10 collides with the index; 12 collides with lower-id 11 within
     # the batch; 11 survives
     assert out == {11}
+
+
+def test_cluster_stats_per_stratum(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s1"), (4, "s2"), (5, "s2")],
+        ["doc_id", "source"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)], ["doc_id", "cluster"]
+    )
+    out = {r["source"]: r for r in dedup.cluster_stats(
+        clusters, docs
+    ).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_clusters"], s1["n_dupes"]) == (3, 2, 1)
+    assert abs(s1["dup_rate"] - 1 / 3) < 1e-12
+    assert s1["max_cluster"] == 2
+    s2 = out["s2"]
+    assert (s2["n_docs"], s2["n_clusters"], s2["n_dupes"]) == (2, 1, 1)

@@ -332,3 +332,45 @@ def test_contamination_spans_finds_longest_run(spark):
     # doc 2: two islands of length 1; earliest wins
     assert out[2]["span_start"] == 1 and out[2]["span_grams"] == 1
     assert 3 not in out
+
+
+def test_blocklist_stats_counts_and_verdict(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text with none of the terms"),
+            (2, "the Hash table uses hash buckets"),   # 2 hits, case-folded
+            (3, "merge sort then hash join"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.blocklist_stats(
+        docs, ["hash", "merge"]
+    ).collect()}
+    assert out[1]["n_blocked"] == 0 and out[1]["keep"] is True
+    assert out[2]["n_hash"] == 2 and out[2]["keep"] is False
+    assert out[3]["n_hash"] == 1 and out[3]["n_merge"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.blocklist_stats(docs, [])
+
+
+def test_decontaminate_spans_cuts_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta outro section"),
+            (2, "nothing shared with the benchmark document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.decontaminate_spans(
+        corpus, bench, n=3
+    ).collect()}
+    # grams 'alpha beta gamma' (pos 3) and 'beta gamma delta' (pos 4)
+    # hit -> tokens 3..6 cut
+    assert out[1]["clean_text"] == "intro words outro section"
+    assert out[1]["n_tokens_kept"] == 4 and out[1]["n_tokens"] == 8
+    assert out[2]["clean_text"] == "nothing shared with the benchmark document here"
