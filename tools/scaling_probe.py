@@ -42,6 +42,7 @@ def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dlws_sf1"
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    probes = list(sys.argv[4:]) or PROBES
 
     sys.path.insert(0, ".")
     from data_lake_with_spark_spark import queries as Q
@@ -65,8 +66,13 @@ def main() -> int:
     # one warmup action (non-probed query) absorbs JVM startup
     registry["q55_count_lineitem"](spark, small).count()
 
+    unknown = [n for n in probes if n not in registry]
+    if unknown:
+        print(f'unknown probe names: {unknown}', file=sys.stderr)
+        return 2
+
     results = {}
-    for name in PROBES:
+    for name in probes:
         t_s, n_s = run(name, small)
         t_b, n_b = run(name, big)
         alpha = math.log(max(t_b, 1e-9) / max(t_s, 1e-9)) / math.log(ratio)
