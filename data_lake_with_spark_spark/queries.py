@@ -4946,6 +4946,19 @@ _ROTATED_IN = (
     "q130_length_batches",
     "q131_bloom_decontaminate",
     "q132_mixture_repeats",
+    # round 7c: the closing round-7 batch — contamination span
+    # location, Matryoshka truncated-rerank ANN, percentile clip
+    # calibration, snapshot diff, C4 blocklist filter, dedup QA
+    # report, decontamination rewrite — promoted after the 30× probe
+    # (SCALING_r07.md batch-3 table, α 0.05–0.49, no trap shapes)
+    # and a driver_sim gate replay, per the established pattern
+    "q133_contamination_spans",
+    "q134_truncated_topk_rerank",
+    "q135_percentile_clip",
+    "q136_snapshot_diff",
+    "q137_blocklist_filter",
+    "q138_dedup_report",
+    "q139_decontaminate",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5034,6 +5047,27 @@ _ROTATED_OUT = (
     "q104_temperature_rebalance",
     "q40_grouping_sets",
     "q105_quantized_topk",
+    # round 7c demotions — all driver-hard verified green in r6's
+    # 50/50 window (CORRECTNESS_r06.json); family coverage after:
+    # windows via q96/q120/q123/q130 (q07 out), semi/anti joins via
+    # q04/q20/q44/q121 + the left-anti shapes inside q18/q129/q139
+    # (q08 out), event funnels via q96/q123 (q95 out; q90 CDC stays
+    # as streaming-CDC's only rep), text scrubbing via
+    # q11/q115/q124/q50 + incoming q137/q139 (q36 out), CC driver
+    # regime via q100 two-phase + incoming q138's CC composition
+    # (q33 out), profiling via incoming q136 snapshot-diff (q101
+    # out), indexed IVF via q13 parity pin + q113/q114 budgeted
+    # (q102 out). q22/q24/q28 STAY: their code changed this round
+    # (MinHash generalization / verify early-exit / PEP-563 fix
+    # verification) and changed code re-earns driver verification
+    # before demotion (the r6-verdict #3 principle).
+    "q07_latest_order_per_customer",
+    "q08_semi_join",
+    "q95_funnel_conversion",
+    "q36_pii_scrub",
+    "q33_dedup_clusters",
+    "q101_data_quality",
+    "q102_ann_ivf_indexed",
 )
 
 
