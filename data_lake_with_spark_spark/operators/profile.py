@@ -150,3 +150,54 @@ def snapshot_diff(
         o.join(n, on=id_col, how="full_outer")
         .select(F.col(id_col), status.alias("status"))
     )
+
+def content_manifest(
+    df: DataFrame,
+    group_cols: "list[str]",
+    hash_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Content-addressed delivery manifest: per output shard/partition,
+    the row count, character volume, and TWO order-independent content
+    digests — the reproducibility receipt a training-data delivery
+    ships alongside its files (re-run the pipeline, re-hash, diff the
+    manifest: byte-level drift detection without re-reading old
+    output; the snapshot_diff complement that needs only aggregates,
+    not the previous corpus).
+
+    Digests: per row, the canonical repr is the US-sep concat of the
+    hashed columns (NULL → a sentinel no real value contains); rows
+    digest to ``md5`` ints and combine with SUM (first 7 hex = 28
+    bits, so 2^31 rows/shard stay well under bigint overflow) and
+    BIT_XOR (first 15 hex = 60 bits) — both commutative/associative,
+    hence shuffle-order-independent and exact (no floats anywhere).
+    One partial-agg groupBy; digest arithmetic is scan-side JVM.
+
+    Cross-engine caveat: hashed columns must be string/integer typed —
+    float→string rendering differs between engines, so the caller
+    casts floats explicitly (the manifest of a float column is a
+    manifest of its chosen decimal rendering).
+    """
+    cols = hash_cols or [c for c in df.columns if c not in group_cols]
+    if not cols:
+        raise ValueError("content_manifest needs at least one hash column")
+    row_repr = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.md5(row_repr)
+    h_sum = F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint")
+    h_xor = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(
+            *group_cols,
+            row_repr.alias("_repr"),
+            h_sum.alias("_hs"),
+            h_xor.alias("_hx"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.length("_repr")).cast("bigint").alias("n_chars"),
+            F.sum("_hs").cast("bigint").alias("digest_sum"),
+            F.expr("bit_xor(_hx)").cast("bigint").alias("digest_xor"),
+        )
+    )

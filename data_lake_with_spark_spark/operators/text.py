@@ -851,3 +851,184 @@ def decontaminate_spans(
             "n_tokens",
         )
     )
+
+def vocab_coverage(
+    df: DataFrame,
+    ranks: Sequence[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary-coverage report: for each requested rank
+    ``r`` — how many running tokens the top-``r`` most frequent types
+    cover, as a fraction of the corpus. The tokenizer-design /
+    corpus-health report (coverage curves drive vocab-size choices;
+    a sudden coverage shift between crawls flags boilerplate or
+    encoding damage). One row per rank:
+    ``(top_r, covered_tokens, total_tokens, total_types, coverage)``.
+
+    Scale shape: type counts are one partial-agg groupBy over the
+    token explode; the global frequency rank uses the DISTRIBUTED
+    two-phase rank (``ranking.global_rank`` — range exchange +
+    per-partition window + partition-count offsets), never a
+    single-partition window, because a web-scale vocabulary is
+    billions of types (hapax-heavy). Only the top ``max(ranks)``
+    rows — a fixed budget — survive to the tiny rank×type join, and
+    ``coverage`` is ONE IEEE division of exact integers
+    (cross-engine bit-identical; the ngram_rarity contract).
+
+    Ties rank deterministically by (count desc, token asc).
+    """
+    from data_lake_with_spark_spark.operators.ranking import global_rank
+
+    ranks = sorted(set(int(r) for r in ranks))
+    if not ranks or ranks[0] < 1:
+        raise ValueError(f"ranks must be positive ints, got {ranks}")
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    types = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = types.agg(
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("total_types"),
+    )
+    top = global_rank(
+        types, [F.col("n_tok").desc(), F.col("tok").asc()], rank_col="_rank"
+    ).where(F.col("_rank") <= ranks[-1])
+    ranks_df = df.sparkSession.createDataFrame(
+        [(r,) for r in ranks], "top_r bigint"
+    )
+    covered = (
+        top.join(F.broadcast(ranks_df), F.col("_rank") <= F.col("top_r"))
+        .groupBy("top_r")
+        .agg(F.sum("n_tok").cast("bigint").alias("covered_tokens"))
+    )
+    return covered.crossJoin(F.broadcast(totals)).select(
+        "top_r",
+        "covered_tokens",
+        "total_tokens",
+        "total_types",
+        (F.col("covered_tokens") / F.col("total_tokens").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-``k`` corpus documents per
+    query — the data-selection / decontamination-retrieval baseline
+    (importance sampling à la DSIR starts from exactly this posting
+    join; contamination triage retrieves nearest benchmark items
+    lexically before any embedding pass). Output one row per
+    (query, hit): ``(query_id, doc_id, score, rank)``.
+
+    Exactness contract (the ngram_rarity discipline, extended to a
+    float SUM): (a) idf uses the RATIONAL form
+    ``(N - df + 0.5)/(df + 0.5)`` — Robertson idf without the log,
+    avoiding JVM-vs-libm ``ln`` ulp skew; per-term monotone in df, so
+    single-term rankings are unchanged and multi-term scores remain a
+    positively-weighted sum of the same per-term saturation curve;
+    (b) every arithmetic step is written with IDENTICAL association
+    in the Spark expression and the SQL oracle, so each per-term
+    contribution is bit-identical; (c) contributions sum in SORTED
+    TERM ORDER via an explicit array fold (``array_sort`` +
+    ``aggregate`` here, ``list(... ORDER BY tok)`` + ``list_reduce``
+    in DuckDB) — float addition is order-dependent, so a plain SUM
+    would hash-diverge between engines; the fold pins the order.
+
+    Scale shape: the query side is a benchmark set — broadcast-sized
+    BY DEFINITION (a query set that doesn't fit a broadcast is a
+    corpus, and the join flips). Postings build is one partial-agg
+    groupBy over the token explode; doc lengths derive from the
+    postings (no second text pass); df is computed only for
+    query-matched terms (bounded by query vocabulary, broadcast);
+    the only corpus-sized shuffles are the postings groupBy, the
+    doc-length join, and the per-(query, doc) score fold. Top-k is a
+    per-query window over candidates that matched ≥1 term.
+
+    Cost is POSTING-JOIN bound: Σ_q Σ_{t∈q} df(t) candidate rows.
+    On a Zipfian vocabulary the head terms dominate that sum while
+    contributing near-zero idf — ``max_df_ratio`` < 1 drops terms
+    present in more than that fraction of the corpus BEFORE the
+    posting join (common-term pruning, the static half of
+    WAND-style posting pruning; with rational idf, a term in over
+    half the corpus has idf < 1 and mostly re-ranks ties). This is
+    the knob that keeps the candidate count near-linear at 100 TB;
+    1.0 (default) disables it for exact-BM25 parity.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ctf = (
+        corpus.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = ctf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    qvocab = qtok.select("tok").distinct()
+    mt = ctf.join(F.broadcast(qvocab), "tok")
+    dfsub = mt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    if max_df_ratio < 1.0:
+        # prune common terms before the (query × posting) expansion:
+        # the df table is query-vocab-bounded, so the filter is a
+        # broadcast-side predicate, and mt shrinks by the pruned
+        # terms' (dominant) posting lists. Exact-integer comparison:
+        # df * 1 vs ratio * N, one multiply each side.
+        dfsub = dfsub.crossJoin(F.broadcast(stats.select("n_corpus"))).where(
+            F.col("df") <= F.lit(max_df_ratio) * F.col("n_corpus")
+        ).select("tok", "df")
+    idf = (F.col("n_corpus") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    norm = F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b))
+        + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (F.col("tf") + norm)
+    ) * idf
+    scored = (
+        mt.join(F.broadcast(dfsub), "tok")
+        .join(F.broadcast(qtok), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(query_id_col, id_col, F.col("tok"), contrib.alias("_c"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

@@ -4731,6 +4731,124 @@ FROM ctoks tk LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q140_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (text.bm25_topk): BM25 top-5 corpus
+    docs per benchmark query — rational idf (no libm ln) and a
+    sorted-term-order score fold, so every float is bit-identical
+    cross-engine (the exactness contract in the operator docstring).
+    The data-selection / contamination-triage retrieval baseline."""
+    d = _t(spark, sf_dir, "documents")
+    qs = d.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    corpus = d.where(F.col("doc_id") % 200 != 0)
+    return text.bm25_topk(corpus, qs, k=5)
+
+
+O_Q140 = """
+WITH ctf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 <> 0)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                 SUM(dl) / COUNT(*) AS avgdl FROM dl),
+qtok AS (
+  SELECT DISTINCT doc_id AS query_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 = 0)
+  WHERE tok <> ''),
+mt AS (SELECT c.* FROM ctf c
+       JOIN (SELECT DISTINCT tok FROM qtok) v USING (tok)),
+dfsub AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM mt GROUP BY tok),
+contrib AS (
+  SELECT q.query_id, m.doc_id, m.tok,
+         ((m.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+          / (m.tf + 1.2::DOUBLE
+             * ((1.0::DOUBLE - 0.75::DOUBLE)
+                + 0.75::DOUBLE * (d.dl / s.avgdl))))
+         * ((s.n_corpus - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) AS c
+  FROM mt m JOIN dfsub f USING (tok) JOIN qtok q USING (tok)
+       JOIN dl d ON d.doc_id = m.doc_id CROSS JOIN stats s),
+sc AS (
+  SELECT query_id, doc_id,
+         list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+"""
+
+
+def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report (text.vocab_coverage): running-token
+    coverage of the top-{5,20,100} most frequent types — computed with
+    the DISTRIBUTED two-phase global rank (never a single-partition
+    window; a web-scale vocab is billions of hapax-heavy types), a
+    fixed top-max(ranks) survivor budget, and one exact-integer
+    division per row."""
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(d, ranks=(5, 20, 100))
+
+
+O_Q141 = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+ty AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+       FROM toks WHERE tok <> '' GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS total_types FROM ty),
+rk AS (SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok DESC, tok) AS rank
+       FROM ty),
+ranks AS (SELECT CAST(top_r AS BIGINT) AS top_r
+          FROM (VALUES (5), (20), (100)) v(top_r)),
+cov AS (SELECT top_r, CAST(SUM(n_tok) AS BIGINT) AS covered_tokens
+        FROM rk JOIN ranks ON rk.rank <= ranks.top_r GROUP BY top_r)
+SELECT top_r, covered_tokens, total_tokens, total_types,
+       covered_tokens / CAST(total_tokens AS DOUBLE) AS coverage
+FROM cov CROSS JOIN tot
+"""
+
+
+def q142_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed delivery manifest (profile.content_manifest
+    over sampling.shard_assignment): per training shard — row count,
+    char volume, and sum/xor md5 digests. The reproducibility receipt
+    a data delivery ships; re-run + diff detects byte drift without
+    re-reading the previous corpus. Integer-only digests, exact by
+    construction."""
+    from data_lake_with_spark_spark.operators.profile import content_manifest
+    from data_lake_with_spark_spark.operators.sampling import shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shard_assignment(d, F.col("doc_id").cast("string"), 8)
+    return content_manifest(
+        sh, ["shard"], ["doc_id", "lang", "source", "n_chars", "text"]
+    )
+
+
+O_Q142 = """
+WITH sh AS (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INT) AS shard,
+         concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang, source,
+                   CAST(n_chars AS VARCHAR), text) AS repr
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(repr)) AS BIGINT) AS n_chars,
+       CAST(SUM(('0x' || substring(md5(repr), 1, 7))::BIGINT) AS BIGINT)
+         AS digest_sum,
+       CAST(BIT_XOR(('0x' || substring(md5(repr), 1, 15))::BIGINT) AS BIGINT)
+         AS digest_xor
+FROM sh GROUP BY shard
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4870,6 +4988,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q137_blocklist_filter": (q137_blocklist_filter, O_Q137),
     "q138_dedup_report": (q138_dedup_report, O_Q138),
     "q139_decontaminate": (q139_decontaminate, O_Q139),
+    "q140_bm25_retrieval": (q140_bm25_retrieval, O_Q140),
+    "q141_vocab_coverage": (q141_vocab_coverage, O_Q141),
+    "q142_content_manifest": (q142_content_manifest, O_Q142),
 }
 
 

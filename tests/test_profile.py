@@ -1,3 +1,6 @@
+from data_lake_with_spark_spark.operators import profile
+
+
 
 
 def test_snapshot_diff_labels_all_four_statuses(spark):
@@ -23,3 +26,53 @@ def test_snapshot_diff_requires_shared_columns(spark):
     b = spark.createDataFrame([(1, "y")], ["doc_id", "only_b"])
     with pytest.raises(ValueError):
         snapshot_diff(a, b)
+
+
+def test_content_manifest_detects_single_row_drift(spark):
+    rows = [(i, i % 3, f"text {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "shard", "text"])
+    base = {r["shard"]: r for r in profile.content_manifest(
+        df, ["shard"], ["id", "text"]
+    ).collect()}
+    assert sum(r["n_rows"] for r in base.values()) == 30
+    # flip one character in one row -> that shard's digests move, others don't
+    rows2 = [(i, i % 3, "text X" if i == 7 else f"text {i}") for i in range(30)]
+    drift = {r["shard"]: r for r in profile.content_manifest(
+        spark.createDataFrame(rows2, ["id", "shard", "text"]), ["shard"],
+        ["id", "text"]
+    ).collect()}
+    assert drift[1]["digest_sum"] != base[1]["digest_sum"]
+    assert drift[1]["digest_xor"] != base[1]["digest_xor"]
+    for s in (0, 2):
+        assert drift[s]["digest_sum"] == base[s]["digest_sum"]
+        assert drift[s]["digest_xor"] == base[s]["digest_xor"]
+
+
+def test_content_manifest_is_order_and_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, 0, f"t{i}") for i in range(50)], ["id", "shard", "text"]
+    )
+    a = profile.content_manifest(df, ["shard"]).collect()[0]
+    b = profile.content_manifest(
+        df.repartition(13).sortWithinPartitions("text"), ["shard"]
+    ).collect()[0]
+    assert (a["digest_sum"], a["digest_xor"]) == (b["digest_sum"], b["digest_xor"])
+
+
+def test_content_manifest_null_sentinel_and_validation(spark):
+    schema = "id bigint, shard int, text string"
+    df = spark.createDataFrame([(1, 0, None), (2, 0, "")], schema)
+    out = profile.content_manifest(df, ["shard"], ["text"]).collect()[0]
+    assert out["n_rows"] == 2
+    # NULL and '' must digest differently (sentinel, not empty string)
+    one = profile.content_manifest(
+        spark.createDataFrame([(1, 0, "")], schema), ["shard"], ["text"]
+    ).collect()[0]
+    two = profile.content_manifest(
+        spark.createDataFrame([(1, 0, None)], schema), ["shard"], ["text"]
+    ).collect()[0]
+    assert one["digest_sum"] != two["digest_sum"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile.content_manifest(df, ["id", "shard", "text"])

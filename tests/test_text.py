@@ -374,3 +374,71 @@ def test_decontaminate_spans_cuts_benchmark_overlap(spark):
     assert out[1]["clean_text"] == "intro words outro section"
     assert out[1]["n_tokens_kept"] == 4 and out[1]["n_tokens"] == 8
     assert out[2]["clean_text"] == "nothing shared with the benchmark document here"
+
+
+def test_vocab_coverage_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")],
+        ["doc_id", "text"],
+    )
+    # counts: a=4 b=3 c=1 d=1 (ties c/d broken by token asc)
+    out = {r["top_r"]: r for r in text.vocab_coverage(
+        docs, ranks=(1, 3, 100)
+    ).collect()}
+    assert out[1]["covered_tokens"] == 4
+    assert out[3]["covered_tokens"] == 4 + 3 + 1  # a, b, then c (tie)
+    assert out[100]["covered_tokens"] == 9  # rank past vocab = everything
+    r1 = out[1]
+    assert (r1["total_tokens"], r1["total_types"]) == (9, 4)
+    assert abs(r1["coverage"] - 4 / 9) < 1e-15
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.vocab_coverage(docs, ranks=())
+    with pytest.raises(ValueError):
+        text.vocab_coverage(docs, ranks=(0, 5))
+
+
+def _bm25_expected(tf, dl, avgdl, n, df, k1=1.2, b=0.75):
+    idf = (n - df + 0.5) / (df + 0.5)
+    return (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))) * idf
+
+
+def test_bm25_single_term_matches_formula(spark):
+    corpus = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common common"), (3, "rare rare common")],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([(10, "rare")], ["query_id", "text"])
+    out = {r["doc_id"]: r for r in text.bm25_topk(corpus, qs, k=10).collect()}
+    # docs 1 and 3 contain 'rare' (df=2, N=3, avgdl=3.0)
+    assert set(out) == {1, 3}
+    assert abs(out[3]["score"] - _bm25_expected(2, 3, 3.0, 3, 2)) < 1e-12
+    assert abs(out[1]["score"] - _bm25_expected(1, 3, 3.0, 3, 2)) < 1e-12
+    # tf=2 beats tf=1 at equal length
+    assert out[3]["rank"] == 1 and out[1]["rank"] == 2
+
+
+def test_bm25_topk_cutoff_and_max_df_pruning(spark):
+    corpus = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 1 else "filler")) for i in range(1, 7)],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([(10, "common rare")], ["query_id", "text"])
+    full = text.bm25_topk(corpus, qs, k=3).collect()
+    assert len(full) == 3 and all(r["rank"] <= 3 for r in full)
+    # doc 1 has the rare term (df=1) -> top hit
+    assert sorted(full, key=lambda r: r["rank"])[0]["doc_id"] == 1
+    # max_df 0.5 prunes 'common' (df=6/6); only 'rare' scores
+    pruned = text.bm25_topk(corpus, qs, k=10, max_df_ratio=0.5).collect()
+    assert [r["doc_id"] for r in pruned] == [1]
+    exp = _bm25_expected(1, 2, 2.0, 6, 1)
+    assert abs(pruned[0]["score"] - exp) < 1e-12
+
+
+def test_bm25_rejects_bad_k(spark):
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.bm25_topk(docs, docs.withColumnRenamed("doc_id", "query_id"), k=0)
