@@ -967,6 +967,12 @@ def bm25_topk(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # localCheckpoint: the postings table feeds FOUR consumers (doc
+    # lengths, corpus stats, the match join, df) and each action would
+    # otherwise re-run the explode+groupBy lineage per consumer (the
+    # ngram_rarity recompute class). Materializing postings once is
+    # what every retrieval engine does — at scale this is the index
+    # build staged to disk.
     ctf = (
         corpus.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -974,6 +980,7 @@ def bm25_topk(
         .where(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     dl = ctf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(

@@ -156,3 +156,26 @@ def test_r7_batch3_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch4_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the fourth round-7 batch: q137 blocklist
+    is a pure scan-side projection (ZERO exchanges), q138 report adds
+    two keyed aggs over the CC lineage, q139 decontaminate keeps
+    matching broadcast-side (corpus text never shuffles for the
+    match), q140 BM25 is posting-join bound with the postings
+    localCheckpointed (15 counts the re-used lineage occurrences),
+    q141 composes the two-phase rank, q142 manifest is ONE
+    partial-agg groupBy. Zero Python nodes anywhere."""
+    budgets = {
+        "q137_blocklist_filter": 0,
+        "q138_dedup_report": 4,
+        "q139_decontaminate": 6,
+        "q140_bm25_retrieval": 15,
+        "q141_vocab_coverage": 6,
+        "q142_content_manifest": 1,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
