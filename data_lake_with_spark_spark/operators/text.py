@@ -1039,3 +1039,89 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+def slice_drift(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10000,
+) -> DataFrame:
+    """Corpus-mixing drift report: per stratum (source/crawl/dump),
+    the total-variation distance between the stratum's token
+    distribution and the whole corpus's, over a CAPPED vocabulary —
+    the top-``top_k`` corpus types plus one OTHER bucket. The
+    mixing-QA number a multi-source training recipe monitors: a
+    stratum whose TVD jumps between snapshots changed character
+    (template flood, encoding damage, topic shift) even if its volume
+    didn't. One row per stratum: ``(stratum, n_tokens, tvd)``.
+
+    Why the cap: TVD over the raw vocabulary needs a per-stratum sum
+    over billions of hapax-heavy types at corpus scale; binning the
+    tail into OTHER bounds the distribution support at ``top_k + 1``
+    buckets (standard practice for distribution distances over open
+    vocabularies) — which also makes the per-stratum fold array
+    BOUNDED by construction. The cap uses the distributed two-phase
+    rank with a deterministic (count desc, token asc) tie-break.
+
+    Exactness contract: counts are exact integers; each probability
+    is ONE division; |p − q| is one subtract + abs; the per-stratum
+    sum folds in SORTED BUCKET ORDER (float addition is
+    order-dependent — the bm25_topk discipline); the final 0.5× is
+    exact binary scaling. Every step mirrors the SQL oracle
+    bit-for-bit.
+    """
+    from data_lake_with_spark_spark.operators.ranking import global_rank
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    other = "\x01OTHER"  # sorts before every real token, both engines
+    cs = (
+        df.select(
+            F.col(stratum_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy(stratum_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint()  # feeds corpus counts AND the bucketed recount
+    )
+    ct = cs.groupBy("tok").agg(F.sum("_c").cast("bigint").alias("_ct"))
+    kept = (
+        global_rank(ct, [F.col("_ct").desc(), F.col("tok").asc()], "_rank")
+        .where(F.col("_rank") <= top_k)
+        .select("tok", F.lit(1).alias("_keep"))
+    )
+    bucketed = cs.join(F.broadcast(kept), "tok", "left").select(
+        stratum_col,
+        F.when(F.col("_keep") == 1, F.col("tok")).otherwise(F.lit(other)).alias(
+            "bucket"
+        ),
+        "_c",
+    )
+    bs = bucketed.groupBy(stratum_col, "bucket").agg(
+        F.sum("_c").cast("bigint").alias("c_s")
+    )
+    bt = bs.groupBy("bucket").agg(F.sum("c_s").cast("bigint").alias("c_tot"))
+    ns = bs.groupBy(stratum_col).agg(F.sum("c_s").cast("bigint").alias("n_s"))
+    n = bt.agg(F.sum("c_tot").cast("bigint").alias("n_tot"))
+    grid = ns.crossJoin(F.broadcast(bt))  # every stratum × every bucket
+    term = F.abs(
+        F.coalesce(F.col("c_s"), F.lit(0)) / F.col("n_s")
+        - F.col("c_tot") / F.col("n_tot")
+    )
+    return (
+        grid.join(bs, [stratum_col, "bucket"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(F.col(stratum_col), F.col("n_s"), F.col("bucket"), term.alias("_t"))
+        .groupBy(stratum_col)
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            (
+                F.lit(0.5)
+                * F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bucket", "_t"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_t"],
+                )
+            ).alias("tvd"),
+        )
+    )

@@ -3665,7 +3665,12 @@ def q90_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_col="ts",
             tiebreak_cols=("event_id",),
         )
-        q.awaitTermination(120)
+        # raise on timeout BEFORE reading: a partial snapshot would be
+        # silently truncated (same class as _drain_stream_to_memory's
+        # advisor fix)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("cdc_apply_stream did not finish in 120s")
         snap_df = resolve_format("auto", spark).read_snapshot(spark, snap)
         # driver-facing ts as the canonical micro string (the stream
         # parsed it to timestamp; a string avoids tz/type skew vs
@@ -4849,6 +4854,53 @@ FROM sh GROUP BY shard
 """
 
 
+def q143_slice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing drift report (text.slice_drift): per source, the
+    total-variation distance between the source's token distribution
+    and the corpus's, over the top-10 corpus types + OTHER (capped
+    support = bounded fold arrays = the 100 TB shape). Exact-integer
+    counts, one division per probability, sorted-bucket-order float
+    fold."""
+    d = _t(spark, sf_dir, "documents")
+    return text.slice_drift(d, stratum_col="source", top_k=10)
+
+
+O_Q143 = """
+WITH cs AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY source, tok),
+ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM cs GROUP BY tok),
+kept AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY ct DESC, tok) AS r FROM ct)
+  WHERE r <= 10),
+b AS (
+  SELECT source,
+         CASE WHEN kept.tok IS NOT NULL THEN cs.tok
+              ELSE chr(1) || 'OTHER' END AS bucket,
+         cs.c
+  FROM cs LEFT JOIN kept ON cs.tok = kept.tok),
+bs AS (SELECT source, bucket, CAST(SUM(c) AS BIGINT) AS c_s
+       FROM b GROUP BY source, bucket),
+bt AS (SELECT bucket, CAST(SUM(c_s) AS BIGINT) AS c_tot FROM bs GROUP BY bucket),
+ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM bs GROUP BY source),
+n AS (SELECT CAST(SUM(c_tot) AS BIGINT) AS n_tot FROM bt),
+terms AS (
+  SELECT g.source, g.n_s, g.bucket,
+         abs(COALESCE(bs.c_s, 0) / g.n_s - g.c_tot / n.n_tot) AS t
+  FROM (SELECT ns.source, ns.n_s, bt.bucket, bt.c_tot
+        FROM ns CROSS JOIN bt) g
+  LEFT JOIN bs ON bs.source = g.source AND bs.bucket = g.bucket
+  CROSS JOIN n)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       0.5::DOUBLE * list_reduce(list(t ORDER BY bucket), (a, b) -> a + b)
+         AS tvd
+FROM terms GROUP BY source
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -4991,6 +5043,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q140_bm25_retrieval": (q140_bm25_retrieval, O_Q140),
     "q141_vocab_coverage": (q141_vocab_coverage, O_Q141),
     "q142_content_manifest": (q142_content_manifest, O_Q142),
+    "q143_slice_drift": (q143_slice_drift, O_Q143),
 }
 
 

@@ -174,6 +174,7 @@ def test_r7_batch4_shuffle_budgets(spark, sf_dir):
         "q140_bm25_retrieval": 15,
         "q141_vocab_coverage": 6,
         "q142_content_manifest": 1,
+        "q143_slice_drift": 20,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

@@ -442,3 +442,31 @@ def test_bm25_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         text.bm25_topk(docs, docs.withColumnRenamed("doc_id", "query_id"), k=0)
+
+
+def test_slice_drift_exact_two_strata(spark):
+    # stratum A: 3 x, 1 y (p = .75/.25); B: 1 x, 3 y; corpus q = .5/.5
+    docs = spark.createDataFrame(
+        [("A", "x x x y"), ("B", "x y y y")], ["source", "text"]
+    )
+    out = {r["source"]: r for r in text.slice_drift(
+        docs, top_k=10
+    ).collect()}
+    # TVD = 0.5*(|.75-.5| + |.25-.5|) = 0.25 for both strata
+    for s in ("A", "B"):
+        assert out[s]["n_tokens"] == 4
+        assert abs(out[s]["tvd"] - 0.25) < 1e-15
+
+
+def test_slice_drift_other_bucket_and_identical_stratum(spark):
+    docs = spark.createDataFrame(
+        [("A", "a a b c d e"), ("B", "a a b c d e")], ["source", "text"]
+    )
+    # top_k=1 keeps only 'a'; everything else folds into OTHER.
+    # Identical strata => TVD exactly 0 regardless of bucketing.
+    out = text.slice_drift(docs, top_k=1).collect()
+    assert all(r["tvd"] == 0.0 for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.slice_drift(docs, top_k=0)
