@@ -87,3 +87,58 @@ def explain_shuffles(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostic — the report you run BEFORE choosing
+    between AQE, broadcast, and :func:`salted_join`: the ``top_n``
+    heaviest join keys by estimated output contribution, with each
+    side's row count, the key's estimated pair count
+    (``n_left × n_right`` — exactly the partition size a shuffle join
+    materializes for that key), and its share of the total estimated
+    join output. A key with ``pair_share`` ≈ 0.3 means one reducer
+    partition does 30% of the join work — the straggler signature.
+
+    Scale shape: one partial-agg groupBy per side (map-side combine
+    does the heavy lifting — the count tables are |distinct keys|,
+    not |rows|), a full-outer count join keyed the same way, and a
+    bounded ``top_n`` TakeOrderedAndProject. All integer arithmetic
+    except the single share division. Keys absent from one side count
+    0 pairs but still surface if NULL-heavy (the reference's
+    1,236-null artist column is the motivating case — SURVEY §4);
+    NULL keys group like any value.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    keys = list(key_cols)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+    rc = right.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    j = lc.join(rc, keys, "full_outer").select(
+        *keys,
+        F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+        F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+    )
+    j = j.withColumn("est_pairs", (F.col("n_left") * F.col("n_right")).cast("bigint"))
+    total = j.agg(F.sum("est_pairs").cast("bigint").alias("_tot"))
+    ranked = (
+        j.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_left",
+            "n_right",
+            "est_pairs",
+            F.when(
+                F.col("_tot") > 0, F.col("est_pairs") / F.col("_tot")
+            ).otherwise(F.lit(0.0)).alias("pair_share"),
+        )
+        .orderBy(F.col("est_pairs").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+        .limit(top_n)
+    )
+    return ranked

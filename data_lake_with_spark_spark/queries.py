@@ -4901,6 +4901,42 @@ FROM terms GROUP BY source
 """
 
 
+def q144_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic (skew.skew_report): top-20 heaviest
+    join keys for events⋈customer by estimated output pairs
+    (n_left × n_right = the partition one shuffle-join reducer
+    materializes), each with its share of total join output — the
+    report that decides AQE vs broadcast vs salted_join. One
+    partial-agg groupBy per side + a keyed count join + bounded
+    top-N."""
+    from data_lake_with_spark_spark.operators.skew import skew_report
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return skew_report(e.select("user_id"), c, ["user_id"], top_n=20)
+
+
+O_Q144 = """
+WITH lc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left
+            FROM events GROUP BY user_id),
+rc AS (SELECT c_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_right
+       FROM customer GROUP BY c_custkey),
+j AS (SELECT user_id,
+             CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left,
+             CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right
+      FROM lc FULL OUTER JOIN rc USING (user_id)),
+j2 AS (SELECT user_id, n_left, n_right,
+              CAST(n_left * n_right AS BIGINT) AS est_pairs FROM j),
+t AS (SELECT CAST(SUM(est_pairs) AS BIGINT) AS tot FROM j2)
+SELECT user_id, n_left, n_right, est_pairs,
+       CASE WHEN tot > 0 THEN est_pairs / tot ELSE 0.0 END AS pair_share
+FROM j2 CROSS JOIN t
+ORDER BY est_pairs DESC, user_id ASC LIMIT 20
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5044,6 +5080,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q141_vocab_coverage": (q141_vocab_coverage, O_Q141),
     "q142_content_manifest": (q142_content_manifest, O_Q142),
     "q143_slice_drift": (q143_slice_drift, O_Q143),
+    "q144_skew_report": (q144_skew_report, O_Q144),
 }
 
 

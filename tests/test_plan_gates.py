@@ -175,6 +175,7 @@ def test_r7_batch4_shuffle_budgets(spark, sf_dir):
         "q141_vocab_coverage": 6,
         "q142_content_manifest": 1,
         "q143_slice_drift": 20,
+        "q144_skew_report": 6,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)
