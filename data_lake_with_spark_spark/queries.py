@@ -5170,6 +5170,16 @@ _ROTATED_IN = (
     "q137_blocklist_filter",
     "q138_dedup_report",
     "q139_decontaminate",
+    # round 7d: the closing five — BM25 retrieval, vocab coverage,
+    # content manifest, slice-drift TVD, skew report — promoted after
+    # 30× probes (all ≤0.26) and a full driver_sim replay, so every
+    # round-7 operator class is driver-hard verified the round it was
+    # built
+    "q140_bm25_retrieval",
+    "q141_vocab_coverage",
+    "q142_content_manifest",
+    "q143_slice_drift",
+    "q144_skew_report",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5279,6 +5289,21 @@ _ROTATED_OUT = (
     "q33_dedup_clusters",
     "q101_data_quality",
     "q102_ann_ivf_indexed",
+    # round 7d demotions — all driver-hard verified green in r6
+    # (CORRECTNESS_r06.json); NO round-7 addition is demoted (each
+    # must earn its first driver verification in r7's gate). Family
+    # coverage after: sign-LSH ANN q27 out with serving covered by
+    # q13/q113/q114 + PQ q117–q119 + Matryoshka q134 (the q26/q47
+    # precedent); int8 quantization q97 out with the PQ trio staying;
+    # sliding windows q120 out with streaming's q107/q90 staying;
+    # trigram rarity q115 out with text quality covered by
+    # q11/q124/q137/q50 + incoming q141/q143; split assignment q109
+    # out with sampling covered by q125/q127/q132 in-window.
+    "q27_ann_lsh",
+    "q97_quantize_embeddings",
+    "q120_streaming_sliding",
+    "q115_ngram_rarity",
+    "q109_train_val_test_split",
 )
 
 
