@@ -183,3 +183,61 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.countDistinct("_u").alias("n_users"))
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    max_gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion event to the
+    most recent preceding touch event by the same user within
+    ``max_gap_s`` seconds — the marketing/behavior-curation join that
+    labels which interaction "caused" each purchase.
+
+    One per-user window pass, no self-join: the touch candidate is
+    carried as a MAX over a zero-padded ``(epoch_micros, event_id)``
+    string key over ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` —
+    string max is portable across engines, and the padding makes
+    lexicographic order equal (ts, id) order. A user's history never
+    leaves its hash partition, so the whole operator is one exchange
+    on the user key. Outside-window or touchless conversions emit
+    NULL attribution rather than dropping — the unattributed rate is
+    itself the metric analysts want.
+
+    Returns (conversion_id, user_id, touch_id, gap_us) — the gap kept
+    in exact integer microseconds (no float division).
+    """
+    # NTZ parquet timestamps cast through the session tz (pinned UTC
+    # in session.py), so unix_micros equals DuckDB's naive epoch_us
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    touch_key = F.when(
+        F.col(type_col) == touch_type,
+        F.concat_ws(
+            ":",
+            F.lpad(micros.cast("string"), 20, "0"),
+            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    annotated = events.withColumn("_last_touch", F.max(touch_key).over(w))
+    conv = annotated.where(F.col(type_col) == conversion_type)
+    touch_us = F.split(F.col("_last_touch"), ":").getItem(0).cast("bigint")
+    touch_id = F.split(F.col("_last_touch"), ":").getItem(1).cast("bigint")
+    gap = micros - touch_us
+    in_window = gap <= F.lit(max_gap_s) * F.lit(1_000_000)
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.when(in_window, touch_id).alias("touch_id"),
+        F.when(in_window, gap).alias("gap_us"),
+    )

@@ -201,3 +201,117 @@ def content_manifest(
             F.expr("bit_xor(_hx)").cast("bigint").alias("digest_xor"),
         )
     )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Offline eval report for a quality classifier: ROC-AUC (exact,
+    via the Mann-Whitney rank-sum with midrank tie handling) plus an
+    ``n_bins`` equal-width calibration table — the QA artifact that
+    gates a scorer before it filters a corpus.
+
+    Scale shape: the only global total order (the rank over the
+    score) goes through
+    :func:`~data_lake_with_spark_spark.operators.ranking.global_rank`
+    — a range exchange, never a single-partition window. Tie midranks
+    are then derived per DISTINCT score with one groupBy (midrank =
+    min rank + (ties-1)/2, exact in binary: halves), so
+    ``rank_sum_pos = Σ_groups n_pos · midrank`` needs no per-row
+    second pass. AUC = (rank_sum_pos − P(P+1)/2) / (P·N): all-integer
+    (and half-integer) arithmetic until ONE final IEEE division —
+    bit-identical cross-engine while P·N < 2^52.
+
+    Calibration bins are equal-width over [min, max] of the score
+    (two order-independent aggs); each row reports the bin's floor,
+    count, positives and positive rate (one int/int division).
+    Returns (bin, bin_lo, n, n_pos, pos_rate, auc) — ``auc`` repeated
+    per row so the report stays one flat frame.
+    """
+    from data_lake_with_spark_spark.operators.ranking import global_rank
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    base = scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    ranked = global_rank(
+        base, [F.col("_s").asc(), F.col("_id").asc()], rank_col="_rn"
+    )
+    # one materialization feeds rank groups, bin stats and the P/N
+    # totals — without it the two-phase rank recomputes per consumer
+    # (the ngram_rarity recompute class)
+    ranked = ranked.localCheckpoint()
+    groups = ranked.groupBy("_s").agg(
+        F.min("_rn").alias("_minrn"),
+        F.count(F.lit(1)).alias("_ties"),
+        F.sum(F.col("_y").cast("bigint")).alias("_pos"),
+    )
+    # midrank = minrank + (ties-1)/2 — exact halves
+    contrib = groups.select(
+        (
+            F.col("_pos").cast("double")
+            * (F.col("_minrn") + (F.col("_ties") - F.lit(1)) / F.lit(2.0))
+        ).alias("_c")
+    )
+    totals = ranked.agg(
+        F.sum(F.col("_y").cast("bigint")).alias("_p"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_s").alias("_lo"),
+        F.max("_s").alias("_hi"),
+    )
+    rank_sum = contrib.agg(F.sum("_c").alias("_rs"))
+    auc_row = totals.crossJoin(rank_sum).select(
+        "_p",
+        "_n",
+        "_lo",
+        "_hi",
+        F.when(
+            (F.col("_p") > 0) & (F.col("_n") - F.col("_p") > 0),
+            (
+                F.col("_rs")
+                - F.col("_p").cast("double")
+                * (F.col("_p") + F.lit(1)).cast("double")
+                / F.lit(2.0)
+            )
+            / (F.col("_p") * (F.col("_n") - F.col("_p"))).cast("double"),
+        ).alias("auc"),
+    )
+    width = F.col("_hi") - F.col("_lo")
+    binned = ranked.crossJoin(F.broadcast(auc_row)).withColumn(
+        "bin",
+        F.when(width > 0,
+               F.least(
+                   F.lit(n_bins - 1),
+                   F.floor((F.col("_s") - F.col("_lo")) / width * F.lit(n_bins)),
+               ))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return (
+        binned.groupBy("bin", "_lo", "_hi", "auc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("_y").cast("bigint")).cast("bigint").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            # bin floor: deterministic per-row float expression
+            (
+                F.col("_lo")
+                + F.col("bin").cast("double")
+                * (F.col("_hi") - F.col("_lo"))
+                / F.lit(float(n_bins))
+            ).alias("bin_lo"),
+            "n",
+            "n_pos",
+            (F.col("n_pos") / F.col("n").cast("double")).alias("pos_rate"),
+            "auc",
+        )
+    )

@@ -107,3 +107,62 @@ def length_batches(
     return ranked.withColumn(
         batch_col, ((a - (a % F.lit(batch_size))) / F.lit(batch_size)).cast("bigint")
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k0: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N
+    per-query rankings — the standard hybrid-retrieval combiner for a
+    sparse (BM25) and a dense (embedding) ranker feeding one RAG /
+    data-selection pipeline.
+
+    ``score(q, d) = Σ_i 1 / (k0 + rank_i(q, d))`` with absent entries
+    contributing 0. Implemented as a chain of full-outer joins on
+    ``(query_id, doc_id)`` — each join is co-keyed (one hash exchange
+    per side on the same key, and the inputs are top-k lists, i.e.
+    already k·|queries| rows, tiny next to the corpora that produced
+    them), never a corpus-side shuffle. The fused score is a sum of
+    ``1/(k0+rank)`` terms in FIXED written order (ranker 0 first), so
+    every float is reproducible cross-engine: each term is one IEEE
+    division of exact integers, and the chained add order is pinned.
+
+    Returns (query_id, doc_id, rrf_score, rank) with the fused rank a
+    per-query ``row_number`` (score desc, doc id tiebreak) — a
+    PARTITIONED window, safe at any query count.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    sides = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("bigint").alias(f"_r{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, ["query_id", "doc_id"], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

@@ -1551,3 +1551,76 @@ def percentile_clip_calibrate(
             ),
         )
     )
+
+
+def negative_sampling(
+    emb: DataFrame,
+    k: int = 4,
+    target_bucket: int = 64,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic in-bucket negative sampling for contrastive /
+    embedding training: for every anchor example, pick ``k``
+    pseudo-random negatives (rows with a DIFFERENT label) from the
+    anchor's md5 hash bucket, ranked by a pair hash — reproducible
+    across runs and engines, no RNG state.
+
+    Fixed-BUDGET bucketing (the sampling-rate-trap policy,
+    SCALING_r06.md): the bucket count derives from one metadata-cheap
+    ``count()`` as ``max(1, n // target_bucket)``, so buckets hold
+    ~``target_bucket`` rows at ANY corpus size and the candidate pair
+    space is O(N · target_bucket) — linear, never the O(N²/B)
+    quadratic a fixed bucket COUNT degrades to. The join is one hash
+    exchange per side on the bucket id; the per-anchor top-k is a
+    partitioned window over ≤ ``target_bucket`` candidates.
+
+    Returns (anchor_id, neg_id, neg_label, neg_rank). Anchors whose
+    bucket has fewer than ``k`` other-label rows emit what exists —
+    the shortfall is visible downstream rather than silently
+    rebalanced.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if target_bucket < 2:
+        raise ValueError(f"target_bucket must be >= 2, got {target_bucket}")
+    n = emb.count()
+    n_buckets = max(1, n // target_bucket)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("int")
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+        bucket.alias("_b"),
+    )
+    anchors = base.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_label").alias("_alabel"),
+        F.col("_b").alias("_b"),
+    )
+    cands = base.select(
+        F.col("_id").alias("neg_id"),
+        F.col("_label").alias("neg_label"),
+        F.col("_b").alias("_b"),
+    )
+    pair_h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("anchor_id").cast("string"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_h").asc(), F.col("neg_id").asc()
+    )
+    return (
+        anchors.join(cands, "_b")
+        .where(F.col("neg_label") != F.col("_alabel"))
+        .withColumn("_h", pair_h)
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("neg_rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "neg_rank")
+    )

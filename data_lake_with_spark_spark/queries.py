@@ -4937,6 +4937,286 @@ ORDER BY est_pairs DESC, user_id ASC LIMIT 20
 """
 
 
+def q145_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (ranking.rrf_fuse): reciprocal-rank fusion of
+    the BM25 lexical ranking (q140's exact config, k=20) and the
+    brute-force cosine dense ranking over the doc-aligned embeddings
+    (k=20) — the standard sparse+dense combiner for RAG / data
+    selection. Fusion is top-k-list-sized work: two co-keyed joins
+    over ≤ 20·|queries| rows; the corpora never shuffle again.
+
+    The query set is CAPPED (doc_id < 5000 on top of the % 200
+    sample): an eval/benchmark query set is fixed-size by nature, and
+    a rate-derived one would drag the dense brute-force side
+    quadratic at scale (queries × corpus both growing — the
+    sampling-rate trap, SCALING_r06.md policy). With ≤ 25 queries the
+    dense pass is one bounded broadcast against a linear corpus
+    scan."""
+    from data_lake_with_spark_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
+    qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
+    corpus = d.where(~is_q)
+    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
+    dense = similarity.brute_force_topk(
+        emb.where(~is_qv),
+        emb.where(is_qv),
+        k=20,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], k0=60, topk=10)
+
+
+O_Q145 = f"""
+WITH ctf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 <> 0)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                 SUM(dl) / COUNT(*) AS avgdl FROM dl),
+qtok AS (
+  SELECT DISTINCT doc_id AS query_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 = 0)
+  WHERE tok <> ''),
+mt AS (SELECT c.* FROM ctf c
+       JOIN (SELECT DISTINCT tok FROM qtok) v USING (tok)),
+dfsub AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM mt GROUP BY tok),
+contrib AS (
+  SELECT q.query_id, m.doc_id, m.tok,
+         ((m.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+          / (m.tf + 1.2::DOUBLE
+             * ((1.0::DOUBLE - 0.75::DOUBLE)
+                + 0.75::DOUBLE * (d.dl / s.avgdl))))
+         * ((s.n_corpus - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) AS c
+  FROM mt m JOIN dfsub f USING (tok) JOIN qtok q USING (tok)
+       JOIN dl d ON d.doc_id = m.doc_id CROSS JOIN stats s),
+sc AS (
+  SELECT query_id, doc_id,
+         list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+bm AS (SELECT query_id, doc_id, rank FROM (
+         SELECT query_id, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id)
+                     AS BIGINT) AS rank
+         FROM sc) WHERE rank <= 20),
+dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id % 200 = 0 AND vec_id < 5000),
+dc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings
+       WHERE NOT (vec_id % 200 = 0 AND vec_id < 5000)),
+dscored AS (
+  SELECT dq.query_id, dc.doc_id,
+         {_O_COS.format(a='dc.cv', b='dq.qv')} AS cos
+  FROM dc, dq WHERE dc.doc_id != dq.query_id),
+dn AS (SELECT query_id, doc_id, rank FROM (
+         SELECT query_id, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, doc_id)
+                     AS BIGINT) AS rank
+         FROM dscored) WHERE rank <= 20),
+fused AS (
+  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+         COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0::DOUBLE / (60.0::DOUBLE + b.rank), 0.0::DOUBLE)
+           + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + d.rank), 0.0::DOUBLE)
+           AS rrf_score
+  FROM bm b FULL OUTER JOIN dn d
+       ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM fused) WHERE rank <= 10
+"""
+
+
+def q146_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by the sorted-neighborhood method
+    (dedup.sorted_neighborhood_pairs): customers sorted by name via
+    the distributed two-phase global rank, each compared to its 3
+    sort-successors, kept when Levenshtein(name) <= 2 — candidate
+    count is exactly 3N regardless of key skew (the linear-work
+    alternative to quadratic blocking)."""
+    c = _t(spark, sf_dir, "customer")
+    return dedup.sorted_neighborhood_pairs(
+        c, id_col="c_custkey", key_col="c_name", window=3, max_dist=2
+    )
+
+
+O_Q146 = """
+WITH r AS (
+  SELECT c_custkey AS id, c_name AS key,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS rn
+  FROM customer),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b
+  FROM r a
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS o) off
+  JOIN r b ON b.rn = a.rn + off.o)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+FROM p
+WHERE abs(length(key_a) - length(key_b)) <= 2
+  AND levenshtein(key_a, key_b) <= 2
+"""
+
+
+def q147_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval report (profile.classifier_eval): exact
+    ROC-AUC (Mann-Whitney rank-sum, midrank ties, distributed
+    two-phase rank) + 10-bin equal-width calibration table for the
+    q124 quality classifier scored against the lang=='en' weak label
+    — the gate a scorer passes before it filters a corpus."""
+    from data_lake_with_spark_spark.operators.profile import classifier_eval
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text.quality_classifier(d).withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    return classifier_eval(
+        scored, score_col="quality_z", label_col="is_en",
+        id_col="doc_id", n_bins=10,
+    )
+
+
+O_Q147 = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) AS chars
+  FROM documents),
+f AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_O_STOPLIST}], x)))
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x1,
+         CASE WHEN len(toks) > 0
+              THEN nonspace / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x2,
+         CASE WHEN chars > 0
+              THEN digits / CAST(chars AS DOUBLE) ELSE 0.0 END AS x3
+  FROM t),
+scored AS (
+  SELECT doc_id, (lang = 'en') AS y,
+         -1.0 + 6.0 * x1 + -0.25 * x2 + -8.0 * x3 AS s
+  FROM f),
+rn AS (SELECT s, y, doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY s, doc_id) AS BIGINT) AS rn
+       FROM scored),
+g AS (SELECT s, MIN(rn) AS minrn, CAST(COUNT(*) AS BIGINT) AS ties,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM rn GROUP BY s),
+rs AS (SELECT SUM(CAST(pos AS DOUBLE) * (minrn + (ties - 1) / 2.0)) AS rs
+       FROM g),
+tot AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(s) AS lo, MAX(s) AS hi
+        FROM scored),
+aucr AS (
+  SELECT p, n, lo, hi,
+         CASE WHEN p > 0 AND n - p > 0
+              THEN (rs - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE) / 2.0)
+                   / CAST(p * (n - p) AS DOUBLE)
+         END AS auc
+  FROM tot CROSS JOIN rs),
+binned AS (
+  SELECT CASE WHEN a.hi - a.lo > 0
+              THEN CAST(LEAST(9, FLOOR((sc.s - a.lo) / (a.hi - a.lo) * 10))
+                        AS INTEGER)
+              ELSE 0 END AS bin,
+         sc.y, a.lo, a.hi, a.auc
+  FROM scored sc CROSS JOIN aucr a)
+SELECT bin,
+       lo + CAST(bin AS DOUBLE) * (hi - lo) / 10.0 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       SUM(CASE WHEN y THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+         AS pos_rate,
+       auc
+FROM binned GROUP BY bin, lo, hi, auc
+"""
+
+
+def q148_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (events_analytics.attribute_conversions):
+    each purchase credited to the same user's most recent click within
+    30 minutes — one per-user window pass carrying the touch candidate
+    as a zero-padded (epoch_micros, event_id) string MAX, no
+    self-join; unattributed conversions emit NULLs, not drops."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        attribute_conversions,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        e, conversion_type="purchase", touch_type="click", max_gap_s=1800
+    )
+
+
+O_Q148 = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click'
+              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')
+         END AS tk
+  FROM events),
+a AS (
+  SELECT *,
+         MAX(tk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS lt
+  FROM e),
+conv AS (
+  SELECT event_id AS conversion_id, user_id,
+         epoch_us(ts) - TRY_CAST(split_part(lt, ':', 1) AS BIGINT) AS gap,
+         TRY_CAST(split_part(lt, ':', 2) AS BIGINT) AS tid
+  FROM a WHERE event_type = 'purchase')
+SELECT conversion_id, user_id,
+       CASE WHEN gap <= 1800000000 THEN tid END AS touch_id,
+       CASE WHEN gap <= 1800000000 THEN gap END AS gap_us
+FROM conv
+"""
+
+
+def q149_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling
+    (similarity.negative_sampling): 4 deterministic other-label
+    negatives per anchor from the anchor's md5 hash bucket, ranked by
+    a pair hash. Fixed-BUDGET bucket count (max(1, n // 64)) keeps
+    the candidate space O(N · 64) — linear at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.negative_sampling(emb, k=4, target_bucket=64)
+
+
+O_Q149 = """
+WITH nb AS (SELECT GREATEST(1, COUNT(*) // 64) AS nb FROM embeddings),
+b AS (
+  SELECT vec_id, label,
+         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % nb AS INT) AS bk
+  FROM embeddings CROSS JOIN nb),
+p AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+         md5(CAST(a.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR))
+           AS h
+  FROM b a JOIN b c ON a.bk = c.bk AND c.label <> a.label)
+SELECT anchor_id, neg_id, neg_label, neg_rank FROM (
+  SELECT anchor_id, neg_id, neg_label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY h, neg_id) AS BIGINT) AS neg_rank
+  FROM p) WHERE neg_rank <= 4
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5081,6 +5361,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q142_content_manifest": (q142_content_manifest, O_Q142),
     "q143_slice_drift": (q143_slice_drift, O_Q143),
     "q144_skew_report": (q144_skew_report, O_Q144),
+    "q145_hybrid_retrieval_rrf": (q145_hybrid_retrieval_rrf, O_Q145),
+    "q146_entity_resolution": (q146_entity_resolution, O_Q146),
+    "q147_classifier_eval": (q147_classifier_eval, O_Q147),
+    "q148_attribution": (q148_attribution, O_Q148),
+    "q149_negative_sampling": (q149_negative_sampling, O_Q149),
 }
 
 

@@ -521,3 +521,44 @@ def test_cluster_stats_per_stratum(spark):
     assert s1["max_cluster"] == 2
     s2 = out["s2"]
     assert (s2["n_docs"], s2["n_clusters"], s2["n_dupes"]) == (2, 1, 1)
+
+
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """SNM: only sort-neighbors within the window are compared; the
+    Levenshtein threshold keeps near-identical keys."""
+    from data_lake_with_spark_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha"),
+        (2, "alphb"),   # 1 edit from alpha, adjacent in sort order
+        (3, "beta"),
+        (4, "betas"),   # 1 edit from beta
+        (5, "zzzzzz"),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="name", window=2, max_dist=1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(1, 2), (3, 4)}
+    assert all(r["dist"] == 1 for r in out)
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    """window=1 compares only adjacent ranks: with three ids of
+    pairwise distance 1 sorted a<b<c, (a,c) is never tested."""
+    from data_lake_with_spark_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "ac")], ["id", "name"]
+    )
+    out = sorted_neighborhood_pairs(
+        df, id_col="id", key_col="name", window=1, max_dist=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2), (2, 3)}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, id_col="id", key_col="name", window=0)

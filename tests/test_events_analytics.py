@@ -216,3 +216,42 @@ def test_cohort_retention_shuffle_budget(spark, sf_dir):
     assert p.count("Scan parquet") == 2
     assert p.count("Exchange") <= 5
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_attribute_conversions_last_touch(spark):
+    """The MOST RECENT in-window click wins; out-of-window and
+    touchless conversions emit NULL attribution rather than drops."""
+    import datetime as dt
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        attribute_conversions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, user, typ):
+        return (eid, t0 + dt.timedelta(minutes=mins), user, typ)
+
+    rows = [
+        ev(1, 0, 1, "click"),
+        ev(2, 5, 1, "click"),      # latest click before the purchase
+        ev(3, 10, 1, "purchase"),  # → touch 2, gap 5 min
+        ev(4, 100, 1, "purchase"), # 95 min since click 2 → NULL
+        ev(5, 0, 2, "purchase"),   # no click at all → NULL
+        ev(6, 3, 3, "view"),
+        ev(7, 4, 3, "purchase"),   # views don't attribute → NULL
+    ]
+    out = {
+        r["conversion_id"]: r
+        for r in attribute_conversions(
+            spark.createDataFrame(
+                rows, ["event_id", "ts", "user_id", "event_type"]
+            ),
+            max_gap_s=1800,
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[3]["touch_id"] == 2 and out[3]["gap_us"] == 5 * 60 * 1_000_000
+    assert out[4]["touch_id"] is None and out[4]["gap_us"] is None
+    assert out[5]["touch_id"] is None
+    assert out[7]["touch_id"] is None

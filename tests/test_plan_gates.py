@@ -181,3 +181,25 @@ def test_r7_batch4_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch5_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the fifth round-7 batch: q145 RRF pays
+    the BM25 lineage (15) plus the dense broadcast-window and the
+    co-keyed fusion joins (audited 20 total — the fusion itself adds
+    only top-k-list-sized exchanges); q146 SNM is the two-phase rank
+    plus the offset equi-join; q147 eval reuses the rank lineage from
+    ONE localCheckpoint (6); q148 attribution is ONE per-user window
+    exchange; q149 negative sampling is the bucket join + per-anchor
+    window. Zero Python nodes anywhere."""
+    budgets = {
+        "q145_hybrid_retrieval_rrf": 20,
+        "q146_entity_resolution": 3,
+        "q147_classifier_eval": 6,
+        "q148_attribution": 1,
+        "q149_negative_sampling": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

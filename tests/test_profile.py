@@ -76,3 +76,45 @@ def test_content_manifest_null_sentinel_and_validation(spark):
 
     with pytest.raises(ValueError):
         profile.content_manifest(df, ["id", "shard", "text"])
+
+
+def test_classifier_eval_perfect_separation(spark):
+    """Scores fully separating the classes give AUC=1; reversed give
+    AUC=0; the bins partition the score range."""
+    from data_lake_with_spark_spark.operators.profile import classifier_eval
+
+    rows = [(i, float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "s", "y"])
+    out = classifier_eval(df, "s", "y", "id", n_bins=5).collect()
+    assert all(r["auc"] == 1.0 for r in out)
+    assert sum(r["n"] for r in out) == 10
+    assert sum(r["n_pos"] for r in out) == 5
+    rev = [(i, float(-i), i >= 5) for i in range(10)]
+    out2 = classifier_eval(
+        spark.createDataFrame(rev, ["id", "s", "y"]), "s", "y", "id", n_bins=5
+    ).collect()
+    assert all(r["auc"] == 0.0 for r in out2)
+
+
+def test_classifier_eval_ties_use_midrank(spark):
+    """All-equal scores → AUC = 0.5 exactly (midrank tie handling),
+    and everything lands in bin 0 (degenerate width)."""
+    from data_lake_with_spark_spark.operators.profile import classifier_eval
+
+    rows = [(i, 1.0, i % 2 == 0) for i in range(8)]
+    df = spark.createDataFrame(rows, ["id", "s", "y"])
+    out = classifier_eval(df, "s", "y", "id", n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0
+    assert out[0]["auc"] == 0.5
+    assert out[0]["pos_rate"] == 0.5
+
+
+def test_classifier_eval_hand_auc(spark):
+    """Hand-computed Mann-Whitney: scores 1,2,3,4 labels F,T,F,T →
+    concordant pairs {(1,2),(1,4),(3,4)} of 4 → AUC = 3/4."""
+    from data_lake_with_spark_spark.operators.profile import classifier_eval
+
+    rows = [(1, 1.0, False), (2, 2.0, True), (3, 3.0, False), (4, 4.0, True)]
+    df = spark.createDataFrame(rows, ["id", "s", "y"])
+    out = classifier_eval(df, "s", "y", "id", n_bins=2).collect()
+    assert all(r["auc"] == 0.75 for r in out)

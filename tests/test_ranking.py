@@ -80,3 +80,35 @@ def test_length_batches_validates_batch_size(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         ranking.length_batches(docs, F.lit(2), batch_size=0)
+
+
+def test_rrf_fuse_known_math(spark):
+    """Hand-checked fusion: doc present in both lists scores
+    1/(60+ra) + 1/(60+rb); single-list docs contribute one term."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ranking.rrf_fuse([a, b], k0=60, topk=10).collect()
+    }
+    assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61
+    assert out[12]["rrf_score"] == 1.0 / 62
+    # doc 11 (in both lists) outranks the single-list docs
+    assert out[11]["rank"] == 1
+    assert out[10]["rank"] == 2  # 1/61 > 1/62
+
+
+def test_rrf_fuse_topk_and_validation(spark):
+    a = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 6)], ["query_id", "doc_id", "rank"]
+    )
+    assert ranking.rrf_fuse([a], topk=3).count() == 3
+    with pytest.raises(ValueError):
+        ranking.rrf_fuse([])
+    with pytest.raises(ValueError):
+        ranking.rrf_fuse([a], k0=0)

@@ -3,6 +3,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
+import pytest
 
 from data_lake_with_spark_spark.operators import similarity
 
@@ -528,3 +529,33 @@ def test_percentile_clip_calibrate_exact_discrete_bounds(spark):
     assert out[1] == 2.0 and out[2] == 2.0   # clamped up
     assert out[9] == 8.0 and out[10] == 8.0  # clamped down
     assert out[5] == 5.0                      # interior untouched
+
+
+def test_negative_sampling_contract(spark):
+    """Negatives always carry a different label, at most k per
+    anchor, deterministic across runs, and the bucket budget derives
+    from the corpus size (fixed-budget policy)."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        negative_sampling,
+    )
+
+    rows = [(i, [0.0], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = negative_sampling(emb, k=2, target_bucket=20)
+    got = out.collect()
+    labels = {i: i % 3 for i in range(60)}
+    per_anchor: dict[int, list] = {}
+    for r in got:
+        assert labels[r["neg_id"]] == r["neg_label"]
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["neg_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per_anchor.values())
+    # deterministic: second run bit-identical
+    again = negative_sampling(emb, k=2, target_bucket=20).collect()
+    key = lambda r: (r["anchor_id"], r["neg_rank"])
+    assert sorted(got, key=key) == sorted(again, key=key)
+    with pytest.raises(ValueError):
+        negative_sampling(emb, k=0)
+    with pytest.raises(ValueError):
+        negative_sampling(emb, target_bucket=1)
