@@ -166,3 +166,60 @@ def rrf_fuse(
         .where(F.col("rank") <= topk)
         .select("query_id", "doc_id", "rrf_score", "rank")
     )
+
+
+def rank_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query agreement report between two top-k rankings (e.g.
+    the sparse and dense sides of a hybrid retriever): result-set
+    sizes, intersection size, and Jaccard — the retrieval-QA number
+    that says whether two rankers are redundant or complementary
+    BEFORE you pay for fusing them.
+
+    Top-k lists are k·|queries|-sized, so everything here is
+    bounded: one inner join on (query, doc) for the intersection, a
+    per-query count on each side, two co-keyed outer joins to stitch
+    the report. Counts are exact integers; Jaccard is ONE int/int
+    division.
+
+    Returns (query_id, n_a, n_b, n_common, jaccard); queries present
+    in only one ranking report 0 for the other side.
+    """
+    # each side feeds TWO consumers (its size count + the common
+    # join); without pinning, the entire upstream retrieval lineage
+    # re-runs per consumer (the ngram_rarity recompute class, caught
+    # again by the exchange audit: 38 exchanges → 5). Top-k lists
+    # are k·|queries| rows — the checkpoint is trivially cheap.
+    an = a.select(F.col(query_col).alias("query_id"),
+                  F.col(doc_col).alias("doc_id")).localCheckpoint()
+    bn = b.select(F.col(query_col).alias("query_id"),
+                  F.col(doc_col).alias("doc_id")).localCheckpoint()
+    ca = an.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_a"))
+    cb = bn.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        an.join(bn, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    rep = (
+        ca.join(cb, "query_id", "full_outer")
+        .join(common, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        )
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return rep.withColumn(
+        "jaccard",
+        F.when(union_sz > 0,
+               F.col("n_common") / union_sz.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+    )

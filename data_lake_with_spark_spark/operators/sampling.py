@@ -378,3 +378,52 @@ def mixture_repeats(
         .withColumn(repeats_col, (base + extra).cast("bigint"))
         .drop("_n")
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    priority: Column | None = None,
+    token_count: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group token-budget fill: within each group, take
+    documents in priority order until the group's cumulative token
+    count would exceed ``budget_tokens`` — the dataset-composition
+    step that turns "20B tokens of web, 5B of code" quotas into a
+    concrete document selection.
+
+    One partitioned window per group (running token sum + fill rank);
+    kept rows satisfy ``cum_tokens <= budget``, so each group's
+    output is bounded by the BUDGET, not the corpus — the operator's
+    output is fixed-size at any input scale. The window is per-group:
+    a pathologically hot group serializes into one task, and the
+    mitigation at that scale is a priority pre-prune (only the top
+    ~budget rows by priority can possibly fit, since every doc has
+    ≥1 token — a rank-filter pass with the same window spec that AQE
+    can pipeline) — documented rather than silently applied, because
+    the prune changes no output row.
+
+    Returns (id, group, n_tokens, cum_tokens, fill_rank) for kept
+    rows; integer arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    prio = priority if priority is not None else F.col("n_chars").desc()
+    toks = (
+        token_count
+        if token_count is not None
+        else F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    base = df.withColumn("n_tokens", toks.cast("bigint"))
+    w = Window.partitionBy(group_col).orderBy(prio, F.col(id_col).asc())
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("fill_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(F.col(id_col).alias("id"), group_col, "n_tokens",
+                "cum_tokens", "fill_rank")
+    )

@@ -5217,6 +5217,87 @@ SELECT anchor_id, neg_id, neg_label, neg_rank FROM (
 """
 
 
+def q150_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset composition under a token budget
+    (sampling.token_budget_fill): per source, take documents in
+    n_chars-priority order until 800 cumulative tokens — the step
+    that turns per-domain token quotas into a concrete selection.
+    Output is BUDGET-bounded per group at any corpus size; one
+    partitioned window, integer arithmetic only."""
+    from data_lake_with_spark_spark.operators.sampling import token_budget_fill
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_fill(d, budget_tokens=800, group_col="source")
+
+
+O_Q150 = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id AS id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS cum_tokens,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS fill_rank
+  FROM t)
+SELECT id, source, n_tokens, cum_tokens, fill_rank
+FROM w WHERE cum_tokens <= 800
+"""
+
+
+def q151_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-agreement QA (ranking.rank_overlap): per-query
+    set sizes, intersection and Jaccard between the sparse (BM25)
+    and dense (cosine) top-20 lists of the q145 hybrid config — says
+    whether the two rankers are redundant or complementary BEFORE
+    paying for fusion. Everything is top-k-list-sized."""
+    from data_lake_with_spark_spark.operators.ranking import rank_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
+    qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
+    corpus = d.where(~is_q)
+    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
+    dense = similarity.brute_force_topk(
+        emb.where(~is_qv), emb.where(is_qv), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    return rank_overlap(sparse, dense)
+
+
+# Reuses O_Q145's ranking CTEs verbatim (same retrieval config);
+# everything from `fused` on is replaced by the agreement report.
+O_Q151 = O_Q145.split("fused AS (")[0] + """ca AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM bm
+  GROUP BY query_id),
+cb AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM dn
+  GROUP BY query_id),
+cm AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM bm b JOIN dn d ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+  GROUP BY b.query_id),
+rep AS (
+  SELECT query_id,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common
+  FROM ca FULL OUTER JOIN cb USING (query_id)
+          LEFT JOIN cm USING (query_id))
+SELECT query_id, n_a, n_b, n_common,
+       CASE WHEN n_a + n_b - n_common > 0
+            THEN n_common / CAST(n_a + n_b - n_common AS DOUBLE)
+            ELSE 0.0 END AS jaccard
+FROM rep
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5366,6 +5447,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q147_classifier_eval": (q147_classifier_eval, O_Q147),
     "q148_attribution": (q148_attribution, O_Q148),
     "q149_negative_sampling": (q149_negative_sampling, O_Q149),
+    "q150_token_budget_fill": (q150_token_budget_fill, O_Q150),
+    "q151_rank_overlap": (q151_rank_overlap, O_Q151),
 }
 
 

@@ -203,3 +203,19 @@ def test_r7_batch5_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch6_shuffle_budgets(spark, sf_dir):
+    """q150 budget fill is ONE per-group window exchange; q151's
+    top-k lists are localCheckpointed inside rank_overlap, so the
+    report costs its own keyed aggs/joins (6), not a re-run of the
+    retrieval lineage per consumer (38 before the pin — the
+    ngram_rarity recompute class, fourth catch)."""
+    budgets = {
+        "q150_token_budget_fill": 1,
+        "q151_rank_overlap": 6,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

@@ -112,3 +112,17 @@ def test_rrf_fuse_topk_and_validation(spark):
         ranking.rrf_fuse([])
     with pytest.raises(ValueError):
         ranking.rrf_fuse([a], k0=0)
+
+
+def test_rank_overlap_counts(spark):
+    """Hand-checked: lists {1,2,3} vs {2,3,4} → common 2, jaccard
+    2/4; a query present on one side only reports 0/0.0."""
+    a = spark.createDataFrame(
+        [(1, d) for d in (1, 2, 3)] + [(9, 7)], ["query_id", "doc_id"]
+    )
+    b = spark.createDataFrame([(1, d) for d in (2, 3, 4)], ["query_id", "doc_id"])
+    out = {r["query_id"]: r for r in ranking.rank_overlap(a, b).collect()}
+    assert out[1]["n_a"] == 3 and out[1]["n_b"] == 3
+    assert out[1]["n_common"] == 2 and out[1]["jaccard"] == 0.5
+    assert out[9]["n_b"] == 0 and out[9]["n_common"] == 0
+    assert out[9]["jaccard"] == 0.0  # {7} vs {} → 0 / union-of-1

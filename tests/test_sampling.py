@@ -272,3 +272,28 @@ def test_mixture_repeats_zero_weight_stratum_drops(spark):
     }
     assert out[2] == 0 and out[3] == 0
     assert out[1] >= 3  # en gets the whole budget: 1.0 * 3 / 1
+
+
+def test_token_budget_fill_greedy_prefix(spark):
+    """Priority order is respected and the cumulative budget cuts
+    exactly: 3 docs of 5/4/3 tokens under budget 9 keeps the top-2
+    (5+4=9), never the third."""
+    from data_lake_with_spark_spark.operators.sampling import token_budget_fill
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "a", "w w w w w", 50),
+        (2, "a", "w w w w", 40),
+        (3, "a", "w w w", 30),
+        (4, "b", "w w", 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text", "n_chars"])
+    out = token_budget_fill(df, budget_tokens=9, group_col="source")
+    got = {r["id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[2]["cum_tokens"] == 9 and got[2]["fill_rank"] == 2
+    assert got[4]["cum_tokens"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_budget_fill(df, budget_tokens=0)
