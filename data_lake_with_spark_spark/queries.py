@@ -5548,6 +5548,19 @@ _ROTATED_IN = (
     "q142_content_manifest",
     "q143_slice_drift",
     "q144_skew_report",
+    # round 7e: the late round-7 batch — hybrid RRF retrieval, SNM
+    # entity resolution, classifier eval (AUC+calibration),
+    # last-touch attribution, contrastive negative sampling,
+    # token-budget fill, rank-overlap QA — promoted after 30× probes
+    # (SCALING_r07.md batches 5–6, all α ≤ 0.73 with output-bound
+    # readings) and a full driver_sim gate replay
+    "q145_hybrid_retrieval_rrf",
+    "q146_entity_resolution",
+    "q147_classifier_eval",
+    "q148_attribution",
+    "q149_negative_sampling",
+    "q150_token_budget_fill",
+    "q151_rank_overlap",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5672,6 +5685,23 @@ _ROTATED_OUT = (
     "q120_streaming_sliding",
     "q115_ngram_rarity",
     "q109_train_val_test_split",
+    # round 7e demotions — all driver-hard verified green in r6 (and
+    # most in many earlier rounds); NO round-7 addition is demoted.
+    # Family coverage after: inner joins via q12/q20/q121 + incoming
+    # q146's rank join (q04 out), repetition/text stats via
+    # q124/q137/q50 + incoming q147 (q11 out), IVF parity via the
+    # budgeted q113/q114 + PQ trio staying (q13 the parity pin moves
+    # to the local set), temporal derivation via q12/q20 date_format
+    # paths (q19 out), SCD2/events via q123 + incoming q148 (q96
+    # out), CC via q138's composed lineage + q129 (q100 out), IVM
+    # via streaming q107/q90 staying (q108 out).
+    "q04_join_composite",
+    "q11_repetition_stats",
+    "q13_ann_ivf",
+    "q19_time_dimension",
+    "q96_scd2_user_state",
+    "q100_dedup_clusters_two_phase",
+    "q108_incremental_aggregate",
 )
 
 
