@@ -38,10 +38,24 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     allow_exact_matches: bool = True,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the single most
-    recent right row (per match key) with ``right_ts <= left_ts``
-    (strict ``<`` when ``allow_exact_matches=False``).
+    """As-of join with pandas ``merge_asof`` parity: for each left
+    row, attach the single right row (per match key) that is
+
+    - ``direction='backward'`` (default): most recent with
+      ``right_ts <= left_ts``;
+    - ``direction='forward'``: earliest with ``right_ts >= left_ts``;
+    - ``direction='nearest'``: whichever of those two is closer in
+      time, backward winning exact-distance ties (the pandas rule).
+
+    ``allow_exact_matches=False`` makes the comparisons strict.
+    ``tolerance_s`` drops (nulls under ``how='left'``) any match
+    farther than that many seconds — compared in exact integer
+    microseconds, so the cut is engine-portable. Timestamp columns
+    only when a tolerance or ``nearest`` is used (the gap needs
+    epoch arithmetic).
 
     The right side must be unique per (key, right_ts) — pre-dedup with
     e.g. ``windows.latest_per_key`` for deterministic output.
@@ -49,15 +63,24 @@ def asof_join(
     ``how='inner'`` drops unmatched left rows (DuckDB ASOF JOIN
     semantics); ``how='left'`` keeps them with null payload.
 
+    All directions keep the union-sort formulation — ONE shuffle on
+    the match keys; ``nearest`` adds a second window over the same
+    exchange (an extra sort, never an extra shuffle).
+
     Returns all left columns plus ``right_cols`` (default: the right
     frame's non-key, non-timestamp columns).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in set(right_on) | {right_ts}
         ]
+    # the matched right timestamp rides inside the payload so gap
+    # arithmetic (tolerance / nearest) needs no re-join
     payload_type = T.StructType(
         [right.schema[c] for c in right_cols]
+        + [T.StructField("_rts", right.schema[right_ts].dataType)]
     )
 
     keys = [f"_k{i}" for i in range(len(left_on))]
@@ -73,19 +96,76 @@ def asof_join(
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("_rts"),
+        ).alias("_payload"),
     )
+    u = l2.unionByName(r2)
+
+    def micros(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    tol_us = None if tolerance_s is None else int(tolerance_s) * 1_000_000
+
+    # Backward: running last() over [unbounded preceding, current].
     # Inclusive: right rows sort BEFORE left rows at equal _t so the
     # running last() sees them; strict: left first, so they don't.
-    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = l2.unionByName(r2).withColumn(
-        "_m", F.last("_payload", ignorenulls=True).over(w)
-    )
+    # Forward mirrors both choices.
+    def backward_match() -> Column:
+        side = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), side)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_payload", ignorenulls=True).over(w)
+
+    def forward_match() -> Column:
+        side = F.col("_side").desc() if allow_exact_matches else F.col("_side").asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), side)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return F.first("_payload", ignorenulls=True).over(w)
+
+    def within_tol(m: Column, gap_us: Column) -> Column:
+        if tol_us is None:
+            return m
+        return F.when(gap_us <= F.lit(tol_us), m)
+
+    if direction == "backward":
+        u = u.withColumn("_m", backward_match())
+        if tol_us is not None:
+            u = u.withColumn(
+                "_m",
+                within_tol(
+                    F.col("_m"), micros(F.col("_t")) - micros(F.col("_m._rts"))
+                ),
+            )
+    elif direction == "forward":
+        u = u.withColumn("_m", forward_match())
+        if tol_us is not None:
+            u = u.withColumn(
+                "_m",
+                within_tol(
+                    F.col("_m"), micros(F.col("_m._rts")) - micros(F.col("_t"))
+                ),
+            )
+    else:  # nearest
+        u = u.withColumn("_mb", backward_match()).withColumn(
+            "_mf", forward_match()
+        )
+        bg = micros(F.col("_t")) - micros(F.col("_mb._rts"))
+        fg = micros(F.col("_mf._rts")) - micros(F.col("_t"))
+        mb = within_tol(F.col("_mb"), bg)
+        mf = within_tol(F.col("_mf"), fg)
+        # backward wins exact-distance ties (pandas nearest rule)
+        u = u.withColumn(
+            "_m",
+            F.when(mb.isNotNull() & (mf.isNull() | (bg <= fg)), mb).otherwise(mf),
+        )
     out = u.where(F.col("_side") == 1)
     if how == "inner":
         out = out.where(F.col("_m").isNotNull())

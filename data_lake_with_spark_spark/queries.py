@@ -5298,6 +5298,84 @@ FROM rep
 """
 
 
+def q152_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (operators/asof.py,
+    pandas merge_asof parity): each click matched to the user's
+    CLOSEST purchase in either time direction within 2 hours,
+    backward winning exact ties; out-of-tolerance clicks keep NULL
+    payload (how='left'). Same union-sort formulation as q44 — one
+    shuffle; nearest adds a second window over the SAME exchange."""
+    from data_lake_with_spark_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = windows.latest_per_key(
+        e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        ),
+        ["p_user", "p_ts"],
+        [F.col("purchase_id").desc()],
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        ["p_user"],
+        "ts",
+        "p_ts",
+        right_cols=["purchase_id", "purchase_value"],
+        how="left",
+        direction="nearest",
+        tolerance_s=7200,
+    )
+
+
+O_Q152 = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id AS p_user,
+         CAST(ts AS TIMESTAMP) AS p_ts, value AS purchase_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1),
+bwd AS (
+  SELECT c.event_id, p.purchase_id, p.purchase_value,
+         epoch_us(c.ts) - epoch_us(p.p_ts) AS gap_us
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.p_user AND c.ts >= p.p_ts),
+fwd AS (
+  SELECT c.event_id, p.purchase_id, p.purchase_value,
+         epoch_us(p.p_ts) - epoch_us(c.ts) AS gap_us
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.p_user AND c.ts <= p.p_ts),
+tol AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         CASE WHEN b.gap_us <= 7200000000 THEN b.purchase_id END AS b_id,
+         CASE WHEN b.gap_us <= 7200000000 THEN b.purchase_value END AS b_val,
+         CASE WHEN b.gap_us <= 7200000000 THEN b.gap_us END AS b_gap,
+         CASE WHEN f.gap_us <= 7200000000 THEN f.purchase_id END AS f_id,
+         CASE WHEN f.gap_us <= 7200000000 THEN f.purchase_value END AS f_val,
+         CASE WHEN f.gap_us <= 7200000000 THEN f.gap_us END AS f_gap
+  FROM clicks c
+  JOIN bwd b ON b.event_id = c.event_id
+  JOIN fwd f ON f.event_id = c.event_id)
+SELECT event_id, user_id, ts,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+            THEN b_id ELSE f_id END AS purchase_id,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+            THEN b_val ELSE f_val END AS purchase_value
+FROM tol
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5449,6 +5527,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q149_negative_sampling": (q149_negative_sampling, O_Q149),
     "q150_token_budget_fill": (q150_token_budget_fill, O_Q150),
     "q151_rank_overlap": (q151_rank_overlap, O_Q151),
+    "q152_asof_nearest": (q152_asof_nearest, O_Q152),
 }
 
 

@@ -137,3 +137,77 @@ def test_count_points_in_intervals_misaligned_edges(spark):
     }
     assert got == expect
     assert 4 not in got  # empty interval absent (inner semantics)
+
+
+def test_asof_forward_direction(spark):
+    """Forward: earliest right with right_ts >= left_ts; strict mode
+    excludes the exact match."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame([(1, 1, t(10))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(10)), (102, 1, t(20))],
+        ["rid", "k", "rts"],
+    )
+    fwd = asof_join(
+        left, right, ["k"], ["k"], "ts", "rts",
+        right_cols=["rid"], direction="forward",
+    ).collect()
+    assert fwd[0]["rid"] == 101
+    strict = asof_join(
+        left, right, ["k"], ["k"], "ts", "rts",
+        right_cols=["rid"], direction="forward", allow_exact_matches=False,
+    ).collect()
+    assert strict[0]["rid"] == 102
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    """Nearest picks the closer side; backward wins exact ties; the
+    tolerance nulls matches beyond the cut (how='left')."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 2, t(10)), (3, 3, t(10))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, t(8)), (101, 1, t(11)),   # fwd closer (2 vs 1)
+            (200, 2, t(5)), (201, 2, t(15)),   # exact tie (5/5) → backward
+            (300, 3, t(0)),                    # 10 min away; tol 5 min → null
+        ],
+        ["rid", "k", "rts"],
+    )
+    out = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, ["k"], ["k"], "ts", "rts",
+            right_cols=["rid"], how="left", direction="nearest",
+            tolerance_s=300,
+        ).collect()
+    }
+    assert out[1]["rid"] == 101
+    assert out[2]["rid"] == 200  # both exactly at the 5-min tolerance → kept, backward wins
+    assert out[3]["rid"] is None
+
+    out2 = {
+        r["id"]: r
+        for r in asof_join(
+            left, right, ["k"], ["k"], "ts", "rts",
+            right_cols=["rid"], how="left", direction="nearest",
+        ).collect()
+    }
+    assert out2[2]["rid"] == 200  # backward wins the exact tie
+
+
+def test_asof_direction_validation(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], ["id", "k", "ts"]
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(df, df, ["k"], ["k"], "ts", "ts", direction="sideways")

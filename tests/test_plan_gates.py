@@ -214,6 +214,9 @@ def test_r7_batch6_shuffle_budgets(spark, sf_dir):
     budgets = {
         "q150_token_budget_fill": 1,
         "q151_rank_overlap": 6,
+        # nearest-direction adds a second window over the SAME union
+        # exchange; the 2nd exchange is the purchases pre-dedup
+        "q152_asof_nearest": 2,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)
