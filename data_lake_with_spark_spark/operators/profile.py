@@ -14,7 +14,7 @@ aggregation has reduced everything to a single row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
@@ -314,4 +314,122 @@ def classifier_eval(
             (F.col("n_pos") / F.col("n").cast("double")).alias("pos_rate"),
             "auc",
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value v such
+    that the weights of rows with value ≤ v reach half the group's
+    total weight — e.g. "half the TOKENS live in documents shorter
+    than X", the corpus-shape number a doc-count median hides.
+
+    Exact integer arithmetic end to end: one per-group cumulative-sum
+    window over (value, id) order, one per-group total, and the
+    ``2·cum >= total`` comparison (no halving division). Two keyed
+    exchanges on the group column; no global sort.
+
+    Returns (group, weighted_median, total_weight).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("val"),
+        F.col(weight_col).cast("bigint").alias("wt"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("val").asc(), F.col("_id").asc())
+    cum = base.withColumn("cum", F.sum("wt").over(w))
+    tot = base.groupBy("grp").agg(F.sum("wt").cast("bigint").alias("total_weight"))
+    return (
+        cum.join(tot, "grp")
+        .where(F.col("cum") * 2 >= F.col("total_weight"))
+        .groupBy("grp", "total_weight")
+        .agg(F.min("val").cast("bigint").alias("weighted_median"))
+        .select(
+            F.col("grp").alias(group_col), "weighted_median", "total_weight"
+        )
+    )
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_col: str,
+    x: "F.Column",
+    y: "F.Column",
+) -> DataFrame:
+    """Per-group OLS line (closed form): slope and intercept of
+    y ~ x within each group — segment-level trend detection (is this
+    source's quality drifting? is this priority band's revenue
+    growing?) as ONE aggregation pass.
+
+    Exactness contract: x must be an integer expression and y a
+    DECIMAL — all five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    then aggregate EXACTLY (integer/decimal sums are
+    order-independent); the closed form is computed over those five
+    SCALARS in pinned-order double arithmetic — bit-identical
+    cross-engine, unlike a naive double-sum formulation whose
+    partial-aggregation order would diverge between engines.
+
+    Returns (group, n, slope, intercept); slope/intercept NULL for
+    degenerate groups (all x equal).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        x.cast("bigint").alias("_x"),
+        y.cast("decimal(18,4)").alias("_y"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        # x is re-cast to decimal(10,0) and y held at decimal(18,4)
+        # so the xy product stays inside decimal width 38 in BOTH
+        # engines: DuckDB widths ADD on multiply (silently double past
+        # 38), and Spark CAPS precision at 38 by ROUNDING THE SCALE —
+        # a 39-wide product cost one ulp on the largest group and
+        # hash-diverged from the exact oracle at sf0.1 (caught by the
+        # multi-SF sweep, the q85 divergence class)
+        F.sum(F.col("_x").cast("decimal(10,0)") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    # the five stats aggregate EXACTLY; each is cast to double ONCE
+    # (round-to-nearest from an exact value — identical both engines)
+    # and the closed form is then pinned-order scalar IEEE arithmetic,
+    # never a float aggregation. Decimal-typed final arithmetic would
+    # hit engine-specific width-overflow rules (DuckDB silently
+    # promotes >38-digit products to DOUBLE; Spark caps precision) —
+    # scalar doubles sidestep that divergence class.
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+
+    # decimal→double must NOT go through the engine's native cast:
+    # when the decimal's raw integer exceeds 2^53 (sxy does at sf0.1),
+    # DuckDB's raw/10^scale double path and Spark's BigDecimal path
+    # round DIFFERENTLY by 1 ulp (caught by the multi-SF sweep).
+    # Converting via an exact BIGINT (raw units) then ONE division by
+    # the scale factor is bit-identical everywhere int→double is
+    # correctly rounded. Bound: |Σ|·10⁴ < 2^63.
+    def dec_d(c: str) -> Column:
+        return (
+            (F.col(c) * F.lit(10_000)).cast("bigint").cast("double")
+            / F.lit(10_000.0)
+        )
+
+    sy_d = dec_d("sy")
+    sxy_d = dec_d("sxy")
+    sxx_d = F.col("sxx").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den != 0, num / den).alias("slope"),
+        F.when(den != 0, (sy_d - (num / den) * sx_d) / n_d).alias("intercept"),
     )

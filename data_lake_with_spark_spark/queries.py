@@ -5376,6 +5376,95 @@ FROM tol
 """
 
 
+def q153_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per language
+    (profile.weighted_median): "half the TOKENS live in documents
+    shorter than X chars" — the corpus-shape number a doc-count
+    median hides. Exact integer arithmetic (2·cum >= total, no
+    halving division); two keyed exchanges, no global sort."""
+    from data_lake_with_spark_spark.operators.profile import weighted_median
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "wt", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return weighted_median(
+        d, group_col="lang", value_col="n_chars",
+        weight_col="wt", id_col="doc_id",
+    )
+
+
+O_Q153 = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wt
+  FROM documents),
+c AS (
+  SELECT lang, n_chars AS val, wt,
+         SUM(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cum
+  FROM t),
+tot AS (SELECT lang, CAST(SUM(wt) AS BIGINT) AS total_weight
+        FROM t GROUP BY lang)
+SELECT lang, CAST(MIN(val) AS BIGINT) AS weighted_median, total_weight
+FROM c JOIN tot USING (lang)
+WHERE cum * 2 >= total_weight
+GROUP BY lang, total_weight
+"""
+
+
+def q154_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend (profile.grouped_linear_trend):
+    OLS slope/intercept of order totalprice against order-date day
+    index, per priority band — segment drift detection in ONE
+    aggregation pass. The five sufficient statistics aggregate
+    exactly (int/decimal sums); only the closed-form scalar math is
+    IEEE, in pinned order."""
+    from data_lake_with_spark_spark.operators.profile import (
+        grouped_linear_trend,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return grouped_linear_trend(
+        o,
+        group_col="o_orderpriority",
+        x=F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+        y=F.col("o_totalprice"),
+    )
+
+
+O_Q154 = """
+WITH b AS (
+  SELECT o_orderpriority AS grp,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS y
+  FROM orders),
+agg AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx,
+         SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+         SUM(x * x) AS sxx
+  FROM b GROUP BY grp),
+d AS (
+  SELECT grp, n,
+         CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+         CAST(CAST(sy * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sy_d,
+         CAST(CAST(sxy * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy_d,
+         CAST(sxx AS DOUBLE) AS sxx_d
+  FROM agg)
+SELECT grp AS o_orderpriority, n,
+       CASE WHEN n_d * sxx_d - sx_d * sx_d <> 0
+            THEN (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+       END AS slope,
+       CASE WHEN n_d * sxx_d - sx_d * sx_d <> 0
+            THEN (sy_d - ((n_d * sxy_d - sx_d * sy_d)
+                          / (n_d * sxx_d - sx_d * sx_d)) * sx_d) / n_d
+       END AS intercept
+FROM d
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5528,6 +5617,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q150_token_budget_fill": (q150_token_budget_fill, O_Q150),
     "q151_rank_overlap": (q151_rank_overlap, O_Q151),
     "q152_asof_nearest": (q152_asof_nearest, O_Q152),
+    "q153_weighted_median": (q153_weighted_median, O_Q153),
+    "q154_revenue_trend": (q154_revenue_trend, O_Q154),
 }
 
 

@@ -222,3 +222,18 @@ def test_r7_batch6_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r7_batch7_shuffle_budgets(spark, sf_dir):
+    """q153 weighted median: cumsum window + total agg + co-keyed
+    join (3); q154 grouped OLS: ONE partial-aggregable exchange —
+    adding a segment-trend report to a pipeline costs one shuffle of
+    five counters per group. Zero Python nodes."""
+    budgets = {
+        "q153_weighted_median": 3,
+        "q154_revenue_trend": 1,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

@@ -118,3 +118,43 @@ def test_classifier_eval_hand_auc(spark):
     df = spark.createDataFrame(rows, ["id", "s", "y"])
     out = classifier_eval(df, "s", "y", "id", n_bins=2).collect()
     assert all(r["auc"] == 0.75 for r in out)
+
+
+def test_weighted_median_hand_case(spark):
+    """values 1..4, weights 1/1/1/5: half of 8 is reached only at
+    value 4 — the doc-count median (2) and the weighted one differ."""
+    from data_lake_with_spark_spark.operators.profile import weighted_median
+
+    rows = [(i, "g", i, w) for i, w in [(1, 1), (2, 1), (3, 1), (4, 5)]]
+    df = spark.createDataFrame(rows, ["id", "grp", "val", "wt"])
+    out = weighted_median(df, "grp", "val", "wt", "id").collect()
+    assert out[0]["weighted_median"] == 4 and out[0]["total_weight"] == 8
+    even = spark.createDataFrame(
+        [(i, "g", i, 1) for i in (1, 2, 3, 4)], ["id", "grp", "val", "wt"]
+    )
+    # lower median on even total weight
+    assert weighted_median(even, "grp", "val", "wt", "id").collect()[0][
+        "weighted_median"
+    ] == 2
+
+
+def test_grouped_linear_trend_exact_line(spark):
+    """Points exactly on y = 2x + 3 recover slope 2, intercept 3
+    bit-exactly; a constant-x group yields NULLs."""
+    from data_lake_with_spark_spark.operators.profile import (
+        grouped_linear_trend,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [("a", x, 2.0 * x + 3.0) for x in range(10)] + [
+        ("b", 5, 1.0), ("b", 5, 2.0)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {
+        r["grp"]: r
+        for r in grouped_linear_trend(
+            df, "grp", F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
+    assert out["b"]["slope"] is None and out["b"]["intercept"] is None
