@@ -5731,6 +5731,13 @@ _ROTATED_IN = (
     "q149_negative_sampling",
     "q150_token_budget_fill",
     "q151_rank_overlap",
+    # round 7f: merge_asof-parity nearest/tolerance as-of (q152 —
+    # supersedes q44's backward-only config as the family's in-window
+    # rep), token-weighted median, grouped OLS trend — probed at 30×
+    # (α −0.08..0.07) and driver_sim-replayed before promotion
+    "q152_asof_nearest",
+    "q153_weighted_median",
+    "q154_revenue_trend",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5872,6 +5879,14 @@ _ROTATED_OUT = (
     "q96_scd2_user_state",
     "q100_dedup_clusters_two_phase",
     "q108_incremental_aggregate",
+    # round 7f demotions — q44 backward as-of is superseded in-window
+    # by q152 (same union-sort operator, nearest+tolerance config);
+    # q21 exact dedup (r1–r6 verified; dedup family keeps
+    # q18/q24/q126/q129/q138/q146); q50 n-gram contamination (family
+    # keeps q131/q133/q139 in-window)
+    "q44_asof_join",
+    "q21_exact_dedup",
+    "q50_ngram_contamination",
 )
 
 
