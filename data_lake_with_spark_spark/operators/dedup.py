@@ -1363,15 +1363,10 @@ def sorted_neighborhood_pairs(
     )
     return (
         left.join(right, left["_rn_a"] + left["_off"] == right["_rn_b"])
-        .where(
-            F.abs(F.length("key_a") - F.length("key_b")) <= max_dist
-        )
-        .where(F.levenshtein("key_a", "key_b") <= max_dist)
-        .select(
-            "id_a",
-            "id_b",
-            "key_a",
-            "key_b",
-            F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
-        )
+        # length bound FIRST: |len(a)-len(b)| > d implies lev > d, so
+        # the O(len²) DP never runs on those pairs
+        .where(F.abs(F.length("key_a") - F.length("key_b")) <= max_dist)
+        .withColumn("dist", F.levenshtein("key_a", "key_b").cast("int"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "key_a", "key_b", "dist")
     )

@@ -241,3 +241,48 @@ def attribute_conversions(
         F.when(in_window, touch_id).alias("touch_id"),
         F.when(in_window, gap).alias("gap_us"),
     )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch in the lookback
+    window shares the conversion's credit equally — the
+    position-agnostic counterpart of :func:`attribute_conversions`
+    (last-touch). Emits per conversion the in-window touch count and
+    the per-touch credit fraction.
+
+    Mechanism: a RANGE-frame window over exact epoch microseconds —
+    ``RANGE BETWEEN window_s·10⁶ PRECEDING AND 1 PRECEDING`` — counts
+    the user's touches in (t−W, t) directly; no self-join, no
+    interval explosion, one exchange on the user key. Range frames
+    (vs row frames) are the piece Spark windowing is usually demoed
+    without; over an integer epoch column they are exact and
+    engine-portable.
+
+    Returns (conversion_id, user_id, n_touches, credit) where credit
+    = 1/n_touches (NULL when no touch is in window — the
+    unattributed-conversion marker, same convention as last-touch).
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(micros)
+        .rangeBetween(-window_s * 1_000_000, -1)
+    )
+    is_touch = F.when(F.col(type_col) == touch_type, F.lit(1))
+    annotated = events.withColumn("_n", F.count(is_touch).over(w))
+    conv = annotated.where(F.col(type_col) == conversion_type)
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.col("_n").cast("bigint").alias("n_touches"),
+        F.when(F.col("_n") > 0, F.lit(1.0) / F.col("_n")).alias("credit"),
+    )

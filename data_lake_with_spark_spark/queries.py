@@ -5465,6 +5465,40 @@ FROM d
 """
 
 
+def q155_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution
+    (events_analytics.multitouch_attribution): each purchase's credit
+    split equally over the user's clicks in the 30-minute lookback —
+    counted with a RANGE-frame window over exact epoch microseconds
+    (no self-join, no interval explosion, one user-key exchange); the
+    last-touch q148's position-agnostic counterpart."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        multitouch_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return multitouch_attribution(
+        e, conversion_type="purchase", touch_type="click", window_s=1800
+    )
+
+
+O_Q155 = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+a AS (
+  SELECT *,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING)
+           AS n
+  FROM e)
+SELECT event_id AS conversion_id, user_id,
+       CAST(n AS BIGINT) AS n_touches,
+       CASE WHEN n > 0 THEN 1.0 / n END AS credit
+FROM a WHERE event_type = 'purchase'
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5619,6 +5653,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q152_asof_nearest": (q152_asof_nearest, O_Q152),
     "q153_weighted_median": (q153_weighted_median, O_Q153),
     "q154_revenue_trend": (q154_revenue_trend, O_Q154),
+    "q155_multitouch_attribution": (q155_multitouch_attribution, O_Q155),
 }
 
 
@@ -5738,6 +5773,9 @@ _ROTATED_IN = (
     "q152_asof_nearest",
     "q153_weighted_median",
     "q154_revenue_trend",
+    # round 7g: RANGE-frame multi-touch attribution (q155) — 30×/plan
+    # gated like the rest of the late batch
+    "q155_multitouch_attribution",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5887,6 +5925,10 @@ _ROTATED_OUT = (
     "q44_asof_join",
     "q21_exact_dedup",
     "q50_ngram_contamination",
+    # round 7g demotion — q117 PQ encode (r6 driver-verified,
+    # unchanged since; the PQ family keeps q118 ADC + q119 re-rank
+    # in-window, both of which compose the encode path)
+    "q117_pq_encode",
 )
 
 

@@ -255,3 +255,38 @@ def test_attribute_conversions_last_touch(spark):
     assert out[4]["touch_id"] is None and out[4]["gap_us"] is None
     assert out[5]["touch_id"] is None
     assert out[7]["touch_id"] is None
+
+
+def test_multitouch_attribution_range_window(spark):
+    """Credit splits over every click strictly inside (t−30min, t);
+    window-edge and touchless conversions report NULL credit."""
+    import datetime as dt
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        multitouch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, user, typ):
+        return (eid, t0 + dt.timedelta(minutes=mins), user, typ)
+
+    rows = [
+        ev(1, 0, 1, "click"),
+        ev(2, 20, 1, "click"),
+        ev(3, 29, 1, "purchase"),   # both clicks in window → credit 1/2
+        ev(4, 31, 1, "purchase"),   # click 1 now 31 min old → only click 2
+        ev(5, 0, 2, "purchase"),    # no clicks → NULL
+    ]
+    out = {
+        r["conversion_id"]: r
+        for r in multitouch_attribution(
+            spark.createDataFrame(
+                rows, ["event_id", "ts", "user_id", "event_type"]
+            ),
+            window_s=1800,
+        ).collect()
+    }
+    assert out[3]["n_touches"] == 2 and out[3]["credit"] == 0.5
+    assert out[4]["n_touches"] == 1 and out[4]["credit"] == 1.0
+    assert out[5]["n_touches"] == 0 and out[5]["credit"] is None

@@ -232,6 +232,8 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
     budgets = {
         "q153_weighted_median": 3,
         "q154_revenue_trend": 1,
+        # RANGE-frame multi-touch: one user-key window exchange
+        "q155_multitouch_attribution": 1,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)
