@@ -258,3 +258,116 @@ def test_bpe_encode_lossless_on_arbitrary_text():
         assert "".join(tok.encode(text)) == text
 
     run()
+
+
+@settings(**SETTINGS)
+@given(
+    lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=0,
+                 max_size=8, unique=True),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_matches_model(spark, lists):
+    """For ANY set of per-query rankings, the fused score equals
+    Σ 1/(k0+rank_i) over the lists containing the doc, and fused
+    ranks are dense 1..n per query in (score desc, doc asc) order."""
+    from data_lake_with_spark_spark.operators.ranking import rrf_fuse
+
+    frames = []
+    model: dict[int, float] = {}
+    for li, docs in enumerate(lists):
+        rows = [(1, d, r + 1) for r, d in enumerate(docs)]
+        if rows:
+            frames.append(
+                spark.createDataFrame(rows, ["query_id", "doc_id", "rank"])
+            )
+        else:
+            frames.append(
+                spark.createDataFrame([], "query_id int, doc_id int, rank int")
+            )
+        for r, d in enumerate(docs):
+            model[d] = model.get(d, 0.0) + 1.0 / (60 + r + 1)
+    out = rrf_fuse(frames, k0=60, topk=100).collect()
+    got = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert set(got) == set(model)
+    for d, s in model.items():
+        assert abs(got[d] - s) < 1e-12
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    ordered = sorted(out, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["rrf_score"], -a["doc_id"]) >= (b["rrf_score"], -b["doc_id"])
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=0, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_weighted_median_matches_model(spark, rows):
+    """For ANY weighted multiset: output equals the smallest value v
+    with 2·Σ(weight | value ≤ v) ≥ Σweight, per group."""
+    from data_lake_with_spark_spark.operators.profile import weighted_median
+
+    data = [(i, g, v, w) for i, (g, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "grp", "val", "wt"])
+    got = {
+        r["grp"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median(df, "grp", "val", "wt", "id").collect()
+    }
+    groups = {g for _, g, _, _ in data}
+    assert set(got) == groups
+    for g in groups:
+        items = sorted((v, w) for _, gg, v, w in data if gg == g)
+        total = sum(w for _, w in items)
+        acc = 0
+        for v, w in items:
+            acc += w
+            if 2 * acc >= total:
+                assert got[g] == (v, total)
+                break
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # group
+            st.integers(min_value=1, max_value=12),  # token count
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_token_budget_fill_matches_model(spark, rows, budget):
+    """For ANY corpus and budget: kept ids equal the greedy prefix of
+    the (priority desc, id) order whose running token sum stays
+    within the budget — per group, independently."""
+    from data_lake_with_spark_spark.operators.sampling import token_budget_fill
+
+    data = [(i, str(g), "w " * n, n) for i, (g, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "source", "text", "n_chars"])
+    got = {r["id"] for r in token_budget_fill(df, budget).collect()}
+    expect = set()
+    for g in {d[1] for d in data}:
+        members = sorted(
+            (d for d in data if d[1] == g), key=lambda d: (-d[3], d[0])
+        )
+        acc = 0
+        for doc_id, _, text, _ in members:
+            n = len(text.split())
+            if acc + n > budget:
+                break
+            acc += n
+            expect.add(doc_id)
+    assert got == expect
