@@ -1125,3 +1125,51 @@ def slice_drift(
             ).alias("tvd"),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    filters: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """Curation filter-funnel report: for an ORDERED list of quality
+    filters, how many documents survive each cumulative stage — the
+    survival table every dataset paper publishes (Gopher/C4/RefinedWeb
+    style), and the artifact that says which filter is actually doing
+    the cutting.
+
+    ONE partial-aggregable pass: stage k's survivor count is
+    ``count(f1 ∧ … ∧ fk)`` — all stages are counters in a single
+    aggregate, the shuffle carries one row, and the per-stage explode
+    happens after aggregation (the check_expectations shape, but
+    CUMULATIVE — expectations are marginal, a funnel is ordered).
+    NULL predicate results count as failures (an unverifiable doc is
+    not a surviving one).
+
+    Returns (stage, filter_name, n_in, n_pass, n_dropped, pass_rate)
+    with ``n_in`` the previous stage's survivors; rates are one
+    int/int division each.
+    """
+    if not filters:
+        raise ValueError("filter_funnel needs at least one filter")
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    cum = None
+    for i, (_, cond) in enumerate(filters):
+        safe = F.coalesce(cond, F.lit(False))
+        cum = safe if cum is None else (cum & safe)
+        aggs.append(F.count(F.when(cum, 1)).alias(f"_n{i + 1}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(name).alias("filter_name"),
+            F.col(f"_n{i}").alias("n_in"),
+            F.col(f"_n{i + 1}").alias("n_pass"),
+            (F.col(f"_n{i}") - F.col(f"_n{i + 1}")).alias("n_dropped"),
+            F.when(
+                F.col(f"_n{i}") > 0,
+                F.col(f"_n{i + 1}") / F.col(f"_n{i}"),
+            ).otherwise(F.lit(0.0)).alias("pass_rate"),
+        )
+        for i, (name, _) in enumerate(filters)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")

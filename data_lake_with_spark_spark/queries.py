@@ -5499,6 +5499,80 @@ FROM a WHERE event_type = 'purchase'
 """
 
 
+def q156_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-funnel survival report (text.filter_funnel):
+    the ordered Gopher-style cut table — min tokens → stopword floor
+    → digit ceiling → classifier margin — each stage counting docs
+    surviving ALL filters so far, in ONE partial-aggregable pass over
+    the q124 classifier features."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text.quality_classifier(d)
+    return text.filter_funnel(
+        scored,
+        [
+            ("min_tokens", F.col("n_tokens") >= 20),
+            ("stopword_floor", F.col("stopword_ratio") >= 0.05),
+            ("digit_ceiling", F.col("digit_ratio") <= 0.2),
+            ("classifier_margin", F.col("quality_z") > 0.0),
+        ],
+    )
+
+
+O_Q156 = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) AS chars
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_O_STOPLIST}], x)))
+                   / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x1,
+         CASE WHEN len(toks) > 0
+              THEN nonspace / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS x2,
+         CASE WHEN chars > 0
+              THEN digits / CAST(chars AS DOUBLE) ELSE 0.0 END AS x3
+  FROM t),
+s AS (
+  SELECT n_tokens >= 20 AS c1,
+         x1 >= 0.05 AS c2,
+         x3 <= 0.2 AS c3,
+         (-1.0 + 6.0 * x1 + -0.25 * x2 + -8.0 * x3) > 0.0 AS c4
+  FROM f),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(COUNT(CASE WHEN c1 THEN 1 END) AS BIGINT) AS n1,
+         CAST(COUNT(CASE WHEN c1 AND c2 THEN 1 END) AS BIGINT) AS n2,
+         CAST(COUNT(CASE WHEN c1 AND c2 AND c3 THEN 1 END) AS BIGINT) AS n3,
+         CAST(COUNT(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 END)
+              AS BIGINT) AS n4
+  FROM s),
+st AS (SELECT * FROM (VALUES
+  (1, 'min_tokens'), (2, 'stopword_floor'),
+  (3, 'digit_ceiling'), (4, 'classifier_margin')) v(stage, filter_name))
+SELECT CAST(stage AS INT) AS stage, filter_name,
+       CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1
+                  WHEN 3 THEN n2 ELSE n3 END AS n_in,
+       CASE stage WHEN 1 THEN n1 WHEN 2 THEN n2
+                  WHEN 3 THEN n3 ELSE n4 END AS n_pass,
+       CASE stage WHEN 1 THEN n0 - n1 WHEN 2 THEN n1 - n2
+                  WHEN 3 THEN n2 - n3 ELSE n3 - n4 END AS n_dropped,
+       CASE WHEN (CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1
+                             WHEN 3 THEN n2 ELSE n3 END) > 0
+            THEN (CASE stage WHEN 1 THEN n1 WHEN 2 THEN n2
+                             WHEN 3 THEN n3 ELSE n4 END)
+                 / CAST((CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1
+                                    WHEN 3 THEN n2 ELSE n3 END) AS DOUBLE)
+            ELSE 0.0 END AS pass_rate
+FROM st CROSS JOIN agg
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5654,6 +5728,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q153_weighted_median": (q153_weighted_median, O_Q153),
     "q154_revenue_trend": (q154_revenue_trend, O_Q154),
     "q155_multitouch_attribution": (q155_multitouch_attribution, O_Q155),
+    "q156_filter_funnel": (q156_filter_funnel, O_Q156),
 }
 
 
@@ -5776,6 +5851,8 @@ _ROTATED_IN = (
     # round 7g: RANGE-frame multi-touch attribution (q155) — 30×/plan
     # gated like the rest of the late batch
     "q155_multitouch_attribution",
+    # round 7h: curation filter-funnel survival report (q156)
+    "q156_filter_funnel",
 )
 _ROTATED_OUT = (
     # round 4
@@ -5929,6 +6006,10 @@ _ROTATED_OUT = (
     # unchanged since; the PQ family keeps q118 ADC + q119 re-rank
     # in-window, both of which compose the encode path)
     "q117_pq_encode",
+    # round 7h demotion — q118 ADC top-k (r6 driver-verified,
+    # unchanged; q119 stays in-window and composes the full
+    # encode→ADC→re-rank serving path)
+    "q118_pq_topk",
 )
 
 

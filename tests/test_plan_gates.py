@@ -234,6 +234,8 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
         "q154_revenue_trend": 1,
         # RANGE-frame multi-touch: one user-key window exchange
         "q155_multitouch_attribution": 1,
+        # funnel counters fold into ONE partial-aggregable exchange
+        "q156_filter_funnel": 1,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

@@ -470,3 +470,25 @@ def test_slice_drift_other_bucket_and_identical_stratum(spark):
 
     with pytest.raises(ValueError):
         text.slice_drift(docs, top_k=0)
+
+
+def test_filter_funnel_cumulative_counts(spark):
+    """Funnel stages are CUMULATIVE conjunctions: survivors never
+    increase down the table; NULL predicate results drop."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.text import filter_funnel
+
+    rows = [(1, 10, 0.5), (2, 30, 0.5), (3, 30, None), (4, 40, 0.9)]
+    df = spark.createDataFrame(rows, ["id", "n", "r"])
+    out = {r["stage"]: r for r in filter_funnel(
+        df, [("long", F.col("n") >= 20), ("ratio", F.col("r") >= 0.6)]
+    ).collect()}
+    assert out[1]["n_in"] == 4 and out[1]["n_pass"] == 3
+    # of the 3 long docs: r=0.5 fails, r=None fails, r=0.9 passes
+    assert out[2]["n_in"] == 3 and out[2]["n_pass"] == 1
+    assert out[2]["n_dropped"] == 2 and out[2]["pass_rate"] == 1 / 3
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        filter_funnel(df, [])
