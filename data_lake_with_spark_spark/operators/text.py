@@ -1173,3 +1173,45 @@ def filter_funnel(
         for i, (name, _) in enumerate(filters)
     ]
     return one.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")
+
+
+def assemble_contexts(
+    ranked: DataFrame,
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG context assembly — the serving step after retrieval: for
+    each query, fetch the ranked documents' texts and concatenate
+    them in rank order into one prompt-ready context string.
+
+    ``ranked`` is a top-k list (query_id, doc_id, rank) — k·|queries|
+    rows — so every stage here is retrieval-output-sized: one join to
+    fetch texts (the corpus side prunes to the matched ids via the
+    join), one groupBy whose per-query list is bounded by k. Ordering
+    is deterministic: texts ride in (rank, text) structs,
+    ``array_sort`` orders by rank, and the join never has to preserve
+    order (shuffle-order-independent by construction — the reason the
+    sort happens AFTER collect_list, not before).
+
+    Returns (query_id, context, n_docs, n_chars).
+    """
+    fetched = ranked.select(
+        "query_id", F.col(id_col), F.col("rank").cast("bigint").alias("rank")
+    ).join(docs.select(F.col(id_col), F.col(text_col).alias("_txt")), id_col)
+    assembled = fetched.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("_txt")))
+                ),
+                lambda s: s["_txt"],
+            ),
+            sep,
+        ).alias("context"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return assembled.withColumn(
+        "n_chars", F.length("context").cast("bigint")
+    )

@@ -4973,7 +4973,7 @@ O_Q145 = f"""
 WITH ctf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM documents WHERE doc_id % 200 <> 0)
+        FROM documents WHERE NOT (doc_id % 200 = 0 AND doc_id < 5000))
   WHERE tok <> '' GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
@@ -4981,7 +4981,7 @@ stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
 qtok AS (
   SELECT DISTINCT doc_id AS query_id, tok
   FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM documents WHERE doc_id % 200 = 0)
+        FROM documents WHERE doc_id % 200 = 0 AND doc_id < 5000)
   WHERE tok <> ''),
 mt AS (SELECT c.* FROM ctf c
        JOIN (SELECT DISTINCT tok FROM qtok) v USING (tok)),
@@ -5573,6 +5573,52 @@ FROM st CROSS JOIN agg
 """
 
 
+def q157_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval serving (text.assemble_contexts over
+    ranking.rrf_fuse): hybrid BM25+dense fusion (q145's exact config,
+    top-5) then rank-ordered context strings per query — the
+    prompt-ready artifact a retrieval pipeline actually ships. Every
+    post-retrieval stage is top-k-list-sized; ordering is
+    deterministic via (rank, text) struct sort AFTER the unordered
+    collect."""
+    from data_lake_with_spark_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
+    qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
+    corpus = d.where(~is_q)
+    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
+    dense = similarity.brute_force_topk(
+        emb.where(~is_qv), emb.where(is_qv), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([sparse, dense], k0=60, topk=5)
+    return text.assemble_contexts(fused, corpus)
+
+
+# Reuses O_Q145's CTEs through the fused ranking, then joins texts
+# back and string_aggs them in rank order (top-5).
+O_Q157 = O_Q145.split("SELECT query_id, doc_id, rrf_score, rank FROM (")[0].rstrip().rstrip(")") + """),
+final AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused) WHERE rank <= 5),
+fetched AS (
+  SELECT f.query_id, f.rank, d.text
+  FROM final f JOIN documents d ON d.doc_id = f.doc_id)
+SELECT query_id,
+       string_agg(text, chr(10) || chr(10) ORDER BY rank) AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY rank))
+            AS BIGINT) AS n_chars
+FROM fetched GROUP BY query_id
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5729,6 +5775,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q154_revenue_trend": (q154_revenue_trend, O_Q154),
     "q155_multitouch_attribution": (q155_multitouch_attribution, O_Q155),
     "q156_filter_funnel": (q156_filter_funnel, O_Q156),
+    "q157_context_assembly": (q157_context_assembly, O_Q157),
 }
 
 
@@ -5853,6 +5900,8 @@ _ROTATED_IN = (
     "q155_multitouch_attribution",
     # round 7h: curation filter-funnel survival report (q156)
     "q156_filter_funnel",
+    # round 7i: end-to-end RAG context assembly (q157)
+    "q157_context_assembly",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6010,6 +6059,11 @@ _ROTATED_OUT = (
     # unchanged; q119 stays in-window and composes the full
     # encode→ADC→re-rank serving path)
     "q118_pq_topk",
+    # round 7i demotion — q116 SemDeDup (r6 driver-verified,
+    # unchanged since; its mechanisms stay covered in-window:
+    # broadcast-argmin centroid assignment via q113/q114,
+    # cluster-keyed selection via q128)
+    "q116_semantic_dedup",
 )
 
 

@@ -236,6 +236,9 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
         "q155_multitouch_attribution": 1,
         # funnel counters fold into ONE partial-aggregable exchange
         "q156_filter_funnel": 1,
+        # RAG assembly = q145's retrieval lineage (20) + ONE
+        # top-k-sized fetch/assemble stage
+        "q157_context_assembly": 21,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

@@ -492,3 +492,21 @@ def test_filter_funnel_cumulative_counts(spark):
 
     with _p.raises(ValueError):
         filter_funnel(df, [])
+
+
+def test_assemble_contexts_rank_order(spark):
+    """Contexts concatenate texts in RANK order regardless of row
+    order; n_chars counts separators."""
+    from data_lake_with_spark_spark.operators.text import assemble_contexts
+
+    ranked = spark.createDataFrame(
+        [(1, 20, 2), (1, 10, 1), (2, 30, 1)], ["query_id", "doc_id", "rank"]
+    )
+    docs = spark.createDataFrame(
+        [(10, "aa"), (20, "bb"), (30, "cc")], ["doc_id", "text"]
+    )
+    out = {r["query_id"]: r for r in
+           assemble_contexts(ranked, docs, sep="|").collect()}
+    assert out[1]["context"] == "aa|bb"
+    assert out[1]["n_docs"] == 2 and out[1]["n_chars"] == 5
+    assert out[2]["context"] == "cc"
