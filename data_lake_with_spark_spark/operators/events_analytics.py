@@ -286,3 +286,58 @@ def multitouch_attribution(
         F.col("_n").cast("bigint").alias("n_touches"),
         F.when(F.col("_n") > 0, F.lit(1.0) / F.col("_n")).alias("credit"),
     )
+
+
+def event_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event co-occurrence lift matrix (market-basket association
+    over users): for every unordered event-type pair, how much more
+    often users exhibit BOTH types than independence predicts —
+    ``lift = (n_both · n_users) / (n_a · n_b)``.
+
+    The pair space is bounded by the TYPE vocabulary, not the data:
+    one distinct on (user, type) — the only data-sized shuffle —
+    then a per-user self-join whose fan-out is ≤ |types|² per user,
+    and a final count per pair. All counts exact integers; lift is
+    exact-integer products cast to double once each, then ONE
+    division (pinned order, engine-portable).
+
+    Returns (type_a, type_b, n_a, n_b, n_both, lift) with
+    type_a < type_b.
+    """
+    ut = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t")
+    ).distinct()
+    # one materialization: the distinct frame feeds the per-type
+    # counts, the user total, and BOTH sides of the pair join (the
+    # lineage-recompute class otherwise re-runs the distinct 4×)
+    ut = ut.localCheckpoint()
+    n_users = ut.select("_u").distinct().count()
+    per_type = ut.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    a = ut.select(F.col("_u"), F.col("_t").alias("type_a"))
+    b = ut.select(F.col("_u"), F.col("_t").alias("type_b"))
+    both = (
+        a.join(b, "_u")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        both.join(per_type.select(F.col("_t").alias("type_a"),
+                                  F.col("_n").alias("n_a")), "type_a")
+        .join(per_type.select(F.col("_t").alias("type_b"),
+                              F.col("_n").alias("n_b")), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (
+                (F.col("n_both") * F.lit(n_users)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

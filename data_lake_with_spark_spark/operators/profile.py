@@ -433,3 +433,49 @@ def grouped_linear_trend(
         F.when(den != 0, num / den).alias("slope"),
         F.when(den != 0, (sy_d - (num / den) * sx_d) / n_d).alias("intercept"),
     )
+
+
+def key_uniqueness(
+    df: DataFrame,
+    candidates: "list[list[str]]",
+) -> DataFrame:
+    """Candidate-key discovery report (the Deequ/profiling staple):
+    for each candidate column set, the exact distinct-combination
+    count, the uniqueness ratio, and whether the set is a key —
+    which identifier survives as the dedup/join key is the FIRST
+    decision every new dataset forces.
+
+    All candidates evaluate in ONE aggregate (Spark plans the
+    multi-countDistinct via a single expand + partial aggregation;
+    adding a candidate adds a counter, not a scan). NULL-bearing
+    combinations count as distinct combinations via a
+    NULL-sentinel-free struct count — candidates are compared on
+    exact distinct counts, one int/int division each for the ratio.
+
+    Returns (candidate, n_rows, n_distinct, uniqueness, is_key).
+    """
+    if not candidates:
+        raise ValueError("key_uniqueness needs at least one candidate")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, cols in enumerate(candidates):
+        # distinct over a STRUCT, not bare columns: bare
+        # countDistinct drops NULL-bearing rows (SQL COUNT DISTINCT
+        # semantics), which silently inflates "uniqueness" exactly on
+        # the dirty data a key check exists to catch. The struct is
+        # never null, so every combination counts — and DuckDB's
+        # COUNT(DISTINCT (a, b)) row syntax matches.
+        aggs.append(
+            F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias(f"_d{i}")
+        )
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(",".join(cols)).alias("candidate"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            F.col(f"_d{i}").cast("bigint").alias("n_distinct"),
+            (F.col(f"_d{i}") / F.col("_n").cast("double")).alias("uniqueness"),
+            (F.col(f"_d{i}") == F.col("_n")).alias("is_key"),
+        )
+        for i, cols in enumerate(candidates)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_k")).select("_k.*")

@@ -5619,6 +5619,85 @@ FROM fetched GROUP BY query_id
 """
 
 
+def q158_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (profile.key_uniqueness) over
+    lineitem: which column set is actually the row identifier — the
+    first decision a new dataset forces, as ONE multi-countDistinct
+    aggregate (struct-counted, so NULL-bearing combinations count in
+    both engines)."""
+    from data_lake_with_spark_spark.operators.profile import key_uniqueness
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_uniqueness(
+        li,
+        [
+            ["l_orderkey"],
+            ["l_orderkey", "l_linenumber"],
+            ["l_partkey", "l_suppkey"],
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+        ],
+    )
+
+
+O_Q158 = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT (l_orderkey)) AS BIGINT) AS d0,
+         CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d1,
+         CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS d2,
+         CAST(COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+              AS BIGINT) AS d3
+  FROM lineitem),
+c AS (SELECT * FROM (VALUES
+  (0, 'l_orderkey'),
+  (1, 'l_orderkey,l_linenumber'),
+  (2, 'l_partkey,l_suppkey'),
+  (3, 'l_orderkey,l_partkey,l_suppkey')) v(i, candidate))
+SELECT candidate, n AS n_rows,
+       CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+              ELSE d3 END AS n_distinct,
+       (CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+               ELSE d3 END) / CAST(n AS DOUBLE) AS uniqueness,
+       (CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+               ELSE d3 END) = n AS is_key
+FROM c CROSS JOIN agg
+"""
+
+
+def q159_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event co-occurrence lift matrix (events_analytics.event_lift):
+    market-basket association over users — how much more often users
+    exhibit BOTH event types than independence predicts. Pair space
+    bounded by the TYPE vocabulary; one data-sized distinct, one
+    per-user self-join fan-out ≤ |types|²; exact-integer lift
+    numerator/denominator, one division."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        event_lift,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return event_lift(e)
+
+
+O_Q159 = """
+WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+tot AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM ut),
+pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t)
+SELECT p.type_a, p.type_b,
+       pa.n AS n_a, pb.n AS n_b, p.n_both,
+       CAST(p.n_both * tot.n_users AS DOUBLE)
+         / CAST(pa.n * pb.n AS DOUBLE) AS lift
+FROM pairs p
+JOIN pt pa ON pa.t = p.type_a
+JOIN pt pb ON pb.t = p.type_b
+CROSS JOIN tot
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5776,6 +5855,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q155_multitouch_attribution": (q155_multitouch_attribution, O_Q155),
     "q156_filter_funnel": (q156_filter_funnel, O_Q156),
     "q157_context_assembly": (q157_context_assembly, O_Q157),
+    "q158_key_uniqueness": (q158_key_uniqueness, O_Q158),
+    "q159_event_lift": (q159_event_lift, O_Q159),
 }
 
 
@@ -5902,6 +5983,9 @@ _ROTATED_IN = (
     "q156_filter_funnel",
     # round 7i: end-to-end RAG context assembly (q157)
     "q157_context_assembly",
+    # round 7j: candidate-key discovery + event co-occurrence lift
+    "q158_key_uniqueness",
+    "q159_event_lift",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6064,6 +6148,12 @@ _ROTATED_OUT = (
     # broadcast-argmin centroid assignment via q113/q114,
     # cluster-keyed selection via q128)
     "q116_semantic_dedup",
+    # round 7j demotions — q123 cohort retention (events family keeps
+    # incoming q148/q155 + q99-local), q124 quality classifier (its
+    # feature path runs in-window inside q147's eval and q156's
+    # funnel); both r6 driver-verified green, unchanged since
+    "q123_cohort_retention",
+    "q124_quality_classifier",
 )
 
 

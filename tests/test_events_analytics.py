@@ -290,3 +290,20 @@ def test_multitouch_attribution_range_window(spark):
     assert out[3]["n_touches"] == 2 and out[3]["credit"] == 0.5
     assert out[4]["n_touches"] == 1 and out[4]["credit"] == 1.0
     assert out[5]["n_touches"] == 0 and out[5]["credit"] is None
+
+
+def test_event_lift_hand_case(spark):
+    """3 users: {A,B}, {A}, {B} → n_A=2, n_B=2, n_both=1, lift =
+    (1·3)/(2·2) = 0.75."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        event_lift,
+    )
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B"), (1, "A")]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = event_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("A", "B")
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_both"] == 1
+    assert r["lift"] == 0.75

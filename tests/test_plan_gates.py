@@ -239,6 +239,10 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
         # RAG assembly = q145's retrieval lineage (20) + ONE
         # top-k-sized fetch/assemble stage
         "q157_context_assembly": 21,
+        # one expand-backed multi-distinct aggregate
+        "q158_key_uniqueness": 2,
+        # distinct + per-type counts + bounded pair join
+        "q159_event_lift": 6,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

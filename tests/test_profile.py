@@ -158,3 +158,24 @@ def test_grouped_linear_trend_exact_line(spark):
     }
     assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
     assert out["b"]["slope"] is None and out["b"]["intercept"] is None
+
+
+def test_key_uniqueness_null_combinations_count(spark):
+    """Struct-count semantics: a NULL-bearing combination is a
+    combination — bare COUNT DISTINCT would drop it and declare a
+    dirty column MORE unique."""
+    from data_lake_with_spark_spark.operators.profile import key_uniqueness
+
+    rows = [(1, "a"), (2, None), (3, None), (1, "a")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["candidate"]: r for r in key_uniqueness(
+        df, [["k"], ["k", "v"], ["v"]]
+    ).collect()}
+    assert out["k"]["n_distinct"] == 3 and not out["k"]["is_key"]
+    # (1,a),(2,NULL),(3,NULL),(1,a) → 3 distinct combos incl. NULLs
+    assert out["k,v"]["n_distinct"] == 3
+    assert out["v"]["n_distinct"] == 2  # 'a' and NULL
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        key_uniqueness(df, [])
