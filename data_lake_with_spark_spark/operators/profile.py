@@ -479,3 +479,59 @@ def key_uniqueness(
         for i, cols in enumerate(candidates)
     ]
     return one.select(F.explode(F.array(*rows)).alias("_k")).select("_k.*")
+
+
+def categorical_concentration(
+    df: DataFrame,
+    cols: "list[str]",
+) -> DataFrame:
+    """Categorical concentration report: per column, the exact
+    Herfindahl index ``HHI = Σ nᵢ² / N²`` and Gini impurity
+    ``1 − HHI`` — the log-free answer to "is this corpus dominated by
+    one language / one source / one event type?". Shannon entropy
+    would say the same thing through ``ln``, whose ulps differ
+    between JVM and C libm (the BM25 rational-idf lesson); HHI is
+    exact-integer sums with ONE IEEE division per column, so it
+    cross-engine hash-matches.
+
+    One value-keyed groupBy per column (partial-aggregable counts),
+    each collapsing to a single row before the union — adding a
+    column adds a dim-sized aggregate, never a second scan shape.
+    Integer bound: Σnᵢ² needs the per-value counts' squares to fit a
+    BIGINT — true while the hottest value stays under ~3·10⁹ rows;
+    past that, widen the squares to decimal(38,0) in BOTH engines.
+
+    Returns (column, n_rows, n_distinct, hhi, gini).
+    """
+    if not cols:
+        raise ValueError("categorical_concentration needs at least one column")
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        one = counts.agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("_sq"),
+        )
+        parts.append(
+            one.select(
+                F.lit(c).alias("column"),
+                "n_rows",
+                "n_distinct",
+                (
+                    F.col("_sq").cast("double")
+                    / (F.col("n_rows") * F.col("n_rows")).cast("double")
+                ).alias("hhi"),
+                (
+                    F.lit(1.0)
+                    - F.col("_sq").cast("double")
+                    / (F.col("n_rows") * F.col("n_rows")).cast("double")
+                ).alias("gini"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5698,6 +5698,46 @@ CROSS JOIN tot
 """
 
 
+def q160_column_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical concentration report
+    (profile.categorical_concentration): exact Herfindahl index and
+    Gini impurity for documents.lang and documents.source — the
+    log-free "is this corpus dominated by one slice?" number (Shannon
+    entropy says the same through ln, whose ulps diverge between JVM
+    and C libm — the BM25 rational-idf lesson applied to profiling).
+    One dim-sized groupBy per column; exact-integer sums, ONE
+    division each."""
+    from data_lake_with_spark_spark.operators.profile import (
+        categorical_concentration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return categorical_concentration(d, ["lang", "source"])
+
+
+O_Q160 = """
+WITH l AS (SELECT lang AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+la AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(n * n) AS BIGINT) AS sq FROM l),
+s AS (SELECT source AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+sa AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(n * n) AS BIGINT) AS sq FROM s)
+SELECT 'lang' AS "column", n_rows, n_distinct,
+       CAST(sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS hhi,
+       1.0 - CAST(sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS gini
+FROM la
+UNION ALL
+SELECT 'source' AS "column", n_rows, n_distinct,
+       CAST(sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS hhi,
+       1.0 - CAST(sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS gini
+FROM sa
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -5857,6 +5897,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q157_context_assembly": (q157_context_assembly, O_Q157),
     "q158_key_uniqueness": (q158_key_uniqueness, O_Q158),
     "q159_event_lift": (q159_event_lift, O_Q159),
+    "q160_column_concentration": (q160_column_concentration, O_Q160),
 }
 
 
@@ -5986,6 +6027,8 @@ _ROTATED_IN = (
     # round 7j: candidate-key discovery + event co-occurrence lift
     "q158_key_uniqueness",
     "q159_event_lift",
+    # round 7k: exact HHI/Gini concentration report
+    "q160_column_concentration",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6154,6 +6197,12 @@ _ROTATED_OUT = (
     # funnel); both r6 driver-verified green, unchanged since
     "q123_cohort_retention",
     "q124_quality_classifier",
+    # round 7k demotion — q18 MinHash end-to-end (driver-verified
+    # r1–r6 incl. after the r5 generalization; the family keeps
+    # q22 signatures + q24 verify — both code-changed THIS round and
+    # staying for re-verification — plus q129's incremental MinHash
+    # composition in-window)
+    "q18_minhash_dedup",
 )
 
 

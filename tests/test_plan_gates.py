@@ -243,6 +243,8 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
         "q158_key_uniqueness": 2,
         # distinct + per-type counts + bounded pair join
         "q159_event_lift": 6,
+        # two dim-sized per-column groupBys, unioned one-row aggs
+        "q160_column_concentration": 4,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

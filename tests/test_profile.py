@@ -179,3 +179,23 @@ def test_key_uniqueness_null_combinations_count(spark):
 
     with _p.raises(ValueError):
         key_uniqueness(df, [])
+
+
+def test_categorical_concentration_hand_case(spark):
+    """Counts 3/1 over 4 rows: HHI = (9+1)/16, gini = 6/16; a
+    uniform column of k singletons gives HHI = 1/k."""
+    from data_lake_with_spark_spark.operators.profile import (
+        categorical_concentration,
+    )
+
+    rows = [("a", str(i)) for i in range(3)] + [("b", "x")]
+    df = spark.createDataFrame(rows, ["c1", "c2"])
+    out = {r["column"]: r for r in
+           categorical_concentration(df, ["c1", "c2"]).collect()}
+    assert out["c1"]["hhi"] == 10 / 16 and out["c1"]["gini"] == 1 - 10 / 16
+    assert out["c1"]["n_distinct"] == 2
+    assert out["c2"]["hhi"] == 4 / 16  # 4 singletons → 1/k = 1/4
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        categorical_concentration(df, [])
