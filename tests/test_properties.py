@@ -371,3 +371,58 @@ def test_token_budget_fill_matches_model(spark, rows, budget):
             acc += n
             expect.add(doc_id)
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=100),  # minute offset
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+    window_min=st.integers(min_value=1, max_value=40),
+)
+def test_multitouch_attribution_matches_model(spark, events, window_min):
+    """For ANY event log: each purchase's touch count equals the
+    user's clicks strictly inside (t − W, t)."""
+    import datetime as dt
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        multitouch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, ty)
+        for i, (u, m, ty) in enumerate(events)
+    ]
+    out = {
+        r["conversion_id"]: r
+        for r in multitouch_attribution(
+            spark.createDataFrame(
+                rows, ["event_id", "ts", "user_id", "event_type"]
+            ),
+            window_s=window_min * 60,
+        ).collect()
+    }
+    purchases = [(i, u, m) for i, (u, m, ty) in enumerate(events)
+                 if ty == "purchase"]
+    assert set(out) == {i for i, _, _ in purchases}
+    for i, u, m in purchases:
+        # model: the RANGE frame is [t − W·10⁶ µs, t − 1 µs] — clicks
+        # strictly before t, inclusive at exactly W back
+        n = sum(
+            1
+            for (uu, mm, tt) in events
+            if uu == u and tt == "click" and 0 < m - mm <= window_min
+        )
+        assert out[i]["n_touches"] == n, (i, u, m, window_min)
+        if n:
+            assert out[i]["credit"] == 1.0 / n
+        else:
+            assert out[i]["credit"] is None
