@@ -426,3 +426,46 @@ def test_multitouch_attribution_matches_model(spark, events, window_min):
             assert out[i]["credit"] == 1.0 / n
         else:
             assert out[i]["credit"] is None
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["A", "B", "C"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_event_lift_matches_model(spark, pairs):
+    """For ANY (user, type) log: per unordered type pair, counts and
+    lift equal the set-based model (duplicates collapse)."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        event_lift,
+    )
+
+    df = spark.createDataFrame(pairs, ["user_id", "event_type"])
+    got = {
+        (r["type_a"], r["type_b"]): r for r in event_lift(df).collect()
+    }
+    us = {}
+    for u, t in pairs:
+        us.setdefault(u, set()).add(t)
+    n_users = len(us)
+    types = sorted({t for _, t in pairs})
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            n_both = sum(1 for s in us.values() if a in s and b in s)
+            if n_both:
+                n_a = sum(1 for s in us.values() if a in s)
+                n_b = sum(1 for s in us.values() if b in s)
+                expect[(a, b)] = (n_a, n_b, n_both,
+                                  (n_both * n_users) / (n_a * n_b))
+    assert set(got) == set(expect)
+    for k, (n_a, n_b, n_both, lift) in expect.items():
+        r = got[k]
+        assert (r["n_a"], r["n_b"], r["n_both"]) == (n_a, n_b, n_both)
+        assert r["lift"] == lift
