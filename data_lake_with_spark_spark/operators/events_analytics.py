@@ -216,12 +216,29 @@ def attribute_conversions(
     # NTZ parquet timestamps cast through the session tz (pinned UTC
     # in session.py), so unix_micros equals DuckDB's naive epoch_us
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # The string MAX is only order-correct while both key parts
+    # zero-pad without truncation: lpad TRUNCATES past the pad width
+    # (silently corrupting both the (ts, id) order and the decoded
+    # touch_id), and a '-' sign sorts below digits. 20 covers the full
+    # bigint digit span; negative ids / pre-1970 timestamps raise
+    # instead of mis-attributing.
+    bad_domain = (micros < 0) | (F.col(id_col) < 0)
     touch_key = F.when(
         F.col(type_col) == touch_type,
-        F.concat_ws(
-            ":",
-            F.lpad(micros.cast("string"), 20, "0"),
-            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.when(
+            bad_domain,
+            F.raise_error(
+                F.lit(
+                    "attribute_conversions: negative event id or pre-1970 "
+                    "timestamp breaks the lexicographic touch key"
+                )
+            ),
+        ).otherwise(
+            F.concat_ws(
+                ":",
+                F.lpad(micros.cast("string"), 20, "0"),
+                F.lpad(F.col(id_col).cast("string"), 20, "0"),
+            )
         ),
     )
     w = (

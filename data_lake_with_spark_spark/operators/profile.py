@@ -417,10 +417,21 @@ def grouped_linear_trend(
     # the scale factor is bit-identical everywhere int→double is
     # correctly rounded. Bound: |Σ|·10⁴ < 2^63.
     def dec_d(c: str) -> Column:
-        return (
-            (F.col(c) * F.lit(10_000)).cast("bigint").cast("double")
-            / F.lit(10_000.0)
-        )
+        raw = F.col(c) * F.lit(10_000)
+        # Past |Σ|·10⁴ ≥ 2⁶³ non-ANSI Spark would silently NULL the
+        # bigint cast while DuckDB errors — make the exactness-window
+        # exit LOUD on both engines (bound is 2⁶³ rounded down to the
+        # nearest double, so it can only raise early, never late).
+        guarded = F.when(
+            F.abs(raw) >= F.lit(9.223372036854775e18),
+            F.raise_error(
+                F.lit(
+                    "grouped_linear_trend: |sum|*10^4 exceeds the exact "
+                    "bigint window (2^63) — rescale x/y before aggregating"
+                )
+            ),
+        ).otherwise(raw)
+        return guarded.cast("bigint").cast("double") / F.lit(10_000.0)
 
     sy_d = dec_d("sy")
     sxy_d = dec_d("sxy")

@@ -125,7 +125,14 @@ def skew_report(
         F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
         F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
     )
-    j = j.withColumn("est_pairs", (F.col("n_left") * F.col("n_right")).cast("bigint"))
+    # j feeds TWO consumers (the total aggregate and the ranked
+    # output); without a materialization each action re-runs both
+    # per-side count aggregations (the lineage-recompute class —
+    # rank_overlap/event_lift/bm25_topk all pin it the same way).
+    # Bounded: |distinct keys| rows of counters.
+    j = j.withColumn(
+        "est_pairs", (F.col("n_left") * F.col("n_right")).cast("bigint")
+    ).localCheckpoint()
     total = j.agg(F.sum("est_pairs").cast("bigint").alias("_tot"))
     ranked = (
         j.crossJoin(F.broadcast(total))

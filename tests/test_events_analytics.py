@@ -307,3 +307,38 @@ def test_event_lift_hand_case(spark):
     assert (r["type_a"], r["type_b"]) == ("A", "B")
     assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_both"] == 1
     assert r["lift"] == 0.75
+
+
+def test_attribute_conversions_wide_ids_and_domain_guard(spark):
+    """Regression (r7 advisor): lpad TRUNCATES past the pad width, so
+    event ids >= 10^12 used to corrupt both the (ts, id) order and the
+    decoded touch_id. The 20-wide pad covers the full bigint span —
+    two same-timestamp clicks with 13-digit ids must attribute to the
+    LARGER id — and negative ids raise instead of mis-sorting."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import utils as spark_utils
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        attribute_conversions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    big_a, big_b = 9_999_999_999_999, 1_000_000_000_042  # 13 digits
+    rows = [
+        (big_b, t0, 1, "click"),
+        (big_a, t0, 1, "click"),  # same ts: larger id is the max key
+        (7, t0 + dt.timedelta(minutes=5), 1, "purchase"),
+    ]
+    out = attribute_conversions(
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"]),
+        max_gap_s=1800,
+    ).collect()
+    assert len(out) == 1 and out[0]["touch_id"] == big_a
+
+    bad = [(-5, t0, 1, "click"), (6, t0, 1, "purchase")]
+    with pytest.raises(Exception, match="lexicographic touch key"):
+        attribute_conversions(
+            spark.createDataFrame(bad, ["event_id", "ts", "user_id", "event_type"]),
+        ).collect()

@@ -199,3 +199,25 @@ def test_categorical_concentration_hand_case(spark):
 
     with _p.raises(ValueError):
         categorical_concentration(df, [])
+
+
+def test_grouped_linear_trend_overflow_raises(spark):
+    """Regression (r7 advisor): past |sum|*10^4 >= 2^63 the exact
+    decimal->bigint conversion would silently NULL on non-ANSI Spark
+    (while DuckDB errors) — the exactness-window exit must be LOUD."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.profile import (
+        grouped_linear_trend,
+    )
+
+    import pyspark.sql.functions as F
+
+    # 10 rows of 9.9e13 (each fits decimal(18,4)): Σy ≈ 9.9e14, so
+    # Σy·10⁴ ≈ 9.9e18 > 2^63 ≈ 9.22e18
+    rows = [("g", i, 99_000_000_000_000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    with pytest.raises(Exception, match="bigint window"):
+        grouped_linear_trend(
+            df, "grp", F.col("x"), F.col("y")
+        ).collect()
