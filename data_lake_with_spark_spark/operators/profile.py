@@ -449,24 +449,43 @@ def grouped_linear_trend(
 def key_uniqueness(
     df: DataFrame,
     candidates: "list[list[str]]",
+    mode: str = "exact",
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Candidate-key discovery report (the Deequ/profiling staple):
-    for each candidate column set, the exact distinct-combination
-    count, the uniqueness ratio, and whether the set is a key —
-    which identifier survives as the dedup/join key is the FIRST
-    decision every new dataset forces.
+    for each candidate column set, the distinct-combination count,
+    the uniqueness ratio, and whether the set is a key — which
+    identifier survives as the dedup/join key is the FIRST decision
+    every new dataset forces.
 
     All candidates evaluate in ONE aggregate (Spark plans the
     multi-countDistinct via a single expand + partial aggregation;
     adding a candidate adds a counter, not a scan). NULL-bearing
     combinations count as distinct combinations via a
     NULL-sentinel-free struct count — candidates are compared on
-    exact distinct counts, one int/int division each for the ratio.
+    distinct counts, one int/int division each for the ratio.
 
-    Returns (candidate, n_rows, n_distinct, uniqueness, is_key).
+    ``mode`` (the honest-linear-asymptote escape hatch — the exact
+    expand × candidates pass is α≈0.56-linear, SCALING_r07.md):
+
+    - ``"exact"`` (default): exact countDistinct per candidate.
+      Returns (candidate, n_rows, n_distinct, uniqueness, is_key).
+    - ``"approx"``: HyperLogLog++ ``approx_count_distinct`` at
+      ``rsd`` — the production path past ~10⁹ rows; the sketch
+      merges instead of shuffling combination values, so the pass is
+      one partial-aggregable scan regardless of key cardinality.
+      Same schema; ``is_key`` is dropped (a sketch cannot certify
+      exact equality — uniqueness ≈ 1 is the signal).
+    - ``"verify"``: BOTH counters, emitting the q53-style
+      driver-checkable gate (candidate, n_rows, n_distinct [exact],
+      within_bound = |approx − exact| ≤ 6·rsd·exact). Costs more
+      than either alone — it is the accuracy gate, not the
+      production call (q53's documented tradeoff).
     """
     if not candidates:
         raise ValueError("key_uniqueness needs at least one candidate")
+    if mode not in ("exact", "approx", "verify"):
+        raise ValueError(f"mode must be exact|approx|verify, got {mode!r}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, cols in enumerate(candidates):
         # distinct over a STRUCT, not bare columns: bare
@@ -475,20 +494,38 @@ def key_uniqueness(
         # the dirty data a key check exists to catch. The struct is
         # never null, so every combination counts — and DuckDB's
         # COUNT(DISTINCT (a, b)) row syntax matches.
-        aggs.append(
-            F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias(f"_d{i}")
-        )
+        st = F.struct(*[F.col(c) for c in cols])
+        if mode in ("exact", "verify"):
+            aggs.append(F.countDistinct(st).alias(f"_d{i}"))
+        if mode in ("approx", "verify"):
+            aggs.append(F.approx_count_distinct(st, rsd=rsd).alias(f"_a{i}"))
     one = df.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(",".join(cols)).alias("candidate"),
-            F.col("_n").cast("bigint").alias("n_rows"),
-            F.col(f"_d{i}").cast("bigint").alias("n_distinct"),
-            (F.col(f"_d{i}") / F.col("_n").cast("double")).alias("uniqueness"),
-            (F.col(f"_d{i}") == F.col("_n")).alias("is_key"),
-        )
-        for i, cols in enumerate(candidates)
-    ]
+
+    def row(i: int, cols: "list[str]"):
+        name = F.lit(",".join(cols)).alias("candidate")
+        n = F.col("_n").cast("bigint").alias("n_rows")
+        if mode == "verify":
+            return F.struct(
+                name,
+                n,
+                F.col(f"_d{i}").cast("bigint").alias("n_distinct"),
+                (
+                    F.abs(F.col(f"_a{i}") - F.col(f"_d{i}"))
+                    <= F.lit(6 * rsd) * F.col(f"_d{i}")
+                ).alias("within_bound"),
+            )
+        d = F.col(f"_d{i}" if mode == "exact" else f"_a{i}")
+        fields = [
+            name,
+            n,
+            d.cast("bigint").alias("n_distinct"),
+            (d / F.col("_n").cast("double")).alias("uniqueness"),
+        ]
+        if mode == "exact":
+            fields.append((d == F.col("_n")).alias("is_key"))
+        return F.struct(*fields)
+
+    rows = [row(i, cols) for i, cols in enumerate(candidates)]
     return one.select(F.explode(F.array(*rows)).alias("_k")).select("_k.*")
 
 

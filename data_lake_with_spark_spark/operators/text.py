@@ -963,8 +963,6 @@ def bm25_topk(
     the knob that keeps the candidate count near-linear at 100 TB;
     1.0 (default) disables it for exact-BM25 parity.
     """
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     # localCheckpoint: the postings table feeds FOUR consumers (doc
@@ -972,7 +970,9 @@ def bm25_topk(
     # otherwise re-run the explode+groupBy lineage per consumer (the
     # ngram_rarity recompute class). Materializing postings once is
     # what every retrieval engine does — at scale this is the index
-    # build staged to disk.
+    # build staged to disk (:func:`build_bm25_index` IS that staging;
+    # :func:`bm25_topk_indexed` serves against it with identical
+    # scores — the persisted-index twin, the IVF q102/q114 pattern).
     ctf = (
         corpus.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -987,6 +987,39 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
+    return _bm25_rank(
+        ctf, dl, stats, queries, k, k1, b, max_df_ratio, id_col, text_col,
+        query_id_col,
+    )
+
+
+def _bm25_rank(
+    postings: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_ratio: float,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared scoring tail of :func:`bm25_topk` and
+    :func:`bm25_topk_indexed` — ONE implementation of the match join,
+    df/idf, saturation, sorted-term fold, and per-query top-k, so the
+    served (indexed) scores are bit-identical to the inline ones by
+    construction, not by parallel maintenance."""
+    from pyspark.sql import Window
+
+    # Both bounded frames feed MULTIPLE consumers (qtok: the vocab
+    # derive + the scoring join; mt: df + the score expansion) — pin
+    # them once or every consumer re-runs the query explode / the
+    # posting match (the lineage-recompute class). qtok is query-set
+    # sized; mt is the candidate working set, i.e. exactly the
+    # Σ_q Σ_{t∈q} df(t) rows the operator's cost is bound by — the
+    # frame a serving deployment stages anyway.
     qtok = (
         queries.select(
             F.col(query_id_col),
@@ -994,9 +1027,10 @@ def bm25_topk(
         )
         .where(F.col("tok") != "")
         .distinct()
+        .localCheckpoint()
     )
     qvocab = qtok.select("tok").distinct()
-    mt = ctf.join(F.broadcast(qvocab), "tok")
+    mt = postings.join(F.broadcast(qvocab), "tok").localCheckpoint()
     dfsub = mt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     if max_df_ratio < 1.0:
         # prune common terms before the (query × posting) expansion:
@@ -1038,6 +1072,152 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 retrieval index ONCE — the serving-shape
+    fix for rebuilding postings per query (the exact gap the
+    persisted IVF index closed for dense ANN, similarity.py's
+    ``build_ivf_index``): postings ``(doc_id, tok, tf)`` to
+    ``path/postings`` PARTITIONED BY a ``tok_bucket`` hash directory
+    (the text analogue of IVF's ``cent_id`` dirs — a directory per
+    TOKEN would be millions of dirs, so the bucket is the pruning
+    granularity) and SORTED by ``tok`` within files (parquet min/max
+    row-group stats then skip inside the probed buckets); doc lengths
+    to ``path/doclens``; the one-row corpus stats (n_corpus, avgdl,
+    n_buckets) to ``path/stats``.
+
+    A probe (:func:`bm25_topk_indexed`) reads only the buckets its
+    query vocabulary hashes to — at 100 TB the index build is the
+    once-per-corpus cost every retrieval engine stages to disk, and
+    each query batch touches |query vocab| buckets of it instead of
+    re-exploding the corpus.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ctf = (
+        corpus.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = ctf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int")
+    (
+        ctf.withColumn("tok_bucket", bucket)
+        # one task per bucket → ≤ n_buckets files, each sorted by tok
+        .repartition(n_buckets, "tok_bucket")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(f"{path}/postings")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _bm25_pruned_postings(
+    spark,
+    path: str,
+    vocab: "list[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The index probe's scan: postings filtered to the query
+    vocabulary's ``tok_bucket`` partitions (Hive partition pruning —
+    ``.explain`` shows it under PartitionFilters; plan-gated in
+    tests) plus a ``tok IN (...)`` predicate for row-group min/max
+    skipping within the probed buckets (the files are tok-sorted).
+    Downstream (:func:`_bm25_rank`) localCheckpoints the candidate
+    set, which truncates this scan out of the FINAL plan — so the
+    pruning gate inspects this frame directly."""
+    n_buckets = (
+        spark.read.parquet(f"{path}/stats").select("n_buckets").first()[
+            "n_buckets"
+        ]
+    )
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in vocab], "tok string")
+            .select(
+                F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    ) if vocab else []
+    bucket_filter = (
+        F.col("tok_bucket").isin(buckets) if buckets else F.lit(False)
+    )
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .where(bucket_filter)
+        .where(F.col("tok").isin(vocab) if vocab else F.lit(False))
+        .select(id_col, "tok", "tf")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """BM25 serving against a :func:`build_bm25_index` layout:
+    identical scores to :func:`bm25_topk` over the same corpus (the
+    scoring tail is literally shared — :func:`_bm25_rank`), but the
+    corpus never re-tokenizes: the query vocabulary (bounded — a
+    benchmark/eval query set is broadcast-sized by definition, the
+    bm25_topk contract) is collected once, hashed with the index's
+    own bucket function, and pushed into the postings scan as a
+    PARTITION filter on ``tok_bucket`` plus a ``tok IN (...)``
+    row-group filter — so a probe reads |query vocab| buckets of the
+    index, not the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    stats = spark.read.parquet(f"{path}/stats").localCheckpoint()
+    dl = spark.read.parquet(f"{path}/doclens")
+    qvocab_rows = (
+        queries.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .collect()
+    )
+    vocab = [r["tok"] for r in qvocab_rows]
+    postings = _bm25_pruned_postings(spark, path, vocab, id_col=id_col)
+    return _bm25_rank(
+        postings,
+        dl,
+        stats.select("n_corpus", "avgdl"),
+        queries,
+        k,
+        k1,
+        b,
+        max_df_ratio,
+        id_col,
+        text_col,
+        query_id_col,
     )
 
 def slice_drift(

@@ -4789,6 +4789,110 @@ SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
 """
 
 
+# Build-once-per-process BM25 index cache: (sf_dir, corpus variant) →
+# index dir. The retrieval family (q145/q151/q157 share the "hybrid"
+# corpus; q161 serves the q140 corpus) builds postings ONCE and every
+# subsequent probe reads |query vocab| buckets of it — the serving
+# shape a deployment actually runs (r7 verdict #1), vs each entry
+# re-exploding the corpus. Dirs live for the process; cleaned at exit.
+_BM25_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str, variant: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (sf_dir, variant)
+    cached = _BM25_IDX_CACHE.get(key)
+    if cached is not None and os.path.isdir(f"{cached}/postings"):
+        return cached
+    d = _t(spark, sf_dir, "documents")
+    if variant == "q140":
+        corpus = d.where(F.col("doc_id") % 200 != 0)
+    elif variant == "hybrid":
+        corpus = d.where(
+            ~((F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000))
+        )
+    else:
+        raise ValueError(f"unknown BM25 index variant: {variant}")
+    path = tempfile.mkdtemp(prefix=f"dlws_bm25_{variant}_")
+    text.build_bm25_index(corpus, path)
+    _BM25_IDX_CACHE[key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q161_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving against a PERSISTED postings index
+    (text.build_bm25_index / bm25_topk_indexed): postings written once
+    partitioned by token-hash bucket + sorted by token, probes read
+    only the query vocabulary's buckets (PartitionFilters-gated in
+    tests). Same oracle as q140 — the served scores are identical to
+    the inline BM25 over the same corpus (the scoring tail is shared
+    code), which is the point: the index changes the I/O profile
+    (|query vocab| buckets read instead of a corpus re-tokenize), not
+    the answer. The q102/q114 persisted-IVF pattern applied to text
+    retrieval (r7 verdict #1)."""
+    d = _t(spark, sf_dir, "documents")
+    qs = d.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text.bm25_topk_indexed(
+        spark, _bm25_index(spark, sf_dir, "q140"), qs, k=5
+    )
+
+
+def q162_key_uniqueness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mode candidate-key discovery
+    (profile.key_uniqueness(mode="verify")): the HLL++ twin of q158's
+    exact pass — the production path past ~10⁹ rows, where the exact
+    expand × candidates distinct is honest-linear (α=0.56,
+    SCALING_r07.md) while the sketch merges registers in one
+    partial-aggregable scan. Driver-facing output follows the q53
+    pattern: the engine-specific estimate itself cannot hash-match
+    DuckDB, so the gate emits the EXACT count plus
+    ``within_bound`` = |approx − exact| ≤ 6·rsd·exact (6·rsd, not 3σ:
+    rsd is a standard-error multiple, not a hard guarantee — the
+    tight 3σ check lives in pytest on the pinned dataset)."""
+    from data_lake_with_spark_spark.operators.profile import key_uniqueness
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_uniqueness(
+        li,
+        [
+            ["l_orderkey"],
+            ["l_orderkey", "l_linenumber"],
+            ["l_partkey", "l_suppkey"],
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+        ],
+        mode="verify",
+    )
+
+
+O_Q162 = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT (l_orderkey)) AS BIGINT) AS d0,
+         CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d1,
+         CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS d2,
+         CAST(COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+              AS BIGINT) AS d3
+  FROM lineitem),
+c AS (SELECT * FROM (VALUES
+  (0, 'l_orderkey'),
+  (1, 'l_orderkey,l_linenumber'),
+  (2, 'l_partkey,l_suppkey'),
+  (3, 'l_orderkey,l_partkey,l_suppkey')) v(i, candidate))
+SELECT candidate, n AS n_rows,
+       CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+              ELSE d3 END AS n_distinct,
+       TRUE AS within_bound
+FROM c CROSS JOIN agg
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -4951,14 +5055,21 @@ def q145_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic at scale (queries × corpus both growing — the
     sampling-rate trap, SCALING_r06.md policy). With ≤ 25 queries the
     dense pass is one bounded broadcast against a linear corpus
-    scan."""
+    scan.
+
+    The sparse side serves from the SHARED persisted postings index
+    (_bm25_index "hybrid" — built once per process, reused by
+    q151/q157): identical scores to the inline bm25_topk (shared
+    scoring tail), but the corpus tokenizes once per corpus, not once
+    per registry entry (r7 verdict #1)."""
     from data_lake_with_spark_spark.operators.ranking import rrf_fuse
 
     d = _t(spark, sf_dir, "documents")
     is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
     qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
-    corpus = d.where(~is_q)
-    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id", "rank")
+    sparse = text.bm25_topk_indexed(
+        spark, _bm25_index(spark, sf_dir, "hybrid"), qs, k=20
+    ).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
     is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
     dense = similarity.brute_force_topk(
@@ -4969,7 +5080,12 @@ def q145_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k0=60, topk=10)
 
 
-O_Q145 = f"""
+# Shared retrieval CTE prefix for the hybrid family (q145/q151/q157):
+# BM25 (bm) + dense cosine (dn) top-20 lists under the capped query
+# set. Downstream oracles CONCATENATE these named constants instead
+# of string-splitting a sibling oracle's text (r7 advisor: the
+# rstrip-paren surgery silently depended on exact formatting).
+_O_RETRIEVAL_CTES = f"""
 WITH ctf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -5018,15 +5134,18 @@ dn AS (SELECT query_id, doc_id, rank FROM (
                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, doc_id)
                      AS BIGINT) AS rank
-         FROM dscored) WHERE rank <= 20),
-fused AS (
+         FROM dscored) WHERE rank <= 20)"""
+
+_O_FUSED_CTE = """fused AS (
   SELECT COALESCE(b.query_id, d.query_id) AS query_id,
          COALESCE(b.doc_id, d.doc_id) AS doc_id,
          COALESCE(1.0::DOUBLE / (60.0::DOUBLE + b.rank), 0.0::DOUBLE)
            + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + d.rank), 0.0::DOUBLE)
            AS rrf_score
   FROM bm b FULL OUTER JOIN dn d
-       ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+       ON b.query_id = d.query_id AND b.doc_id = d.doc_id)"""
+
+O_Q145 = _O_RETRIEVAL_CTES + ",\n" + _O_FUSED_CTE + """
 SELECT query_id, doc_id, rrf_score, rank FROM (
   SELECT query_id, doc_id, rrf_score,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5166,7 +5285,7 @@ WITH e AS (
   SELECT event_id, user_id, ts, event_type,
          CASE WHEN event_type = 'click'
               THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 20, '0')
          END AS tk
   FROM events),
 a AS (
@@ -5255,14 +5374,18 @@ def q151_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes, intersection and Jaccard between the sparse (BM25)
     and dense (cosine) top-20 lists of the q145 hybrid config — says
     whether the two rankers are redundant or complementary BEFORE
-    paying for fusion. Everything is top-k-list-sized."""
+    paying for fusion. Everything is top-k-list-sized; the sparse
+    list serves from the SHARED persisted postings index (same index
+    dir as q145/q157 — one postings build per process, r7 verdict
+    #1)."""
     from data_lake_with_spark_spark.operators.ranking import rank_overlap
 
     d = _t(spark, sf_dir, "documents")
     is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
     qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
-    corpus = d.where(~is_q)
-    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id")
+    sparse = text.bm25_topk_indexed(
+        spark, _bm25_index(spark, sf_dir, "hybrid"), qs, k=20
+    ).select("query_id", "doc_id")
     emb = _t(spark, sf_dir, "embeddings")
     is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
     dense = similarity.brute_force_topk(
@@ -5271,9 +5394,10 @@ def q151_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_overlap(sparse, dense)
 
 
-# Reuses O_Q145's ranking CTEs verbatim (same retrieval config);
-# everything from `fused` on is replaced by the agreement report.
-O_Q151 = O_Q145.split("fused AS (")[0] + """ca AS (
+# Reuses the shared ranking CTEs verbatim (same retrieval config);
+# the agreement report replaces the fusion.
+O_Q151 = _O_RETRIEVAL_CTES + """,
+ca AS (
   SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM bm
   GROUP BY query_id),
 cb AS (
@@ -5580,14 +5704,18 @@ def q157_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     prompt-ready artifact a retrieval pipeline actually ships. Every
     post-retrieval stage is top-k-list-sized; ordering is
     deterministic via (rank, text) struct sort AFTER the unordered
-    collect."""
+    collect. The sparse side serves from the SHARED persisted
+    postings index (same dir as q145/q151 — one build per process,
+    r7 verdict #1)."""
     from data_lake_with_spark_spark.operators.ranking import rrf_fuse
 
     d = _t(spark, sf_dir, "documents")
     is_q = (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
     qs = d.where(is_q).select(F.col("doc_id").alias("query_id"), "text")
     corpus = d.where(~is_q)
-    sparse = text.bm25_topk(corpus, qs, k=20).select("query_id", "doc_id", "rank")
+    sparse = text.bm25_topk_indexed(
+        spark, _bm25_index(spark, sf_dir, "hybrid"), qs, k=20
+    ).select("query_id", "doc_id", "rank")
     emb = _t(spark, sf_dir, "embeddings")
     is_qv = (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 5000)
     dense = similarity.brute_force_topk(
@@ -5597,9 +5725,9 @@ def q157_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.assemble_contexts(fused, corpus)
 
 
-# Reuses O_Q145's CTEs through the fused ranking, then joins texts
+# Reuses the shared CTEs through the fused ranking, then joins texts
 # back and string_aggs them in rank order (top-5).
-O_Q157 = O_Q145.split("SELECT query_id, doc_id, rrf_score, rank FROM (")[0].rstrip().rstrip(")") + """),
+O_Q157 = _O_RETRIEVAL_CTES + ",\n" + _O_FUSED_CTE + """,
 final AS (
   SELECT query_id, doc_id, rank FROM (
     SELECT query_id, doc_id,
@@ -5898,6 +6026,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q158_key_uniqueness": (q158_key_uniqueness, O_Q158),
     "q159_event_lift": (q159_event_lift, O_Q159),
     "q160_column_concentration": (q160_column_concentration, O_Q160),
+    # Same oracle as q140: the persisted-index serving path returns
+    # identical scores over the same corpus (q102-vs-q13 pattern).
+    "q161_bm25_indexed": (q161_bm25_indexed, O_Q140),
+    "q162_key_uniqueness_approx": (q162_key_uniqueness_approx, O_Q162),
 }
 
 
@@ -6029,6 +6161,14 @@ _ROTATED_IN = (
     "q159_event_lift",
     # round 7k: exact HHI/Gini concentration report
     "q160_column_concentration",
+    # round 8a: the two round-8 serving twins go straight into the
+    # window (the r7 same-round discipline) — persisted-index BM25
+    # (identical-scores gate vs q140, which STAYS in-window as the
+    # retrieval family's inline pin alongside the rebased
+    # q145/q151/q157) and sketch-mode key uniqueness (q53-style
+    # bound gate; q158's exact pass stays in-window)
+    "q161_bm25_indexed",
+    "q162_key_uniqueness_approx",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6203,6 +6343,14 @@ _ROTATED_OUT = (
     # staying for re-verification — plus q129's incremental MinHash
     # composition in-window)
     "q18_minhash_dedup",
+    # round 8a demotions — q22 MinHash signatures and q28 lang-ID
+    # stayed through r7 ONLY to re-earn driver verification after
+    # their r7 code changes (MinHash generalization / PEP-563 fix);
+    # both green in CORRECTNESS_r07.json and untouched in r8. The
+    # MinHash family keeps q24 verify + q126/q129/q138/q146
+    # in-window; text quality keeps q141/q143/q156 + the fuzz suite.
+    "q22_minhash_signatures",
+    "q28_lang_id",
 )
 
 

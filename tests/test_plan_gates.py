@@ -171,7 +171,10 @@ def test_r7_batch4_shuffle_budgets(spark, sf_dir):
         "q137_blocklist_filter": 0,
         "q138_dedup_report": 4,
         "q139_decontaminate": 6,
-        "q140_bm25_retrieval": 15,
+        # r8: the shared scoring tail pins qtok + the candidate set
+        # (localCheckpoint), collapsing the re-used lineage
+        # occurrences the old budget (15) priced in
+        "q140_bm25_retrieval": 10,
         "q141_vocab_coverage": 6,
         "q142_content_manifest": 1,
         "q143_slice_drift": 20,
@@ -193,7 +196,9 @@ def test_r7_batch5_shuffle_budgets(spark, sf_dir):
     exchange; q149 negative sampling is the bucket join + per-anchor
     window. Zero Python nodes anywhere."""
     budgets = {
-        "q145_hybrid_retrieval_rrf": 20,
+        # r8: rebased onto the persisted postings index + pinned
+        # candidate set — was 20 when it re-ran the BM25 lineage
+        "q145_hybrid_retrieval_rrf": 12,
         "q146_entity_resolution": 3,
         "q147_classifier_eval": 6,
         "q148_attribution": 1,
@@ -236,15 +241,32 @@ def test_r7_batch7_shuffle_budgets(spark, sf_dir):
         "q155_multitouch_attribution": 1,
         # funnel counters fold into ONE partial-aggregable exchange
         "q156_filter_funnel": 1,
-        # RAG assembly = q145's retrieval lineage (20) + ONE
-        # top-k-sized fetch/assemble stage
-        "q157_context_assembly": 21,
+        # RAG assembly = q145's indexed retrieval lineage (12) + ONE
+        # top-k-sized fetch/assemble stage (was 21 pre-index, r8)
+        "q157_context_assembly": 13,
         # one expand-backed multi-distinct aggregate
         "q158_key_uniqueness": 2,
         # distinct + per-type counts + bounded pair join
         "q159_event_lift": 6,
         # two dim-sized per-column groupBys, unioned one-row aggs
         "q160_column_concentration": 4,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r8_batch1_shuffle_budgets(spark, sf_dir):
+    """q161 indexed-BM25 serving: the probe reads the pruned postings
+    buckets + prebuilt doclens, so the plan is the scoring tail alone
+    (df agg, dl join, score fold, top-k window — 7), never a corpus
+    re-tokenize; q162 sketch key-uniqueness is the same ONE
+    expand-backed aggregate as q158 (HLL registers merge in the same
+    partial-agg pass the exact counters use). Zero Python nodes."""
+    budgets = {
+        "q161_bm25_indexed": 7,
+        "q162_key_uniqueness_approx": 2,
     }
     for name, budget in budgets.items():
         p = _plan(spark, sf_dir, name)

@@ -221,3 +221,36 @@ def test_grouped_linear_trend_overflow_raises(spark):
         grouped_linear_trend(
             df, "grp", F.col("x"), F.col("y")
         ).collect()
+
+
+def test_key_uniqueness_modes(spark, sf_dir):
+    """approx mode's HLL counts land within 3σ (=3·rsd·exact) of the
+    exact counts on the pinned fixture (the q53 discipline: tight
+    bound in pytest where the dataset is pinned, 6·rsd in the SQL
+    gate); verify mode emits the within_bound gate column; bad mode
+    raises."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.profile import key_uniqueness
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cands = [["l_orderkey"], ["l_orderkey", "l_linenumber"]]
+    exact = {
+        r["candidate"]: r for r in key_uniqueness(li, cands).collect()
+    }
+    approx = {
+        r["candidate"]: r
+        for r in key_uniqueness(li, cands, mode="approx", rsd=0.02).collect()
+    }
+    assert set(approx) == set(exact)
+    for cand, a in approx.items():
+        e = exact[cand]["n_distinct"]
+        assert abs(a["n_distinct"] - e) <= 3 * 0.02 * e
+        assert "is_key" not in a.asDict()  # a sketch cannot certify
+    verify = key_uniqueness(li, cands, mode="verify").collect()
+    assert all(r["within_bound"] for r in verify)
+    assert {r["candidate"]: r["n_distinct"] for r in verify} == {
+        c: r["n_distinct"] for c, r in exact.items()
+    }
+    with pytest.raises(ValueError, match="mode"):
+        key_uniqueness(li, cands, mode="hll")

@@ -510,3 +510,108 @@ def test_assemble_contexts_rank_order(spark):
     assert out[1]["context"] == "aa|bb"
     assert out[1]["n_docs"] == 2 and out[1]["n_chars"] == 5
     assert out[2]["context"] == "cc"
+
+
+def test_bm25_indexed_matches_inline_and_prunes_buckets(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-index serving path (r7 verdict #1): (a) scores
+    BIT-identical to the inline bm25_topk over the same corpus — the
+    scoring tail is shared code, so this pins the index round-trip
+    (postings/doclens/stats parquet) — and (b) the postings scan is
+    PARTITION-PRUNED to the query vocabulary's tok_bucket dirs, the
+    property that makes a probe read |vocab| buckets of a 100 TB
+    index instead of re-tokenizing the corpus."""
+    from data_lake_with_spark_spark.operators.skew import explain_shuffles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    qs = docs.where(F.col("doc_id") % 50 == 0).where(
+        F.col("doc_id") < 500
+    ).select(F.col("doc_id").alias("query_id"), "text")
+    idx = str(tmp_path / "bm25")
+    text.build_bm25_index(corpus, idx, n_buckets=16)
+    served = text.bm25_topk_indexed(spark, idx, qs, k=5)
+    inline = text.bm25_topk(corpus, qs, k=5)
+    got = sorted(map(tuple, served.collect()))
+    exp = sorted(map(tuple, inline.collect()))
+    assert got == exp and len(got) > 0
+    # the candidate set is localCheckpointed (lineage-recompute pin),
+    # which truncates the scan out of the FINAL plan — gate the
+    # operator's own scan-construction path directly
+    scan = text._bm25_pruned_postings(spark, idx, ["the", "zq"])
+    p = explain_shuffles(scan)
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "tok_bucket" in pf  # vocab buckets pushed into pruning
+    # the token predicate reaches the parquet row groups too
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "tok" in pushed
+    # and pruning is real: a 1-token vocab reads ≤ 1 bucket dir
+    one = text._bm25_pruned_postings(spark, idx, ["the"])
+    assert one.count() <= scan.count()
+
+
+def test_bm25_index_rejects_bad_buckets(spark, tmp_path):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.build_bm25_index(docs, str(tmp_path / "x"), n_buckets=0)
+    text.build_bm25_index(docs, str(tmp_path / "y"), n_buckets=2)
+    with pytest.raises(ValueError):
+        text.bm25_topk_indexed(
+            spark,
+            str(tmp_path / "y"),
+            docs.withColumnRenamed("doc_id", "query_id"),
+            k=0,
+        )
+
+
+def test_bloom_saturation_fp_rate_tracks_theory(spark):
+    """Pins the saturation contract (r7 verdict #5): the m-bit cap is
+    a memory trade whose cost is a RISING false-positive rate — this
+    asserts the observed FP rate on guaranteed-absent probe grams
+    tracks (bits_set/m)^k exactly-in-expectation (binomial tolerance)
+    and the classic (1 - e^{-kn/m})^k curve approximately, as the
+    benchmark gram count n grows PAST m. A regression that stops the
+    filter saturating (or mis-hashes positions) breaks the track."""
+    import math
+
+    k, m = 2, 4096
+    probes = spark.createDataFrame(
+        [(i, f"p{i}a p{i}b p{i}c") for i in range(3000)],
+        ["doc_id", "text"],
+    )
+    for n_grams in (512, 2048, 8192):
+        toks = " ".join(f"b{j}" for j in range(n_grams + 2))
+        bench = spark.createDataFrame([(toks,)], ["text"])
+        # the filter's own fill fraction, from the same public
+        # position arithmetic the operator uses
+        grams = spark.createDataFrame(
+            [(f"b{j} b{j+1} b{j+2}",) for j in range(n_grams)], ["g"]
+        )
+        bits_set = (
+            grams.select(
+                F.explode(text.bloom_positions(F.col("g"), k, m)).alias("p")
+            )
+            .distinct()
+            .count()
+        )
+        flagged = text.bloom_decontaminate(
+            probes, bench, n=3, k=k, m=m
+        ).count()
+        observed = flagged / 3000
+        exact_exp = (bits_set / m) ** k
+        # binomial 5σ at 3000 probes
+        tol = 5 * math.sqrt(max(exact_exp * (1 - exact_exp), 1e-4) / 3000)
+        assert abs(observed - exact_exp) <= tol, (
+            f"n={n_grams}: observed {observed:.4f} vs (bits/m)^k "
+            f"{exact_exp:.4f} ± {tol:.4f}"
+        )
+        theory = (1 - math.exp(-k * n_grams / m)) ** k
+        assert abs(observed - theory) <= 0.05 + 0.1 * theory, (
+            f"n={n_grams}: observed {observed:.4f} vs theory {theory:.4f}"
+        )
+    # and saturation really happened: past n = 2m the filter is
+    # mostly full — FP rate must exceed 90%
+    assert observed > 0.9
