@@ -486,20 +486,36 @@ def key_uniqueness(
         raise ValueError("key_uniqueness needs at least one candidate")
     if mode not in ("exact", "approx", "verify"):
         raise ValueError(f"mode must be exact|approx|verify, got {mode!r}")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, cols in enumerate(candidates):
-        # distinct over a STRUCT, not bare columns: bare
-        # countDistinct drops NULL-bearing rows (SQL COUNT DISTINCT
-        # semantics), which silently inflates "uniqueness" exactly on
-        # the dirty data a key check exists to catch. The struct is
-        # never null, so every combination counts — and DuckDB's
-        # COUNT(DISTINCT (a, b)) row syntax matches.
-        st = F.struct(*[F.col(c) for c in cols])
-        if mode in ("exact", "verify"):
-            aggs.append(F.countDistinct(st).alias(f"_d{i}"))
-        if mode in ("approx", "verify"):
-            aggs.append(F.approx_count_distinct(st, rsd=rsd).alias(f"_a{i}"))
-    one = df.agg(*aggs)
+    # distinct over a STRUCT, not bare columns: bare countDistinct
+    # drops NULL-bearing rows (SQL COUNT DISTINCT semantics), which
+    # silently inflates "uniqueness" exactly on the dirty data a key
+    # check exists to catch. The struct is never null, so every
+    # combination counts — and DuckDB's COUNT(DISTINCT (a, b)) row
+    # syntax matches.
+    structs = [F.struct(*[F.col(c) for c in cols]) for cols in candidates]
+    exact_aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.countDistinct(st).alias(f"_d{i}") for i, st in enumerate(structs)
+    ]
+    approx_aggs = [
+        F.approx_count_distinct(st, rsd=rsd).alias(f"_a{i}")
+        for i, st in enumerate(structs)
+    ]
+    if mode == "exact":
+        one = df.agg(*exact_aggs)
+    elif mode == "approx":
+        one = df.agg(F.count(F.lit(1)).alias("_n"), *approx_aggs)
+    else:
+        # verify = exact ⨯ approx as TWO one-row aggregates, never one:
+        # Spark plans multi-countDistinct via EXPAND with the struct
+        # values as pre-aggregation GROUPING KEYS, so an HLL aggregate
+        # mixed into the same Aggregate allocates a 2^12-register
+        # sketch buffer PER expand group (≈ rows × candidates groups —
+        # measured 95 s vs 3 s at sf0.1, pure allocation/GC). Split,
+        # the exact pass keeps q158's plan and the approx pass carries
+        # exactly (partitions × candidates) sketches.
+        one = df.agg(*exact_aggs).crossJoin(
+            F.broadcast(df.agg(*approx_aggs))
+        )
 
     def row(i: int, cols: "list[str]"):
         name = F.lit(",".join(cols)).alias("candidate")

@@ -4844,6 +4844,72 @@ def q161_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q163_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with common-term pruning ENGAGED (max_df_ratio=0.78): terms
+    above the df ceiling are dropped BEFORE the
+    (query × posting) expansion — the static half of WAND-style
+    posting pruning, and the knob that keeps the candidate count
+    near-linear on a Zipf vocabulary (measured on the shared-vocab
+    Zipf fixture at 30×: candidates 12.5M → 6.4M, wall 18.2s → 10.6s,
+    identical top-k — SCALING_r08.md). On THIS fixture the corpus has
+    a ~30-token hot band at df ≈ 0.75-0.83·N (and almost no
+    mid-frequency vocabulary), so the ceiling is tuned INSIDE that
+    band: at 0.78 the gate prunes real terms AND keeps real survivors
+    at all three tested SFs (0.5 emptied the result — the matched
+    vocabulary IS the hot band on this fixture) —
+    scores legitimately differ from q140's exact-parity pin, and the
+    oracle implements the same pruned scoring. The q13/q113
+    exact-pin-vs-deployable-config pattern, applied to text
+    retrieval."""
+    d = _t(spark, sf_dir, "documents")
+    qs = d.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    corpus = d.where(F.col("doc_id") % 200 != 0)
+    return text.bm25_topk(corpus, qs, k=5, max_df_ratio=0.78)
+
+
+O_Q163 = """
+WITH ctf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 <> 0)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                 SUM(dl) / COUNT(*) AS avgdl FROM dl),
+qtok AS (
+  SELECT DISTINCT doc_id AS query_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 = 0)
+  WHERE tok <> ''),
+mt AS (SELECT c.* FROM ctf c
+       JOIN (SELECT DISTINCT tok FROM qtok) v USING (tok)),
+dfall AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM mt GROUP BY tok),
+dfsub AS (SELECT tok, df FROM dfall CROSS JOIN stats
+          WHERE df <= 0.78::DOUBLE * n_corpus),
+contrib AS (
+  SELECT q.query_id, m.doc_id, m.tok,
+         ((m.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+          / (m.tf + 1.2::DOUBLE
+             * ((1.0::DOUBLE - 0.75::DOUBLE)
+                + 0.75::DOUBLE * (d.dl / s.avgdl))))
+         * ((s.n_corpus - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) AS c
+  FROM mt m JOIN dfsub f USING (tok) JOIN qtok q USING (tok)
+       JOIN dl d ON d.doc_id = m.doc_id CROSS JOIN stats s),
+sc AS (
+  SELECT query_id, doc_id,
+         list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM sc)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+"""
+
+
 def q162_key_uniqueness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-mode candidate-key discovery
     (profile.key_uniqueness(mode="verify")): the HLL++ twin of q158's
@@ -6030,6 +6096,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # identical scores over the same corpus (q102-vs-q13 pattern).
     "q161_bm25_indexed": (q161_bm25_indexed, O_Q140),
     "q162_key_uniqueness_approx": (q162_key_uniqueness_approx, O_Q162),
+    "q163_bm25_pruned": (q163_bm25_pruned, O_Q163),
 }
 
 
@@ -6169,6 +6236,10 @@ _ROTATED_IN = (
     # bound gate; q158's exact pass stays in-window)
     "q161_bm25_indexed",
     "q162_key_uniqueness_approx",
+    # round 8b: the pruned-config BM25 (max_df ceiling engaged — the
+    # measured 100 TB candidate-count lever, SCALING_r08.md) joins
+    # the exact pin q140 + indexed q161 in-window
+    "q163_bm25_pruned",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6351,6 +6422,11 @@ _ROTATED_OUT = (
     # in-window; text quality keeps q141/q143/q156 + the fuzz suite.
     "q22_minhash_signatures",
     "q28_lang_id",
+    # round 8b demotion — q24 jaccard verify stayed through r7 to
+    # re-earn verification after the size-ratio early exit; green in
+    # CORRECTNESS_r07.json, untouched in r8. Dedup keeps
+    # q126/q129/q138/q146 in-window.
+    "q24_jaccard_verify",
 )
 
 

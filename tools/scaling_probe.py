@@ -9,6 +9,14 @@ prints t_small, t_big and alpha = log(t_big/t_small)/log(ratio) —
 alpha ≈ 1 is linear scaling, alpha ≈ 2 quadratic, alpha < 1
 fixed-overhead-dominated. One JSON line at the end for the round
 notes (SCALING_r{N}.md).
+
+CAVEAT (the q126 lesson, MEASUREMENTS_r08.md): the probe times
+``.count()``, and Catalyst column-prunes aggregate expressions the
+count never references — for operators whose output is an expensive
+REBUILT column (q126's clean_text: 0.82s counted vs 3.65s delivered
+at sf0.1) the probe measures the distributed plan, NOT the delivered
+output. Exponents stay comparable probe-to-probe; absolute walls are
+not bench walls.
 """
 
 from __future__ import annotations
