@@ -599,3 +599,87 @@ def categorical_concentration(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def referential_integrity(
+    edges: "list[tuple[str, DataFrame, list[str], DataFrame, list[str]]]",
+) -> DataFrame:
+    """Foreign-key integrity audit: for each named edge
+    ``(name, child, fk_cols, parent, pk_cols)`` — how many child rows
+    carry a NULL foreign key, how many reference a parent key that
+    does not exist (orphans), and how many DISTINCT orphan keys there
+    are. The first join-safety question a new lake forces: every
+    orphan row silently vanishes from the inner joins every query
+    downstream will write.
+
+    Scale shape: the child side collapses to ``|distinct fk|`` keyed
+    counts FIRST (one partial-agg groupBy — map-side combine does the
+    heavy lifting), the parent side to its distinct keys, and the
+    orphan test is a left-anti join of the two KEY frames — row
+    volume never reaches the join. One edge = one such pipeline
+    collapsing to a single row; edges union (bounded by the schema's
+    edge count, never data). NULL-bearing foreign keys are counted
+    separately, not as orphans: "unlinked" and "dangling" are
+    different data bugs with different fixes.
+
+    Returns (edge, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys,
+    orphan_rate) with orphan_rate = orphans / non-null rows (one
+    exact-integer division; NULL when no non-null rows).
+    """
+    if not edges:
+        raise ValueError("referential_integrity needs at least one edge")
+    parts = []
+    for name, child, fk_cols, parent, pk_cols in edges:
+        if len(fk_cols) != len(pk_cols):
+            raise ValueError(f"edge {name!r}: fk/pk column count mismatch")
+        fk = [F.col(c) for c in fk_cols]
+        has_null = None
+        for c in fk:
+            has_null = c.isNull() if has_null is None else (has_null | c.isNull())
+        # ONE scan of the child per edge: row totals and the NULL-fk
+        # count both derive from the keyed count frame, which is
+        # pinned (it feeds the stats agg AND the anti join — the
+        # lineage-recompute class) and is |distinct fk|-bounded.
+        keyed = (
+            child.select(*[c.alias(f"_k{i}") for i, c in enumerate(fk)],
+                         has_null.alias("_null"))
+            .groupBy(*[f"_k{i}" for i in range(len(fk))], "_null")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+            .localCheckpoint()
+        )
+        stats = keyed.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("_null"), F.col("_n"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        pk = parent.select(
+            *[F.col(c).alias(f"_k{i}") for i, c in enumerate(pk_cols)]
+        ).distinct()
+        orphans = keyed.where(~F.col("_null")).join(
+            pk, [f"_k{i}" for i in range(len(fk))], "left_anti"
+        ).agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias(
+                "n_orphan_rows"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("edge"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                F.when(
+                    F.col("n_rows") - F.col("n_null_fk") > 0,
+                    F.col("n_orphan_rows")
+                    / (F.col("n_rows") - F.col("n_null_fk")).cast("double"),
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -223,3 +223,65 @@ def rank_overlap(
             F.lit(0.0)
         ),
     )
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics per query: given a ranked ``run``
+    (query, doc, rank) and a relevance set ``qrels`` (query, doc),
+    emit ``(query_id, n_rel, n_hits, recall_at_k, reciprocal_rank)``
+    — the eval loop every retrieval change (pruning ceiling, index
+    config, fusion weights) is judged by. MRR uses the rational form
+    ``1/first_hit_rank`` directly (no log-discounted nDCG: log ulps
+    diverge between engines — the rational-idf rule; RR preserves the
+    same "earlier is better" ordering and IS the standard companion
+    metric).
+
+    Every frame is top-k-list-sized: run is ≤ k·|queries| by
+    construction, qrels is the (bounded) relevance judgments, the
+    join is co-keyed on (query, doc), and the aggregates are per
+    query. Queries with no run hits still report (recall 0, RR 0.0) —
+    silently dropping them would inflate every mean downstream.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = run.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("_rank"),
+    )
+    q = qrels.select(
+        F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+    ).distinct()
+    rel = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    hits = (
+        r.join(q, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("_rank").cast("bigint").alias("_first"),
+        )
+    )
+    return (
+        rel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("_first"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )

@@ -427,3 +427,113 @@ def token_budget_fill(
         .select(F.col(id_col).alias("id"), group_col, "n_tokens",
                 "cum_tokens", "fill_rank")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    group_col: "str | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling: keep the ``k`` items with the
+    smallest priority ``u/w``, where ``u`` is the item's md5-uniform
+    in [0,1) and ``w`` its weight — the deterministic analogue of
+    weighted reservoir sampling (Efraimidis–Spirakis uses keys
+    u^(1/w); ``u/w`` preserves the same monotone weight preference
+    without ``pow``/``log``, whose libm ulps diverge between engines
+    — the BM25 rational-idf rule applied to sampling). Higher weight
+    ⇒ proportionally smaller expected priority ⇒ higher selection
+    odds; the same corpus always yields the same sample (md5 on the
+    id, no RNG — the family contract).
+
+    Non-positive weights are excluded (weight 0 = never sampled),
+    documented rather than raised so a weight column with zeros acts
+    as a filter. Grouped mode takes k per group.
+
+    Scale shape: priority is scan-side md5 arithmetic; the only
+    shuffle is the top-k window (per group, or the single global
+    top-k which at 100 TB should use a group key — the global mode is
+    TakeOrdered-shaped). One division per row, exact cross-engine.
+
+    Returns the sampled rows with ``priority`` and ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    prio = u_int / (F.lit(4294967296.0) * weight)
+    base = df.where(weight > 0).withColumn("priority", prio)
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.col("priority").asc(), F.col(id_col).asc())
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: "dict[str, int]",
+    token_budget: int,
+    stratum_col: str = "lang",
+    token_count: "Column | None" = None,
+) -> DataFrame:
+    """Data-mixture planning: given integer mixture ``weights`` per
+    stratum and a total ``token_budget``, report each stratum's
+    available tokens, its weight-proportional target, the sampling
+    rate that hits the target, and the planned (achievable) tokens —
+    the static half of DoReMi-style mixture tuning, and the artifact
+    a curation run publishes before :func:`mixture_repeats` /
+    :func:`token_budget_fill` materialize it. A rate > 1 cannot be
+    planned by subsampling, so targets cap at availability (the
+    under-supplied stratum surfaces as planned < target — the number
+    the mixture designer needs to SEE, not have silently rescaled).
+
+    One partial-agg groupBy over the corpus + a broadcast join of the
+    (|strata|-sized) weight table. Strata without a weight are
+    excluded (weight 0 = not in the mixture). Exact-integer sums;
+    two pinned-order divisions per stratum.
+
+    Returns (stratum, n_tokens_avail, weight, target_tokens,
+    sampling_rate, planned_tokens).
+    """
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of ints >= 0")
+    toks = (
+        token_count
+        if token_count is not None
+        else F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    wsum = sum(weights.values())
+    avail = (
+        df.select(F.col(stratum_col).alias("stratum"), toks.alias("_tk"))
+        .groupBy("stratum")
+        .agg(F.sum("_tk").cast("bigint").alias("n_tokens_avail"))
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items()) if w > 0],
+        "stratum string, weight bigint",
+    )
+    target = (F.lit(int(token_budget)) * F.col("weight")) / F.lit(
+        float(wsum)
+    )
+    return avail.join(F.broadcast(wdf), "stratum").select(
+        "stratum",
+        "n_tokens_avail",
+        "weight",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(1.0), target / F.col("n_tokens_avail").cast("double")
+        ).alias("sampling_rate"),
+        F.least(F.col("n_tokens_avail").cast("double"), target).alias(
+            "planned_tokens"
+        ),
+    )

@@ -1395,3 +1395,124 @@ def assemble_contexts(
     return assembled.withColumn(
         "n_chars", F.length("context").cast("bigint")
     )
+
+
+def vocab_budget_rewrite(
+    docs: DataFrame,
+    vocab_size: int,
+    unk: str = "<unk>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-budget rewrite (tokenizer-prep UNK-ification):
+    every token outside the corpus's top-``vocab_size`` types (by
+    frequency, ties broken by token asc) is replaced with ``unk``,
+    and each document reports its out-of-vocabulary volume — the
+    rewrite a fixed-vocab tokenizer pipeline applies, and the OOV
+    report that decides whether the budget is big enough.
+
+    Scale shape: type counts are ONE partial-agg groupBy over the
+    token explode; the top-V cut uses the DISTRIBUTED two-phase rank
+    (ranking.global_rank — never a single-partition window over a
+    billions-of-types web vocabulary); the kept set is
+    budget-bounded, hence broadcast; the rewrite is a scan-side
+    broadcast join per token row; the document rebuilds in one
+    position-ordered groupBy (the remove_duplicated_spans rebuild
+    shape — sorts within each doc's group, never globally).
+
+    Returns (id, rewritten, n_tokens, n_oov, oov_rate).
+    """
+    from data_lake_with_spark_spark.operators.ranking import global_rank
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    tokrows = base.select(
+        id_col, F.posexplode("_t").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
+    types = tokrows.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    kept = (
+        global_rank(
+            types, [F.col("_n").desc(), F.col("tok").asc()], rank_col="_r"
+        )
+        .where(F.col("_r") <= vocab_size)
+        .select("tok", F.lit(True).alias("_keep"))
+    )
+    marked = tokrows.join(F.broadcast(kept), "tok", "left").select(
+        id_col,
+        "_p",
+        F.when(F.col("_keep"), F.col("tok")).otherwise(F.lit(unk)).alias(
+            "_out"
+        ),
+        F.when(F.col("_keep").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "_oov"
+        ),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_out"))),
+                    lambda s: s["_out"],
+                ),
+                " ",
+            ).alias("rewritten"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_oov").cast("bigint").alias("n_oov"),
+            (F.sum("_oov") / F.count(F.lit(1)).cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame,
+    prefix_len: int = 4,
+    min_docs: int = 2,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Anchored boilerplate detection: per stratum (source/domain),
+    the leading ``prefix_len``-token prefixes shared by at least
+    ``min_docs`` documents, with their within-stratum share — the
+    header/nav/disclaimer fingerprint a web-crawl curation pass cuts
+    BEFORE general span dedup sees it (a prefix is positionally
+    anchored, so this is a per-doc O(1) projection, not the rolling
+    span explode).
+
+    One scan-side prefix projection + one (stratum, prefix) groupBy +
+    a stratum-total join. Docs shorter than the prefix are excluded
+    (nothing anchored to detect).
+
+    Returns (stratum, prefix, n_docs, n_stratum_docs, share).
+    """
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    base = docs.select(
+        F.col(stratum_col).alias("stratum"), tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= prefix_len)
+    pref = base.select(
+        "stratum",
+        F.array_join(F.slice("_t", 1, prefix_len), " ").alias("prefix"),
+    )
+    counts = pref.groupBy("stratum", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = pref.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stratum_docs")
+    )
+    return (
+        counts.where(F.col("n_docs") >= min_docs)
+        .join(totals, "stratum")
+        .select(
+            "stratum",
+            "prefix",
+            "n_docs",
+            "n_stratum_docs",
+            (F.col("n_docs") / F.col("n_stratum_docs").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

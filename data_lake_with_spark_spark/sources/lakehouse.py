@@ -382,3 +382,49 @@ def resolve_format(name: str, spark: SparkSession | None = None):
             "to versioned parquet"
         )
     return fmt
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: "list[str]",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance pass
+    that decides which files merge into which output: within each
+    partition, files are packed into bins by CUMULATIVE-SUM bucketing
+    (bin = floor((cumsum − size) / target), i.e. a file starts a new
+    bin once the running total crosses the target) in deterministic
+    (size desc, path) order. First-fit-decreasing-flavored without
+    driver-side loops: ONE window per partition computes the whole
+    assignment, so planning a million-file table is one exchange on
+    the partition key.
+
+    The (cumsum − size) form makes the bin of each file depend only
+    on the bytes BEFORE it, so every bin except a partition's last
+    lands in [target, target + file) bytes — oversize single files
+    get a bin of their own rather than blocking packing. Integer
+    arithmetic throughout (exact cross-engine; floor-div on bigints).
+
+    Returns the input columns plus ``bin`` (bigint, per partition)
+    and ``bin_bytes`` (the bin's total) — the execution step groups
+    by (partition, bin) and rewrites.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(size_col).desc(), F.col(path_col).asc()
+    )
+    cum = F.sum(size_col).over(w).cast("bigint")
+    binned = files.withColumn(
+        "bin",
+        F.floor((cum - F.col(size_col)) / F.lit(target_bytes)).cast("bigint"),
+    )
+    wb = Window.partitionBy(*partition_cols, "bin")
+    return binned.withColumn(
+        "bin_bytes", F.sum(size_col).over(wb).cast("bigint")
+    )

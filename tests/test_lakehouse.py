@@ -255,3 +255,36 @@ def test_delta_apply_cdc_roundtrip(spark, tmp_path):
     got = {r["user_id"]: r["event_id"]
            for r in fmt.read_snapshot(spark, path).collect()}
     assert got == {1: 1}
+
+
+def test_compaction_plan_packs_bins(spark):
+    """Cumulative-sum bucketing: every bin except a partition's last
+    reaches the target; an oversize file gets its own bin; assignment
+    is one window (deterministic under repartitioning)."""
+    import pytest
+
+    from data_lake_with_spark_spark.sources.lakehouse import compaction_plan
+
+    rows = [(f"f{i}", "a", s) for i, s in enumerate([70, 40, 30, 30, 20, 10])]
+    rows += [(f"g{i}", "b", s) for i, s in enumerate([250, 5])]
+    df = spark.createDataFrame(rows, "path string, part string, size_bytes bigint")
+    out = compaction_plan(df, 100, ["part"]).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault((r["part"], r["bin"]), []).append(r)
+    # partition a: sizes desc 70,40,30,30,20,10 → cums 70,110,140,170,190,200
+    # starts: 0,70,110,140,170,190 → bins 0,0,1,1,1,1
+    a_tot = {b: sum(r["size_bytes"] for r in rs) for (p, b), rs in bins.items() if p == "a"}
+    assert a_tot == {0: 110, 1: 90}
+    # every row carries its bin's total
+    for r in out:
+        assert r["bin_bytes"] == sum(
+            x["size_bytes"] for x in bins[(r["part"], r["bin"])]
+        )
+    # oversize file alone in bin 0; the 5-byte file starts bin 2
+    b_bins = {r["path"]: r["bin"] for r in out if r["part"] == "b"}
+    assert b_bins == {"g0": 0, "g1": 2}
+    shuffled = compaction_plan(df.repartition(7), 100, ["part"]).collect()
+    assert sorted(map(tuple, shuffled)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError):
+        compaction_plan(df, 0, ["part"])

@@ -280,3 +280,44 @@ def test_r8_batch1_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r8_batch2_shuffle_budgets(spark, sf_dir):
+    """q164 FK audit: per edge ONE keyed groupBy (pinned — it feeds
+    the stats agg and the anti join) + the key-frame anti join; 4
+    edges union (20 counts the per-edge pipelines). q165 weighted
+    sampling: priority is scan-side md5 arithmetic, ONE per-group
+    top-k window exchange. q166 compaction planner: ONE exchange on
+    the partition key serves both windows (cumsum + bin totals).
+    q167 retrieval metrics: everything downstream of the (pinned)
+    indexed-BM25 run is top-k-list-sized joins/aggs. Zero Python
+    nodes."""
+    budgets = {
+        "q164_referential_integrity": 20,
+        "q165_weighted_sample": 1,
+        "q166_compaction_plan": 1,
+        "q167_retrieval_metrics": 14,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r8_batch3_shuffle_budgets(spark, sf_dir):
+    """q168 UNK rewrite: type groupBy + two-phase rank (range
+    exchange) + the position-ordered doc rebuild — the kept set rides
+    a broadcast, so the rewrite never shuffles corpus text (3). q169
+    boilerplate prefixes: two keyed aggs over the scan-side prefix
+    projection + the stratum-total join (3). q170 mixture plan: ONE
+    partial-agg groupBy + the broadcast weight join (2). Zero Python
+    nodes."""
+    budgets = {
+        "q168_vocab_budget_rewrite": 3,
+        "q169_boilerplate_prefixes": 3,
+        "q170_mixture_plan": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

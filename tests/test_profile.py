@@ -254,3 +254,34 @@ def test_key_uniqueness_modes(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="mode"):
         key_uniqueness(li, cands, mode="hll")
+
+
+def test_referential_integrity_hand_case(spark):
+    """Orphans, NULL fks, and clean edges all counted correctly; NULL
+    fk is 'unlinked', never 'dangling'."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.profile import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 98)],
+        "id bigint, fk bigint",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk bigint")
+    out = {r["edge"]: r for r in referential_integrity(
+        [("c->p", child, ["fk"], parent, ["pk"])]
+    ).collect()}
+    r = out["c->p"]
+    assert r["n_rows"] == 5 and r["n_null_fk"] == 1
+    assert r["n_orphan_rows"] == 2 and r["n_orphan_keys"] == 2
+    assert r["orphan_rate"] == 2 / 4
+    clean = referential_integrity(
+        [("ok", parent, ["pk"], parent, ["pk"])]
+    ).collect()[0]
+    assert clean["n_orphan_rows"] == 0 and clean["n_orphan_keys"] == 0
+    with pytest.raises(ValueError):
+        referential_integrity([])
+    with pytest.raises(ValueError, match="mismatch"):
+        referential_integrity([("bad", child, ["fk", "id"], parent, ["pk"])])

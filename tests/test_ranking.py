@@ -126,3 +126,35 @@ def test_rank_overlap_counts(spark):
     assert out[1]["n_common"] == 2 and out[1]["jaccard"] == 0.5
     assert out[9]["n_b"] == 0 and out[9]["n_common"] == 0
     assert out[9]["jaccard"] == 0.0  # {7} vs {} → 0 / union-of-1
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """Hand-scored run: q1 run [d1,d2,d3], qrels {d2,d9} → n_rel 2,
+    hits 1, recall .5, RR 1/2; q2 no hits → zeros (never dropped);
+    ranks past k are invisible."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.ranking import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3),
+         (2, "d4", 1), (1, "d9", 7)],
+        "query_id bigint, doc_id string, rank bigint",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d2"), (1, "d9"), (2, "d5")],
+        "query_id bigint, doc_id string",
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(run, qrels, k=5).collect()}
+    assert out[1]["n_rel"] == 2 and out[1]["n_hits"] == 1
+    assert out[1]["recall_at_k"] == 0.5
+    assert out[1]["reciprocal_rank"] == 0.5  # first hit at rank 2
+    assert out[2]["n_hits"] == 0 and out[2]["recall_at_k"] == 0.0
+    assert out[2]["reciprocal_rank"] == 0.0
+    # d9 at rank 7 > k=5 must not count
+    out3 = {r["query_id"]: r for r in retrieval_metrics(run, qrels, k=10).collect()}
+    assert out3[1]["n_hits"] == 2
+    with pytest.raises(ValueError):
+        retrieval_metrics(run, qrels, k=0)

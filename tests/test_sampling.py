@@ -297,3 +297,65 @@ def test_token_budget_fill_greedy_prefix(spark):
 
     with _pytest.raises(ValueError):
         token_budget_fill(df, budget_tokens=0)
+
+
+def test_weighted_priority_sample_prefers_heavy_items(spark):
+    """Selection frequency must track weight: with one item given
+    1000x the weight of 200 peers, it is sampled (top-1 by priority)
+    in essentially every shifted id-universe; uniform weights pick
+    ~uniformly. Also: deterministic, k-bounded, zero-weight excluded."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    hits = 0
+    for shift in range(10):
+        rows = [(i + shift * 1000, 1000 if i == 0 else 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        top = weighted_priority_sample(df, F.col("w"), k=1).collect()
+        hits += top[0]["doc_id"] == shift * 1000
+    assert hits >= 8  # heavy item wins ~P(w=1000 of 1199 total mass)
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 50 else 0) for i in range(100)], "doc_id bigint, w bigint"
+    )
+    out = weighted_priority_sample(df, F.col("w"), k=10).collect()
+    assert len(out) == 10 and all(r["doc_id"] < 50 for r in out)
+    again = weighted_priority_sample(df, F.col("w"), k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_priority_sample(df, F.col("w"), k=0)
+
+
+def test_mixture_plan_caps_at_availability(spark):
+    """Targets are weight-proportional; an under-supplied stratum
+    caps at availability (planned < target surfaces, never silently
+    rescales); zero-weight strata are excluded."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "x y"), (3, "b", "x"), (4, "c", "x y")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["stratum"]: r for r in mixture_plan(
+        docs, {"a": 3, "b": 1, "c": 0}, token_budget=8
+    ).collect()}
+    assert set(out) == {"a", "b"}  # zero-weight c excluded
+    # a: avail 5, target 8*3/4 = 6.0 -> capped at 5, rate 1.0
+    assert out["a"]["n_tokens_avail"] == 5
+    assert out["a"]["target_tokens"] == 6.0
+    assert out["a"]["planned_tokens"] == 5.0
+    assert out["a"]["sampling_rate"] == 1.0
+    # b: avail 1, target 2.0 -> capped, surfaced as planned < target
+    assert out["b"]["planned_tokens"] == 1.0 and out["b"]["target_tokens"] == 2.0
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {}, token_budget=10)
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {"a": 1}, token_budget=0)

@@ -615,3 +615,48 @@ def test_bloom_saturation_fp_rate_tracks_theory(spark):
     # and saturation really happened: past n = 2m the filter is
     # mostly full — FP rate must exceed 90%
     assert observed > 0.9
+
+
+def test_vocab_budget_rewrite_hand_case(spark):
+    """Top-2 vocab keeps {a, b} (ties by token asc at equal counts);
+    everything else becomes <unk>; per-doc OOV counts exact; order
+    preserved."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b a z"), (2, "b q a"), (3, "zz")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.vocab_budget_rewrite(
+        docs, vocab_size=2
+    ).collect()}
+    # counts: a=3, b=2, z=1, q=1, zz=1 -> kept {a, b}
+    assert out[1]["rewritten"] == "a b a <unk>"
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[2]["rewritten"] == "b <unk> a"
+    assert out[3]["rewritten"] == "<unk>" and out[3]["oov_rate"] == 1.0
+    with pytest.raises(ValueError):
+        text.vocab_budget_rewrite(docs, vocab_size=0)
+
+
+def test_boilerplate_prefixes_hand_case(spark):
+    """Shared 2-token headers surface with their within-source share;
+    sub-threshold prefixes and short docs don't."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "terms of service apply", "w"),
+            (2, "terms of use", "w"),
+            (3, "hello world x", "w"),
+            (4, "terms of x", "v"),
+            (5, "short", "v"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = text.boilerplate_prefixes(docs, prefix_len=2, min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["stratum"], r["prefix"], r["n_docs"]) == ("w", "terms of", 2)
+    assert r["n_stratum_docs"] == 3 and r["share"] == 2 / 3
+    with pytest.raises(ValueError):
+        text.boilerplate_prefixes(docs, prefix_len=0)
