@@ -60,6 +60,11 @@ SKIP = {
     # dir per centroid); its serving plan is q113's (which IS
     # benched) plus partition pruning.
     "q114_ann_ivf_indexed_budgeted",
+    # builds TWO BM25 index layouts per invocation (base build +
+    # merged rewrite) before serving: a one-time maintenance op whose
+    # local cost is bucket-directory I/O; its serving plan is q161's
+    # (which IS benched, from the process-cached index).
+    "q171_bm25_incremental",
 }
 
 

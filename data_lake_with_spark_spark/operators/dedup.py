@@ -1370,3 +1370,37 @@ def sorted_neighborhood_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "key_a", "key_b", "dist")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft (weighted) exact dedup: instead of DROPPING duplicate
+    documents, weight each by ``1/cluster_size`` so a training run
+    sees every duplicate group with total mass 1 — the down-weighting
+    alternative the drop-based q21/q128 path can't express (some
+    mixtures keep duplicates deliberately: freshness, domain
+    balance). Clusters are md5(content) groups (the exact-dup
+    definition q21 uses; md5 so any engine re-derives membership).
+
+    One scan-side hash + one keyed count + a co-keyed join back —
+    the join reuses the groupBy's hash partitioning (no extra
+    exchange). Weight is ONE int/int→double division, exact
+    cross-engine.
+
+    Returns (id, content_hash, cluster_size, weight).
+    """
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    sizes = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return hashed.join(sizes, "content_hash").select(
+        id_col,
+        "content_hash",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )

@@ -1624,3 +1624,65 @@ def negative_sampling(
         .where(F.col("neg_rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "neg_rank")
     )
+
+
+def embedding_quality_report(
+    emb: DataFrame,
+    expected_dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-corpus QA audit — the ingest gate a vector store /
+    ANN index build runs before trusting a new embedding delivery:
+    per group, how many vectors have the wrong width, carry
+    non-finite elements, or are exactly zero (unnormalizable), plus
+    the L2-norm envelope. A bad encoder batch shows up here as a
+    dim-mismatch or zero-norm spike long before recall@k quietly
+    degrades.
+
+    Exactness: the squared-norm is a LEFT FOLD over the array in
+    index order (float addition is order-dependent; the fold pins
+    it — the BM25 sorted-fold contract), sqrt is correctly rounded
+    IEEE, so norms are bit-identical cross-engine; min/max of
+    identical doubles are identical; the mean routes through the
+    decimal-sum contract (exact, order-independent). Non-finite is
+    detected as ``NOT (x - x = 0)`` — true for NaN and ±Inf in any
+    IEEE engine, no isnan/isinf dialect divergence. One
+    partial-aggregable pass; everything is scan-side expression work.
+
+    Returns (group, n_vecs, n_dim_mismatch, n_nonfinite, n_zero,
+    norm_min, norm_max, norm_mean).
+    """
+    if expected_dim < 1:
+        raise ValueError(f"expected_dim must be >= 1, got {expected_dim}")
+    v = F.col(vec_col)
+    dim_ok = F.size(v) == expected_dim
+    nonfinite = F.exists(v, lambda x: ~((x - x) == F.lit(0.0)))
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    base = emb.select(
+        F.col(group_col).alias("group"),
+        dim_ok.alias("_ok"),
+        nonfinite.alias("_nf"),
+        norm.alias("_norm"),
+    )
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dim_mismatch"),
+        F.sum(F.when(F.col("_nf"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.sum(F.when(F.col("_norm") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("_norm").alias("norm_min"),
+        F.max("_norm").alias("norm_max"),
+        (
+            F.sum(F.col("_norm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("norm_mean"),
+    )

@@ -1516,3 +1516,80 @@ def boilerplate_prefixes(
             ),
         )
     )
+
+
+def merge_bm25_index(
+    spark,
+    base_path: str,
+    new_docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental BM25 index maintenance — the operation that makes
+    a persisted index viable at 100 TB, where "re-run
+    :func:`build_bm25_index` over the whole corpus" is not a plan:
+    merge a new document batch into an existing index with UPSERT
+    semantics (ids present in the batch replace their old postings —
+    re-ingests don't double-count; fresh ids append).
+
+    Mechanics: the batch tokenizes exactly as the builder does; base
+    postings/doclens drop replaced ids via a keyed anti join, union
+    the batch frames, and rewrite with the SAME bucket function
+    (n_buckets read from the base stats, never re-chosen — a changed
+    bucket count would silently split tokens across layouts); corpus
+    stats (n_corpus, avgdl) recompute from the merged doclens — one
+    agg over a doc-count-sized frame. Serving equality is the
+    contract: :func:`bm25_topk_indexed` over the merged index returns
+    BIT-identical results to an index built from scratch over the
+    merged corpus (gated in tests and by q171 sharing the from-raw
+    oracle).
+
+    At scale, an APPEND-ONLY batch touches only the buckets its
+    tokens hash to — pair this rewrite with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` to rewrite
+    just those partitions; the upsert (replaced-id) case must still
+    anti-join every bucket, because an old document's postings live
+    wherever its tokens hashed.
+    """
+    stats = spark.read.parquet(f"{base_path}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    new_ctf = (
+        new_docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    base_post = (
+        spark.read.parquet(f"{base_path}/postings")
+        .select(id_col, "tok", "tf")
+        .join(new_ids, id_col, "left_anti")
+    )
+    merged = base_post.unionByName(new_ctf.select(id_col, "tok", "tf"))
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int")
+    (
+        merged.withColumn("tok_bucket", bucket)
+        .repartition(n_buckets, "tok_bucket")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(f"{out_path}/postings")
+    )
+    new_dl = new_ctf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    dl = (
+        spark.read.parquet(f"{base_path}/doclens")
+        .join(new_ids, id_col, "left_anti")
+        .unionByName(new_dl)
+    )
+    dl.write.mode("overwrite").parquet(f"{out_path}/doclens")
+    out_stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
+    out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")

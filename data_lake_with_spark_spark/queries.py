@@ -5232,6 +5232,103 @@ FROM avail a JOIN w USING (stratum)
 """
 
 
+def q171_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (text.merge_bm25_index):
+    build the index over 80% of the corpus, MERGE the remaining 20%
+    as a new batch (upsert semantics), and serve q140's exact query
+    config from the merged index — the oracle is O_Q140 VERBATIM, so
+    the driver hash-verifies that incremental maintenance is
+    indistinguishable from a from-scratch build over the full corpus.
+    At 100 TB this is the only viable index lifecycle (pair the
+    bucket rewrite with dynamic partition overwrite for append-only
+    batches; the upsert path must touch every bucket — docstring)."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    qs = d.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    corpus = d.where(F.col("doc_id") % 200 != 0)
+    base = corpus.where(F.col("doc_id") % 5 != 0)
+    delta = corpus.where(F.col("doc_id") % 5 == 0)
+    base_idx = tempfile.mkdtemp(prefix="dlws_bm25_base_")
+    out_idx = tempfile.mkdtemp(prefix="dlws_bm25_merged_")
+    try:
+        text.build_bm25_index(base, base_idx)
+        text.merge_bm25_index(spark, base_idx, delta, out_idx)
+        out = text.bm25_topk_indexed(spark, out_idx, qs, k=5)
+        # pin before the index dirs vanish (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_idx, ignore_errors=True)
+        shutil.rmtree(out_idx, ignore_errors=True)
+
+
+def q172_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QA audit (similarity.embedding_quality_report):
+    per label — wrong-width, non-finite, and zero vectors plus the L2
+    norm envelope — the ingest gate a vector store runs before an
+    index build trusts a new embedding delivery. Norms are
+    pinned-order left folds + correctly-rounded sqrt (bit-identical
+    cross-engine); non-finite is the dialect-free NOT(x - x = 0);
+    the mean routes through the decimal-sum contract. Zero counts on
+    this fixture are the CORRECT finding (clean corpus); the dirty
+    cases are pinned in pytest."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        embedding_quality_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_quality_report(emb, expected_dim=64)
+
+
+O_Q172 = """
+WITH b AS (
+  SELECT label AS "group",
+         CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS mm,
+         CASE WHEN COALESCE(list_bool_or(list_transform(embedding,
+                     x -> NOT ((CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0.0))),
+                   FALSE)
+              THEN 1 ELSE 0 END AS nf,
+         sqrt(COALESCE(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, b) -> a + b), 0.0)) AS nrm
+  FROM embeddings)
+SELECT "group",
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(mm) AS BIGINT) AS n_dim_mismatch,
+       CAST(SUM(nf) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       MIN(nrm) AS norm_min,
+       MAX(nrm) AS norm_max,
+       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS norm_mean
+FROM b GROUP BY "group"
+"""
+
+
+def q173_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft (weighted) exact dedup (dedup.soft_dedup_weights): every
+    doc weighted 1/cluster_size over md5-content clusters, so each
+    duplicate group carries total training mass 1 — the down-weighting
+    alternative to q21's drop (some mixtures keep duplicates
+    deliberately). One keyed count + a partitioning-reusing join
+    back; one exact division."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(d)
+
+
+O_Q173 = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+s AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash, s.cluster_size,
+       1.0::DOUBLE / s.cluster_size AS weight
+FROM h JOIN s USING (content_hash)
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -6396,6 +6493,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q168_vocab_budget_rewrite": (q168_vocab_budget_rewrite, O_Q168),
     "q169_boilerplate_prefixes": (q169_boilerplate_prefixes, O_Q169),
     "q170_mixture_plan": (q170_mixture_plan, O_Q170),
+    # Same oracle as q140: the incrementally-maintained index must be
+    # indistinguishable from a from-scratch build (upsert contract).
+    "q171_bm25_incremental": (q171_bm25_incremental, O_Q140),
+    "q172_embedding_quality": (q172_embedding_quality, O_Q172),
+    "q173_soft_dedup": (q173_soft_dedup, O_Q173),
 }
 
 
@@ -6554,6 +6656,13 @@ _ROTATED_IN = (
     "q168_vocab_budget_rewrite",
     "q169_boilerplate_prefixes",
     "q170_mixture_plan",
+    # round 8e: index lifecycle + ingest-QA classes — incremental
+    # BM25 merge (upsert contract, oracle = from-scratch q140),
+    # embedding QA audit, soft-dedup weights — promoted same-round
+    # after 30× probes and a full driver_sim replay
+    "q171_bm25_incremental",
+    "q172_embedding_quality",
+    "q173_soft_dedup",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6761,6 +6870,15 @@ _ROTATED_OUT = (
     "q122_resample_ffill",
     "q133_contamination_spans",
     "q134_truncated_topk_rerank",
+    # round 8e demotions — all three green in CORRECTNESS_r07.json,
+    # untouched in r8. SNM entity resolution q146 out (dedup keeps
+    # q126/q129/q138 + incoming q173 in-window); negative sampling
+    # q149 out (similarity keeps q113/q114/q119 + incoming q172);
+    # token-budget fill q150 out (sampling keeps q127/q130/q132 +
+    # incoming q165/q170).
+    "q146_entity_resolution",
+    "q149_negative_sampling",
+    "q150_token_budget_fill",
 )
 
 

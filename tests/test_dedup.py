@@ -562,3 +562,23 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2), (2, 3)}
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, id_col="id", key_col="name", window=0)
+
+
+def test_soft_dedup_weights_mass_one_per_cluster(spark):
+    """Each duplicate group's weights sum to exactly 1; singletons
+    weigh 1.0; membership follows content, not id."""
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique one")],
+        ["doc_id", "text"],
+    )
+    out = dedup.soft_dedup_weights(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["cluster_size"] == 3 and by_id[1]["weight"] == 1 / 3
+    assert by_id[4]["weight"] == 1.0
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in out:
+        mass[r["content_hash"]] += r["weight"]
+    assert all(abs(m - 1.0) < 1e-12 for m in mass.values())

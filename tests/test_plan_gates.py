@@ -321,3 +321,21 @@ def test_r8_batch3_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r8_batch4_shuffle_budgets(spark, sf_dir):
+    """q172 embedding QA: ONE partial-aggregable exchange (all checks
+    are scan-side expressions). q173 soft dedup: keyed count + a join
+    that reuses the groupBy's partitioning (2). q171's final plan is
+    a checkpoint scan by design (the index dirs are temp; the q102
+    pattern) — its plan properties are gated through q161's
+    (identical serving path) and the merge-vs-scratch equality test.
+    Zero Python nodes."""
+    budgets = {
+        "q172_embedding_quality": 1,
+        "q173_soft_dedup": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

