@@ -683,3 +683,84 @@ def referential_integrity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def numeric_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value: "Column",
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier audit per group: discrete quartiles, IQR,
+    the ``k``·IQR fences, and how many values fall outside — the
+    numeric-column sanity gate (a corrupted ingest shows up as an
+    outlier-rate spike before any model sees it).
+
+    Exactness: quartiles are DISCRETE — the value at rank
+    ``ceil(p·n)`` of the group's sort — so every reported number is
+    an actual data value (no interpolation arithmetic to diverge
+    cross-engine; both engines compute the identical rank from exact
+    integers). Fences are two pinned-order IEEE ops on those values;
+    the outlier comparison is exact. NULL values are excluded (a
+    NULL is a missing-ness finding, not an outlier).
+
+    One exchange: the rank window partitions by group; the stats agg
+    and the fence count reuse the ranked frame (pinned — two
+    consumers, the lineage-recompute class).
+
+    Returns (group, n, p25, p75, iqr, lo_fence, hi_fence,
+    n_outliers, outlier_rate).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("_v").asc())
+    wn = Window.partitionBy("grp")
+    ranked = (
+        df.select(F.col(group_col).alias("grp"), value.cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .localCheckpoint()
+    )
+    r25 = F.ceil(F.lit(0.25) * F.col("_n"))
+    r75 = F.ceil(F.lit(0.75) * F.col("_n"))
+    stats = ranked.groupBy("grp").agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("_rn") == r25, F.col("_v"))).alias("p25"),
+        F.max(F.when(F.col("_rn") == r75, F.col("_v"))).alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fenced = stats.select(
+        "grp",
+        "n",
+        "p25",
+        "p75",
+        iqr.alias("iqr"),
+        (F.col("p25") - F.lit(k) * iqr).alias("lo_fence"),
+        (F.col("p75") + F.lit(k) * iqr).alias("hi_fence"),
+    )
+    out = (
+        ranked.join(fenced, "grp")
+        .where((F.col("_v") < F.col("lo_fence")) | (F.col("_v") > F.col("hi_fence")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return (
+        fenced.join(out, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "p25",
+            "p75",
+            "iqr",
+            "lo_fence",
+            "hi_fence",
+            F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            (
+                F.coalesce("n_outliers", F.lit(0))
+                / F.col("n").cast("double")
+            ).alias("outlier_rate"),
+        )
+    )

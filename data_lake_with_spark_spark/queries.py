@@ -5329,6 +5329,130 @@ FROM h JOIN s USING (content_hash)
 """
 
 
+def q174_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit (profile.numeric_outlier_report):
+    per event type, discrete quartiles of the value column, 1.5·IQR
+    fences, and the outlier count/rate — the numeric sanity gate a
+    corrupted ingest trips first. Quartiles are DISCRETE (the value
+    at rank ceil(p·n)), so every reported number is an actual data
+    value and no interpolation arithmetic can diverge cross-engine;
+    one group-keyed rank window, stats and fence-count reuse the
+    pinned ranked frame."""
+    from data_lake_with_spark_spark.operators.profile import (
+        numeric_outlier_report,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return numeric_outlier_report(e, "event_type", F.col("value"), k=1.5)
+
+
+O_Q174 = """
+WITH b AS (SELECT event_type AS g, value AS v FROM events
+           WHERE value IS NOT NULL),
+rk AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+st AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+              MAX(CASE WHEN rn = CEIL(0.25 * n) THEN v END) AS p25,
+              MAX(CASE WHEN rn = CEIL(0.75 * n) THEN v END) AS p75
+       FROM rk GROUP BY g),
+f AS (SELECT g, n, p25, p75, p75 - p25 AS iqr,
+             p25 - 1.5::DOUBLE * (p75 - p25) AS lo_fence,
+             p75 + 1.5::DOUBLE * (p75 - p25) AS hi_fence
+      FROM st),
+o AS (SELECT rk.g, CAST(COUNT(*) AS BIGINT) AS n_outliers
+      FROM rk JOIN f USING (g)
+      WHERE rk.v < f.lo_fence OR rk.v > f.hi_fence GROUP BY rk.g)
+SELECT f.g AS event_type, f.n, f.p25, f.p75, f.iqr, f.lo_fence, f.hi_fence,
+       CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+       COALESCE(o.n_outliers, 0) / CAST(f.n AS DOUBLE) AS outlier_rate
+FROM f LEFT JOIN o ON o.g = f.g
+"""
+
+
+def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (graph.pagerank_fixed) over the
+    customer↔part co-purchase bipartite graph (symmetric edges from
+    orders⋈lineitem): 3 unrolled iterations, damping 0.85, top-50 by
+    authority — the crawl-seeding / source-weighting centrality a
+    curation pipeline ranks frontiers with. Contributions sum through
+    DECIMAL(24,15) (order-independent — a shuffle-order-dependent
+    PageRank would never hash-verify; scale 15 keeps the sum's raw
+    integer under 2^53 so the decimal→double cast is exact in both
+    engines — the q154 lesson, re-learned live: scale 18 diverged); the damped update is
+    pinned-order scalar IEEE, with (1−d) written as an explicit
+    subtraction in BOTH engines (0.15 the literal and 1.0−0.85 the
+    computation differ by one ulp — the float-literal trap)."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.operators.graph import pagerank_fixed
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    r = pagerank_fixed(edges, iterations=3, damping=0.85)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        r.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pos") <= 50)
+    )
+
+
+O_Q175 = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+it1 AS (
+  SELECT e.dst AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE
+             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
+                    AS DOUBLE) AS rank
+  FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+  GROUP BY e.dst),
+it2 AS (
+  SELECT e.dst AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE
+             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
+                    AS DOUBLE) AS rank
+  FROM e JOIN od USING (src) JOIN it1 r ON r.node = e.src
+  GROUP BY e.dst),
+it3 AS (
+  SELECT e.dst AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE
+             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
+                    AS DOUBLE) AS rank
+  FROM e JOIN od USING (src) JOIN it2 r ON r.node = e.src
+  GROUP BY e.dst)
+SELECT node, rank, pos FROM (
+  SELECT node, rank,
+         CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS pos
+  FROM it3) WHERE pos <= 50
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -6498,6 +6622,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q171_bm25_incremental": (q171_bm25_incremental, O_Q140),
     "q172_embedding_quality": (q172_embedding_quality, O_Q172),
     "q173_soft_dedup": (q173_soft_dedup, O_Q173),
+    "q174_outlier_report": (q174_outlier_report, O_Q174),
+    "q175_pagerank": (q175_pagerank, O_Q175),
 }
 
 
@@ -6663,6 +6789,13 @@ _ROTATED_IN = (
     "q171_bm25_incremental",
     "q172_embedding_quality",
     "q173_soft_dedup",
+    # round 8f: Tukey-fence outlier audit + fixed-iteration PageRank
+    # (the graph-centrality class; decimal-routed contribution sums —
+    # the scale-18 variant diverged by the q154 1-ulp class and was
+    # caught by the oracle BEFORE registration) — promoted same-round
+    # after 30× probes and a full driver_sim replay
+    "q174_outlier_report",
+    "q175_pagerank",
 )
 _ROTATED_OUT = (
     # round 4
@@ -6879,6 +7012,15 @@ _ROTATED_OUT = (
     "q146_entity_resolution",
     "q149_negative_sampling",
     "q150_token_budget_fill",
+    # round 8f demotions — both repeatedly driver-verified (r5b–r7)
+    # and untouched in r8: q77 multimodal features (the r7 JPEG RSTn
+    # fix was driver-verified in r7's window; the decoder family
+    # stays pinned by the fuzz suite + local sweep) and q119 PQ
+    # re-rank (the PQ trio r6/r7-verified; stays in the local sweep
+    # AND the no-codegen-fallback compile gates, which execute it
+    # every pytest run).
+    "q77_multimodal_features",
+    "q119_pq_topk_rerank",
 )
 
 

@@ -339,3 +339,21 @@ def test_r8_batch4_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r8_batch5_shuffle_budgets(spark, sf_dir):
+    """q174 outlier audit: one group-keyed rank window (pinned), the
+    stats agg + fence-count join reuse it (4). q175 PageRank's final
+    plan is the top-50 window over the last iteration's checkpoint —
+    per-iteration plans are deliberately truncated (each round is
+    pinned so round t+1 consumes a table, not 2^t plan copies); the
+    iteration shape itself is pinned by the hand-case and
+    mass-conservation tests. Zero Python nodes."""
+    budgets = {
+        "q174_outlier_report": 4,
+        "q175_pagerank": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

@@ -285,3 +285,27 @@ def test_referential_integrity_hand_case(spark):
         referential_integrity([])
     with pytest.raises(ValueError, match="mismatch"):
         referential_integrity([("bad", child, ["fk", "id"], parent, ["pk"])])
+
+
+def test_numeric_outlier_report_hand_case(spark):
+    """Values 1..8 plus a 100 spike: p25 = rank ceil(2.25)=3 -> 3,
+    p75 = rank ceil(6.75)=7 -> 7, fences [-3, 13], exactly the spike
+    flagged; NULLs excluded; an outlier-free group reports 0."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators.profile import (
+        numeric_outlier_report,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 9)] + [
+        ("a", 100.0), ("a", None), ("b", 5.0), ("b", 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in numeric_outlier_report(
+        df, "g", F.col("v"), k=1.5
+    ).collect()}
+    a = out["a"]
+    assert a["n"] == 9 and a["p25"] == 3.0 and a["p75"] == 7.0
+    assert a["iqr"] == 4.0 and a["lo_fence"] == -3.0 and a["hi_fence"] == 13.0
+    assert a["n_outliers"] == 1 and a["outlier_rate"] == 1 / 9
+    assert out["b"]["n_outliers"] == 0 and out["b"]["outlier_rate"] == 0.0
