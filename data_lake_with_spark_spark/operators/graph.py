@@ -27,6 +27,7 @@ def pagerank_fixed(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    validate: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame:
     ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)``, starting
@@ -46,7 +47,13 @@ def pagerank_fixed(
     outdegree frames are pinned once and reused by all iterations.
 
     Dangling nodes (outdeg 0) cannot exist in the supported input
-    shape (symmetric edges); inputs that violate it raise.
+    shape (symmetric edges); ``validate=True`` checks and raises on
+    violation. The check is an extra full-edge anti-join action per
+    call, so it defaults OFF for pre-validated edge frames (e.g.
+    explicitly symmetrized unions, where danglers are impossible by
+    construction) — a dangling node under ``validate=False`` simply
+    receives no contributions and its rank row is dropped, it does
+    not corrupt other nodes' ranks.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -61,15 +68,16 @@ def pagerank_fixed(
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
-    # symmetric-input contract: every node must have out-edges
-    dangling = nodes.join(
-        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-    )
-    if dangling.limit(1).count() > 0:
-        raise ValueError(
-            "pagerank_fixed requires every node to have out-edges "
-            "(symmetric/bipartite edge frames) — dangling nodes found"
+    if validate:
+        # symmetric-input contract: every node must have out-edges
+        dangling = nodes.join(
+            outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
         )
+        if dangling.limit(1).count() > 0:
+            raise ValueError(
+                "pagerank_fixed requires every node to have out-edges "
+                "(symmetric/bipartite edge frames) — dangling nodes found"
+            )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")

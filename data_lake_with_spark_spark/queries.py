@@ -5385,6 +5385,7 @@ def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from data_lake_with_spark_spark.operators.graph import pagerank_fixed
+    from data_lake_with_spark_spark.operators.relational import top_k
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -5403,12 +5404,18 @@ def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    r = pagerank_fixed(edges, iterations=3, damping=0.85)
+    # edges are symmetrized by construction — danglers impossible, so
+    # skip the validate pass (an extra full-edge action per call)
+    r = pagerank_fixed(edges, iterations=3, damping=0.85, validate=False)
+    # top-50 via TakeOrderedAndProject (each partition keeps 50, the
+    # driver merges) — NOT an unpartitioned Window.orderBy over the
+    # full rank frame (single-task global sort; at crawl-graph scale
+    # the rank frame is every node). `pos` derives from a window over
+    # the already-limited 50-row result, which is one task over 50
+    # rows by construction.
+    top = top_k(r, [F.col("rank").desc(), F.col("node").asc()], 50)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
-    return (
-        r.withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .where(F.col("pos") <= 50)
-    )
+    return top.withColumn("pos", F.row_number().over(w).cast("bigint"))
 
 
 O_Q175 = """

@@ -35,7 +35,15 @@ def test_pagerank_authority_ordering_and_validation(spark):
         [("a", "b")], "src string, dst string"
     )
     with pytest.raises(ValueError, match="dangling"):
-        pagerank_fixed(dangling)
+        pagerank_fixed(dangling, validate=True)
+    # validate defaults OFF (the check is an extra full-edge action
+    # per call): a dangler then simply receives no contributions —
+    # 'a' has no in-edges so its rank row drops, 'b' still ranks
+    r_noval = {
+        x["node"]: x["rank"]
+        for x in pagerank_fixed(dangling, iterations=1).collect()
+    }
+    assert set(r_noval) == {"b"}
     with pytest.raises(ValueError):
         pagerank_fixed(e, iterations=0)
     with pytest.raises(ValueError):
