@@ -506,6 +506,10 @@ def mixture_plan(
         raise ValueError(f"token_budget must be >= 1, got {token_budget}")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty dict of ints >= 0")
+    if not any(w > 0 for w in weights.values()):
+        # all-zero weights would build an empty weight table and
+        # return an empty plan — a config error, not a plan
+        raise ValueError("weights must contain at least one w > 0")
     toks = (
         token_count
         if token_count is not None

@@ -1646,8 +1646,11 @@ def embedding_quality_report(
     IEEE, so norms are bit-identical cross-engine; min/max of
     identical doubles are identical; the mean routes through the
     decimal-sum contract (exact, order-independent). Non-finite is
-    detected as ``NOT (x - x = 0)`` — true for NaN and ±Inf in any
-    IEEE engine, no isnan/isinf dialect divergence. One
+    detected as ``x IS NULL OR NOT (x - x = 0)`` — true for NULL
+    elements (which would otherwise three-value-logic their way past
+    the check AND silently drop their NULL norm from the mean — an
+    ingest-gate blind spot), NaN, and ±Inf in any IEEE engine, no
+    isnan/isinf dialect divergence. One
     partial-aggregable pass; everything is scan-side expression work.
 
     Returns (group, n_vecs, n_dim_mismatch, n_nonfinite, n_zero,
@@ -1657,7 +1660,9 @@ def embedding_quality_report(
         raise ValueError(f"expected_dim must be >= 1, got {expected_dim}")
     v = F.col(vec_col)
     dim_ok = F.size(v) == expected_dim
-    nonfinite = F.exists(v, lambda x: ~((x - x) == F.lit(0.0)))
+    nonfinite = F.exists(
+        v, lambda x: x.isNull() | ~((x - x) == F.lit(0.0))
+    )
     sq = F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )

@@ -1551,7 +1551,28 @@ def merge_bm25_index(
     just those partitions; the upsert (replaced-id) case must still
     anti-join every bucket, because an old document's postings live
     wherever its tokens hashed.
+
+    ``out_path`` must be a FRESH directory, never ``base_path`` (the
+    merge reads the base lazily while writing — enforced with a
+    raise). The three component writes (postings, doclens, stats) are
+    not mutually atomic; a mid-merge failure leaves a partial
+    ``out_path``, which is why merging never overwrites the base:
+    the base index stays serveable, and deployment promotes the new
+    directory with one rename after all three writes land.
     """
+    import os as _os
+
+    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
+        # the merged frames read base_path LAZILY while the
+        # mode('overwrite') write deletes it — an in-place merge
+        # would consume its own deletion and corrupt or lose the
+        # index. Write to a fresh dir, then swap/rename atomically
+        # at the deployment layer.
+        raise ValueError(
+            "merge_bm25_index: out_path must differ from base_path "
+            "(the merge reads the base index lazily while writing; "
+            "an in-place overwrite would destroy the source mid-read)"
+        )
     stats = spark.read.parquet(f"{base_path}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     new_ids = new_docs.select(F.col(id_col)).distinct()

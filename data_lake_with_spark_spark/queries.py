@@ -5094,7 +5094,9 @@ WITH f AS (
 b AS (
   SELECT *,
          CAST(FLOOR((SUM(size_bytes) OVER (PARTITION BY lang
-                                           ORDER BY size_bytes DESC, path ASC)
+                                           ORDER BY size_bytes DESC, path ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW)
                      - size_bytes) / 50000) AS BIGINT) AS bin
   FROM f)
 SELECT path, lang, size_bytes, bin,
@@ -5288,7 +5290,8 @@ WITH b AS (
   SELECT label AS "group",
          CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS mm,
          CASE WHEN COALESCE(list_bool_or(list_transform(embedding,
-                     x -> NOT ((CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0.0))),
+                     x -> x IS NULL OR
+                          NOT ((CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0.0))),
                    FALSE)
               THEN 1 ELSE 0 END AS nf,
          sqrt(COALESCE(list_reduce(list_transform(embedding,

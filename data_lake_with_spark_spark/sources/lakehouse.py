@@ -416,8 +416,15 @@ def compaction_plan(
 
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
-    w = Window.partitionBy(*partition_cols).orderBy(
-        F.col(size_col).desc(), F.col(path_col).asc()
+    # ROWS frame, not the default RANGE: under RANGE, two files with
+    # identical (size, path) would be frame PEERS and each would see
+    # the pair's combined size in its cumsum, mis-binning both. Real
+    # listings have unique paths, but the planner should be
+    # row-accurate by construction, not by input contract.
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(size_col).desc(), F.col(path_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(size_col).over(w).cast("bigint")
     binned = files.withColumn(

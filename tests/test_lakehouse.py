@@ -288,3 +288,13 @@ def test_compaction_plan_packs_bins(spark):
     assert sorted(map(tuple, shuffled)) == sorted(map(tuple, out))
     with pytest.raises(ValueError):
         compaction_plan(df, 0, ["part"])
+    # ROWS frame, not RANGE: two rows with identical (size, path)
+    # must each see a row-accurate cumsum. Under the default RANGE
+    # frame they would be peers, both seeing the combined 120 and
+    # both mis-binning into bin 1 (leaving bin 0 empty).
+    dup = spark.createDataFrame(
+        [("dup", "c", 60), ("dup", "c", 60)],
+        "path string, part string, size_bytes bigint",
+    )
+    dup_bins = sorted(r["bin"] for r in compaction_plan(dup, 50, ["part"]).collect())
+    assert dup_bins == [0, 1]

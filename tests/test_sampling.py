@@ -359,3 +359,6 @@ def test_mixture_plan_caps_at_availability(spark):
         mixture_plan(docs, {}, token_budget=10)
     with pytest.raises(ValueError):
         mixture_plan(docs, {"a": 1}, token_budget=0)
+    # all-zero weights is a config error, not an empty plan
+    with pytest.raises(ValueError, match="w > 0"):
+        mixture_plan(docs, {"a": 0, "b": 0}, token_budget=10)

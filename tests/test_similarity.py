@@ -578,6 +578,7 @@ def test_embedding_quality_report_flags_dirty_vectors(spark):
         (3, "a", [1.0, 2.0, 3.0]),       # dim mismatch
         (4, "b", [float("nan"), 1.0]),   # non-finite
         (5, "b", [float("inf"), 1.0]),   # non-finite
+        (6, "b", [None, 1.0]),           # NULL element → non-finite
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<double>")
     out = {r["group"]: r for r in embedding_quality_report(
@@ -586,7 +587,10 @@ def test_embedding_quality_report_flags_dirty_vectors(spark):
     a, b = out["a"], out["b"]
     assert a["n_vecs"] == 3 and a["n_dim_mismatch"] == 1 and a["n_zero"] == 1
     assert a["n_nonfinite"] == 0 and a["norm_max"] == 5.0
-    assert b["n_nonfinite"] == 2
+    # NULL elements count as non-finite (a NULL would otherwise
+    # three-value-logic past the check and silently drop its NULL
+    # norm from the mean — the ingest-gate blind spot)
+    assert b["n_vecs"] == 3 and b["n_nonfinite"] == 3
     assert math.sqrt(14) == out["a"]["norm_max"] or True  # envelope sane
     with pytest.raises(ValueError):
         embedding_quality_report(df, expected_dim=0)

@@ -704,3 +704,10 @@ def test_merge_bm25_index_upsert_equals_scratch(spark, tmp_path):
     # the replaced doc's OLD postings are gone (zeta ranks doc 2 first)
     top_zeta = [r for r in got if r[0] == 11][0]
     assert top_zeta[1] == 2
+    # in-place merge is rejected: the merge reads base_path lazily
+    # while mode('overwrite') deletes it — out_path == base_path
+    # would destroy the source mid-read
+    import pytest
+
+    with pytest.raises(ValueError, match="in-place"):
+        text.merge_bm25_index(spark, base_idx, batch, base_idx)
