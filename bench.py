@@ -65,6 +65,18 @@ SKIP = {
     # local cost is bucket-directory I/O; its serving plan is q161's
     # (which IS benched, from the process-cached index).
     "q171_bm25_incremental",
+    # same maintenance-op shape on the dense side: q176 builds a base
+    # IVF layout + the merged rewrite, q177 a full layout + the
+    # post-delete rewrite — both dominated locally by one partition
+    # directory per centroid (hundreds of tiny files); their serving
+    # plan is q113's (benched) plus partition pruning, plan-gated in
+    # tests.
+    "q176_ivf_incremental",
+    "q177_ivf_delete",
+    # rewrites the bucketed postings layout (bucket-directory I/O)
+    # before serving q161's plan from it; the delete's anti-join cost
+    # is q171's shape, the serve cost is q161's (benched).
+    "q178_bm25_delete",
 }
 
 

@@ -776,6 +776,141 @@ def build_ivf_index(
     )
 
 
+def merge_ivf_index(
+    spark,
+    base_path: str,
+    new_vecs: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+    validate_centroids: bool = True,
+) -> None:
+    """Incremental IVF index maintenance — the dense-side twin of
+    :func:`text.merge_bm25_index`, completing the persisted-index
+    lifecycle: merge an embedding batch into an existing
+    :func:`build_ivf_index` layout with UPSERT semantics (batch ids
+    already in the index replace their old list entries — re-ingests
+    never double-count; fresh ids append). At 100 TB an embedding
+    corpus re-ingests daily; "rebuild the whole index" is not a plan.
+
+    Centroids are CARRIED VERBATIM from the base index, never
+    re-chosen — the frozen-coarse-quantizer contract every IVF system
+    shares (FAISS ``add`` does not retrain): batch vectors assign
+    against the base centroid matrix through the SAME argmax kernel
+    as the builder, so a merged index is bit-identical to a
+    from-scratch build over the merged corpus with the same centroid
+    set (the q171 gate, applied to the dense side). Replacing a
+    CENTROID-SOURCE vector would silently leave the frozen centroid
+    stale relative to a retrain; ``validate_centroids=True`` (an
+    ids-only semi-join against the broadcast-small centroid frame —
+    batch-sized, not corpus-sized) raises on that instead of
+    diverging.
+
+    Cost: one anti join of the base lists against the batch-id frame
+    + one assignment pass over the BATCH (never the corpus) + the
+    partitioned rewrite. An append-only batch touches only the
+    ``cent_id=`` partitions its vectors assign to — pair with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` to rewrite
+    just those; the upsert case must rewrite every partition whose
+    lists lose a replaced id. ``out_path`` must be FRESH (the merge
+    reads the base lazily while writing — enforced); the two
+    component writes are promoted by directory swap, never in place.
+    """
+    import os as _os
+
+    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
+        raise ValueError(
+            "merge_ivf_index: out_path must differ from base_path "
+            "(the merge reads the base index lazily while writing; "
+            "an in-place overwrite would destroy the source mid-read)"
+        )
+    cents = spark.read.parquet(f"{base_path}/centroids")
+    new_ids = new_vecs.select(F.col(id_col)).distinct()
+    if validate_centroids:
+        stale = new_ids.join(
+            F.broadcast(cents.select(F.col("cent_id").alias(id_col))),
+            id_col,
+        )
+        if stale.limit(1).count() > 0:
+            raise ValueError(
+                "merge_ivf_index: batch replaces a centroid-source "
+                "vector; the frozen centroid would go stale relative "
+                "to a retrain — rebuild with build_ivf_index instead "
+                "(or pass validate_centroids=False to accept frozen-"
+                "centroid semantics explicitly)"
+            )
+    base_lists = (
+        spark.read.parquet(f"{base_path}/lists")
+        .select("cent_id", id_col, vec_col)
+        .join(new_ids, id_col, "left_anti")
+    )
+    batch = new_vecs.select(id_col, vec_col)
+    if vec_dim is None:
+        w_assign = Window.partitionBy(id_col).orderBy(
+            F.col("cos_c").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            batch.crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v"), 6))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .where(F.col("_rn") == 1)
+            .select("cent_id", id_col, vec_col)
+        )
+    else:
+        assigned = _assign_argmax_arrow(batch, cents, vec_col, vec_dim).select(
+            "cent_id", id_col, vec_col
+        )
+    merged = base_lists.unionByName(assigned)
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    merged.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{out_path}/lists"
+    )
+
+
+def delete_from_ivf_index(
+    spark,
+    base_path: str,
+    delete_ids: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Erasure that reaches the serving index — the GDPR path that
+    :func:`sources.lakehouse.delete_keys` starts must END here, or a
+    deleted vector keeps surfacing in top-k until the next full
+    rebuild: drop the ids' list entries from a
+    :func:`build_ivf_index` layout. Centroids stay frozen (deleting a
+    centroid's SOURCE vector removes it from every result set but
+    keeps the centroid as a geometric anchor — the FAISS
+    ``remove_ids`` contract; re-train to move centroids).
+    Serve-after-delete is gated identical to an index rebuilt without
+    the ids over the same centroid set.
+
+    Cost: one anti join over the lists + the partitioned rewrite
+    (only partitions containing deleted ids change content — dynamic
+    partition overwrite confines the rewrite to those).
+    ``out_path`` must be FRESH, as with :func:`merge_ivf_index`.
+    """
+    import os as _os
+
+    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
+        raise ValueError(
+            "delete_from_ivf_index: out_path must differ from "
+            "base_path (the delete reads the base index lazily while "
+            "writing; an in-place overwrite would destroy the source "
+            "mid-read)"
+        )
+    cents = spark.read.parquet(f"{base_path}/centroids")
+    ids = delete_ids.select(F.col(id_col)).distinct()
+    kept = spark.read.parquet(f"{base_path}/lists").join(
+        ids, id_col, "left_anti"
+    )
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    kept.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{out_path}/lists"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

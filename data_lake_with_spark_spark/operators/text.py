@@ -1614,3 +1614,63 @@ def merge_bm25_index(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
     out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")
+
+
+def delete_from_bm25_index(
+    spark,
+    base_path: str,
+    delete_ids: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Erasure that reaches the serving index — the GDPR path that
+    ``lakehouse.delete_keys`` starts must END here, or a deleted
+    document keeps matching queries until the next full rebuild: drop
+    the ids' postings and doclens rows from a
+    :func:`build_bm25_index` layout and recompute the corpus stats
+    (n_corpus, avgdl) from the surviving doclens. df/idf re-derive at
+    serve time from the surviving postings, so served scores are
+    BIT-identical to an index built from scratch over the corpus
+    minus the ids (the same equality the merge gate pins; gated in
+    tests and by the registered entry's rebuild-shaped oracle).
+
+    Cost: one anti join per component frame + the partitioned
+    rewrite; the bucket layout (n_buckets) carries unchanged. A
+    deleted document's postings live wherever its tokens hashed, so
+    the delete — like the upsert — must anti-join every bucket.
+    ``out_path`` must be FRESH (the delete reads the base lazily
+    while writing — enforced, same as :func:`merge_bm25_index`).
+    """
+    import os as _os
+
+    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
+        raise ValueError(
+            "delete_from_bm25_index: out_path must differ from "
+            "base_path (the delete reads the base index lazily while "
+            "writing; an in-place overwrite would destroy the source "
+            "mid-read)"
+        )
+    stats = spark.read.parquet(f"{base_path}/stats")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+    ids = delete_ids.select(F.col(id_col)).distinct()
+    kept_post = spark.read.parquet(f"{base_path}/postings").join(
+        ids, id_col, "left_anti"
+    )
+    # re-sort within buckets so the tok-sorted row-group-skipping
+    # layout contract survives the rewrite (same as the builder)
+    (
+        kept_post.repartition(int(n_buckets), "tok_bucket")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(f"{out_path}/postings")
+    )
+    dl = spark.read.parquet(f"{base_path}/doclens").join(
+        ids, id_col, "left_anti"
+    )
+    dl.write.mode("overwrite").parquet(f"{out_path}/doclens")
+    out_stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
+    out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")

@@ -77,6 +77,9 @@ _GATED = [
     "q117_pq_encode",
     "q118_pq_topk",
     "q119_pq_topk_rerank",
+    # r9 index-lifecycle entries: merge/delete + indexed serving
+    "q176_ivf_incremental",
+    "q177_ivf_delete",
 ]
 
 
@@ -367,3 +370,26 @@ def test_r8_batch5_shuffle_budgets(spark, sf_dir):
     # Exchange and a full sort
     p175 = _plan(spark, sf_dir, "q175_pagerank")
     assert "TakeOrderedAndProject" in p175, p175
+
+
+def test_r9_batch1_shuffle_budgets(spark, sf_dir):
+    """q179 deployable sketch key-uniqueness: the approx call's ONE
+    single-partition HLL agg + the exact expand-agg it is gated
+    against + the one-row broadcast join — the HLL buffers must NEVER
+    ride inside the multi-distinct EXPAND (a sketch per expand group,
+    95s vs 3s at sf0.1, MEASUREMENTS_r08.md), which the Expand/HLL
+    separation assert pins structurally, not just by budget. The
+    lifecycle entries q176/q177/q178 return eager checkpoints of
+    index-serving results; their plan properties are gated through
+    the indexed-probe partition-pruning tests and the
+    merged/deleted-equals-scratch equality gates. Zero Python
+    nodes."""
+    name, budget = "q179_key_uniqueness_sketch", 4
+    p = _plan(spark, sf_dir, name)
+    assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+    # structural pin: no plan line may carry BOTH the expand operator
+    # and an HLL (approx_count_distinct) aggregate expression
+    for line in p.splitlines():
+        low = line.lower()
+        assert not ("expand" in low and "approx_count_distinct" in low), line

@@ -594,3 +594,111 @@ def test_embedding_quality_report_flags_dirty_vectors(spark):
     assert math.sqrt(14) == out["a"]["norm_max"] or True  # envelope sane
     with pytest.raises(ValueError):
         embedding_quality_report(df, expected_dim=0)
+
+
+def _ivf_serve_rows(spark, idx, queries, **kw):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, **kw).collect()
+    )
+
+
+def test_merge_ivf_index_upsert_equals_scratch(spark, tmp_path):
+    """The dense-side incremental-maintenance contract (the BM25
+    merge gate applied to IVF): merging a batch that APPENDS new
+    vectors AND REPLACES an existing one yields an index whose served
+    top-k is BIT-identical to a from-scratch build over the merged
+    corpus with the same (frozen) centroid set; centroids carry
+    verbatim, never re-chosen."""
+    import random
+
+    rnd = random.Random(7)
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(4)]  # noqa: E731
+    base_rows = [(i, mk()) for i in range(30)]
+    # batch: replace id 7 (non-centroid) with new content, append
+    # 31..35 (avoiding % 10 == 0 so the scratch build's centroid set
+    # — ids 0/10/20 at centroid_mod=10 — matches the carried one)
+    batch_rows = [(7, mk())] + [(i, mk()) for i in range(31, 36)]
+    final_rows = [r for r in base_rows if r[0] != 7] + batch_rows
+    base = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
+    final = spark.createDataFrame(final_rows, ["vec_id", "embedding"])
+    qs = final.where(F.col("vec_id").isin(1, 7, 33))
+    base_idx, merged_idx, scratch_idx = (
+        str(tmp_path / d) for d in ("base", "merged", "scratch")
+    )
+    similarity.build_ivf_index(base, base_idx, centroid_mod=10)
+    similarity.merge_ivf_index(spark, base_idx, batch, merged_idx)
+    similarity.build_ivf_index(final, scratch_idx, centroid_mod=10)
+    got = _ivf_serve_rows(spark, merged_idx, qs, k=3, nprobe=2)
+    exp = _ivf_serve_rows(spark, scratch_idx, qs, k=3, nprobe=2)
+    assert got == exp and len(got) > 0
+    # centroids carried verbatim
+    c_m = sorted(
+        r["cent_id"]
+        for r in spark.read.parquet(f"{merged_idx}/centroids").collect()
+    )
+    assert c_m == [0, 10, 20]
+    # replacing a centroid-source vector would leave the frozen
+    # centroid stale vs a retrain — rejected, not silently diverged
+    cbatch = spark.createDataFrame([(10, mk())], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="centroid-source"):
+        similarity.merge_ivf_index(spark, base_idx, cbatch, str(tmp_path / "x"))
+    # ...unless frozen-centroid semantics are accepted explicitly
+    similarity.merge_ivf_index(
+        spark, base_idx, cbatch, str(tmp_path / "x2"),
+        validate_centroids=False,
+    )
+    # in-place merge rejected (reads base lazily while overwriting)
+    with pytest.raises(ValueError, match="in-place"):
+        similarity.merge_ivf_index(spark, base_idx, batch, base_idx)
+
+
+def test_delete_from_ivf_index_reaches_serving(spark, tmp_path):
+    """Erasure propagates to the serving index: after
+    delete_from_ivf_index, served top-k is BIT-identical to an index
+    rebuilt without the ids over the same centroid set, and a deleted
+    centroid-SOURCE vector disappears from every result while its
+    frozen centroid keeps anchoring the partition layout."""
+    import random
+
+    rnd = random.Random(11)
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(4)]  # noqa: E731
+    rows = [(i, mk()) for i in range(30)]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dead = {3, 17}  # non-centroid ids (centroid_mod=10 → 0/10/20)
+    kept = spark.createDataFrame(
+        [r for r in rows if r[0] not in dead], ["vec_id", "embedding"]
+    )
+    qs = full.where(F.col("vec_id").isin(1, 9))
+    full_idx, del_idx, scratch_idx = (
+        str(tmp_path / d) for d in ("full", "deleted", "scratch")
+    )
+    similarity.build_ivf_index(full, full_idx, centroid_mod=10)
+    similarity.delete_from_ivf_index(
+        spark, full_idx,
+        spark.createDataFrame([(i,) for i in sorted(dead)], ["vec_id"]),
+        del_idx,
+    )
+    similarity.build_ivf_index(kept, scratch_idx, centroid_mod=10)
+    got = _ivf_serve_rows(spark, del_idx, qs, k=5, nprobe=3)
+    exp = _ivf_serve_rows(spark, scratch_idx, qs, k=5, nprobe=3)
+    assert got == exp and len(got) > 0
+    assert not any(n in dead for (_, _, n, _) in got)
+    # deleting a centroid-source vector: gone from results, centroid
+    # frame unchanged (frozen anchor — the FAISS remove_ids contract)
+    del2_idx = str(tmp_path / "deleted2")
+    similarity.delete_from_ivf_index(
+        spark, del_idx, spark.createDataFrame([(10,)], ["vec_id"]), del2_idx
+    )
+    got2 = _ivf_serve_rows(spark, del2_idx, qs, k=50, nprobe=3)
+    assert not any(n == 10 for (_, _, n, _) in got2)
+    c2 = sorted(
+        r["cent_id"]
+        for r in spark.read.parquet(f"{del2_idx}/centroids").collect()
+    )
+    assert c2 == [0, 10, 20]
+    with pytest.raises(ValueError, match="in-place"):
+        similarity.delete_from_ivf_index(
+            spark, del_idx, spark.createDataFrame([(1,)], ["vec_id"]), del_idx
+        )

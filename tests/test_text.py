@@ -711,3 +711,47 @@ def test_merge_bm25_index_upsert_equals_scratch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="in-place"):
         text.merge_bm25_index(spark, base_idx, batch, base_idx)
+
+
+def test_delete_from_bm25_index_equals_scratch(spark, tmp_path):
+    """Erasure propagates to the sparse serving index: after
+    delete_from_bm25_index, served scores are BIT-identical to an
+    index built from scratch over the corpus minus the ids (stats
+    recompute; df/idf re-derive from surviving postings at serve
+    time), and the bucket layout carries unchanged."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"),
+         (3, "epsilon beta"), (4, "alpha epsilon"), (5, "beta beta beta")],
+        ["doc_id", "text"],
+    )
+    kept = docs.where(~F.col("doc_id").isin(2, 5))
+    qs = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon")], ["query_id", "text"]
+    )
+    full_idx, del_idx, scratch_idx = (
+        str(tmp_path / d) for d in ("full", "deleted", "scratch")
+    )
+    text.build_bm25_index(docs, full_idx, n_buckets=8)
+    text.delete_from_bm25_index(
+        spark, full_idx,
+        spark.createDataFrame([(2,), (5,)], ["doc_id"]),
+        del_idx,
+    )
+    text.build_bm25_index(kept, scratch_idx, n_buckets=8)
+    got = sorted(map(tuple, text.bm25_topk_indexed(
+        spark, del_idx, qs, k=5
+    ).collect()))
+    exp = sorted(map(tuple, text.bm25_topk_indexed(
+        spark, scratch_idx, qs, k=5
+    ).collect()))
+    assert got == exp and len(got) > 0
+    assert not any(r[1] in (2, 5) for r in got)
+    st = spark.read.parquet(f"{del_idx}/stats").first()
+    assert st["n_corpus"] == 3 and st["n_buckets"] == 8
+    with pytest.raises(ValueError, match="in-place"):
+        text.delete_from_bm25_index(
+            spark, del_idx,
+            spark.createDataFrame([(1,)], ["doc_id"]), del_idx,
+        )
