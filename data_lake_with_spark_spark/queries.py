@@ -5378,10 +5378,13 @@ def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem): 3 unrolled iterations, damping 0.85, top-50 by
     authority — the crawl-seeding / source-weighting centrality a
     curation pipeline ranks frontiers with. Contributions sum through
-    DECIMAL(24,15) (order-independent — a shuffle-order-dependent
-    PageRank would never hash-verify; scale 15 keeps the sum's raw
-    integer under 2^53 so the decimal→double cast is exact in both
-    engines — the q154 lesson, re-learned live: scale 18 diverged); the damped update is
+    the tie-free FLOOR-GRID fold (FLOOR(x·10^15) bigint units —
+    order-independent, a shuffle-order-dependent PageRank would
+    never hash-verify; the grid replaced the DECIMAL(24,15) cast
+    after q180's seed config exposed the cast's half-up tie rounding
+    apart across engines — one contribution off by exactly one grid
+    unit; FLOOR has no ties. The scaled sum stays under 2^53 per the
+    q154 magnitude rule); the damped update is
     pinned-order scalar IEEE, with (1−d) written as an explicit
     subtraction in BOTH engines (0.15 the literal and 1.0−0.85 the
     computation differ by one ulp — the float-literal trap)."""
@@ -5436,24 +5439,30 @@ it1 AS (
   SELECT e.dst AS node,
          (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
            + 0.85::DOUBLE
-             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
-                    AS DOUBLE) AS rank
+             * (SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE)
+                         AS BIGINT))
+                / 1000000000000000.0::DOUBLE) AS rank
   FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
   GROUP BY e.dst),
 it2 AS (
   SELECT e.dst AS node,
          (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
            + 0.85::DOUBLE
-             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
-                    AS DOUBLE) AS rank
+             * (SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE)
+                         AS BIGINT))
+                / 1000000000000000.0::DOUBLE) AS rank
   FROM e JOIN od USING (src) JOIN it1 r ON r.node = e.src
   GROUP BY e.dst),
 it3 AS (
   SELECT e.dst AS node,
          (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
            + 0.85::DOUBLE
-             * CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(24,15)))
-                    AS DOUBLE) AS rank
+             * (SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE)
+                         AS BIGINT))
+                / 1000000000000000.0::DOUBLE) AS rank
   FROM e JOIN od USING (src) JOIN it2 r ON r.node = e.src
   GROUP BY e.dst)
 SELECT node, rank, pos FROM (
@@ -5652,6 +5661,176 @@ O_Q178 = O_Q140.replace(
 )
 if O_Q178 == O_Q140:  # pragma: no cover
     raise AssertionError("O_Q178 anchor text missing from O_Q140")
+
+
+def q180_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded-teleport) PageRank
+    (graph.pagerank_personalized): authority over the q175
+    co-purchase graph RELATIVE to a trusted seed set — the
+    BUILDING-segment customers — the TrustRank shape a crawl pipeline
+    runs to score frontier pages against vetted sources rather than
+    globally. Same float contract as q175 (tie-free floor-grid
+    contribution sums — THIS query's seed config is what exposed the
+    decimal-cast tie divergence the grid replaces; rank mass stays
+    ≤ 1 because Σ seeds = 1; (1−d) as the explicit subtraction);
+    teleport is a broadcast join of the seed frame; zero-rank nodes
+    are absent-as-zero in BOTH engines (the inner contribution join +
+    full-outer teleport reproduce the same row set). Top-50 via
+    TakeOrderedAndProject, pos over the 50-row result (the q175
+    pattern)."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.operators.graph import (
+        pagerank_personalized,
+    )
+    from data_lake_with_spark_spark.operators.relational import top_k
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    r = pagerank_personalized(edges, seeds, iterations=3, damping=0.85)
+    top = top_k(r, [F.col("rank").desc(), F.col("node").asc()], 50)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+O_Q180 = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+sd0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer WHERE c_mktsegment = 'BUILDING'),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM sd0),
+sd AS (SELECT node, 1.0::DOUBLE / (SELECT ns FROM ns) AS s FROM sd0),
+r0 AS (SELECT node, s AS rank FROM sd),
+it1 AS (
+  SELECT COALESCE(i.node, s.node) AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) * COALESCE(s.s, 0.0::DOUBLE)
+           + 0.85::DOUBLE * COALESCE(i.m, 0.0::DOUBLE) AS rank
+  FROM (SELECT e.dst AS node,
+               SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE) AS BIGINT))
+                 / 1000000000000000.0::DOUBLE AS m
+        FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+        GROUP BY e.dst) i
+  FULL OUTER JOIN sd s ON s.node = i.node),
+it2 AS (
+  SELECT COALESCE(i.node, s.node) AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) * COALESCE(s.s, 0.0::DOUBLE)
+           + 0.85::DOUBLE * COALESCE(i.m, 0.0::DOUBLE) AS rank
+  FROM (SELECT e.dst AS node,
+               SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE) AS BIGINT))
+                 / 1000000000000000.0::DOUBLE AS m
+        FROM e JOIN od USING (src) JOIN it1 r ON r.node = e.src
+        GROUP BY e.dst) i
+  FULL OUTER JOIN sd s ON s.node = i.node),
+it3 AS (
+  SELECT COALESCE(i.node, s.node) AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) * COALESCE(s.s, 0.0::DOUBLE)
+           + 0.85::DOUBLE * COALESCE(i.m, 0.0::DOUBLE) AS rank
+  FROM (SELECT e.dst AS node,
+               SUM(CAST(FLOOR((r.rank / od.outdeg)
+                               * 1000000000000000.0::DOUBLE) AS BIGINT))
+                 / 1000000000000000.0::DOUBLE AS m
+        FROM e JOIN od USING (src) JOIN it2 r ON r.node = e.src
+        GROUP BY e.dst) i
+  FULL OUTER JOIN sd s ON s.node = i.node)
+SELECT node, rank, pos FROM (
+  SELECT node, rank,
+         CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS pos
+  FROM it3) WHERE pos <= 50
+"""
+
+
+def q181_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (graph.hits_fixed) over the DIRECTED
+    customer→part purchase digraph: hubs (broad buyers — the
+    link-list shape) vs authorities (widely-bought parts — the
+    content shape), the second classic source-authority signal a
+    crawl-curation stack runs next to PageRank. The RATIONAL
+    formulation: with h₀ = 1 and no per-round normalization every
+    score is an exact INTEGER (bigint-sum aggregates only — no
+    double→decimal cast anywhere, the strongest cross-engine float
+    contract in the graph family; rankings are scale-invariant so the
+    integers rank identically to the normalized scores). Top-50 by
+    authority via TakeOrderedAndProject + the 50-row pos window."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+    from data_lake_with_spark_spark.operators.relational import top_k
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    r = hits_fixed(edges, iterations=2).select(
+        "node",
+        F.col("authority").cast("bigint").alias("authority"),
+        F.col("hub").cast("bigint").alias("hub"),
+    )
+    top = top_k(
+        r, [F.col("authority").desc(), F.col("node").asc()], 50
+    )
+    w = Window.orderBy(F.col("authority").desc(), F.col("node").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+O_Q181 = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS score
+       FROM e GROUP BY dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS score
+       FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS score
+       FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS score
+       FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+sc AS (
+  SELECT COALESCE(a.node, h.node) AS node,
+         CAST(COALESCE(a.score, 0) AS BIGINT) AS authority,
+         CAST(COALESCE(h.score, 0) AS BIGINT) AS hub
+  FROM a2 a FULL OUTER JOIN h2 h ON h.node = a.node)
+SELECT node, authority, hub, pos FROM (
+  SELECT node, authority, hub,
+         CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, node)
+              AS BIGINT) AS pos
+  FROM sc) WHERE pos <= 50
+"""
 
 
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6836,6 +7015,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # exact count + envelope verdict, so the verify-mode oracle
     # applies verbatim.
     "q179_key_uniqueness_sketch": (q179_key_uniqueness_sketch, O_Q162),
+    "q180_pagerank_seeded": (q180_pagerank_seeded, O_Q180),
+    "q181_hits_copurchase": (q181_hits_copurchase, O_Q181),
 }
 
 
@@ -7019,6 +7200,14 @@ _ROTATED_IN = (
     "q177_ivf_delete",
     "q178_bm25_delete",
     "q179_key_uniqueness_sketch",
+    # round 9b: the graph-authority pair — seeded (TrustRank-style)
+    # PageRank and rational-integer HITS. q180's seed config exposed
+    # the double→decimal cast tie LIVE at sf0.01 (two nodes off by
+    # exactly 0.85·10⁻¹⁵), so BOTH PageRank variants moved to the
+    # tie-free floor-grid fold and q175 re-verifies in-window with
+    # them. Promoted after 30× probes + a full driver_sim replay.
+    "q180_pagerank_seeded",
+    "q181_hits_copurchase",
 )
 _ROTATED_OUT = (
     # round 4
@@ -7259,6 +7448,12 @@ _ROTATED_OUT = (
     "q114_ann_ivf_indexed_budgeted",
     "q163_bm25_pruned",
     "q162_key_uniqueness_approx",
+    # round 9b demotions — both green in CORRECTNESS_r08.json's
+    # window, untouched in r9. FK-integrity q164 out (profiling keeps
+    # q153/q154/q158/q160/q174 + incoming q179 in-window); weighted
+    # sampling q165 out (sampling keeps q127/q130/q132/q170).
+    "q164_referential_integrity",
+    "q165_weighted_sample",
 )
 
 

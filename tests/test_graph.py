@@ -48,3 +48,76 @@ def test_pagerank_authority_ordering_and_validation(spark):
         pagerank_fixed(e, iterations=0)
     with pytest.raises(ValueError):
         pagerank_fixed(e, damping=1.0)
+
+
+def test_pagerank_personalized_hand_case(spark):
+    """Symmetric a-b, b-c path, seed {a}: after one iteration the
+    teleport holds a at 0.15, b gets the full damped mass 0.85, c
+    nothing yet; total rank mass stays 1 (Σs = 1)."""
+    from data_lake_with_spark_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    e = _sym_edges(spark, [("a", "b"), ("b", "c")])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    r1 = {
+        r["node"]: r["rank"]
+        for r in pagerank_personalized(e, seeds, iterations=1).collect()
+    }
+    # (1-d) is the COMPUTED 1.0-0.85 (one ulp off the 0.15 literal —
+    # the float-literal trap, mirrored in the oracles); c carries no
+    # rank yet (zero-rank nodes are absent-as-zero until mass arrives)
+    assert r1 == {"a": 1.0 - 0.85, "b": 0.85}
+    for it in (1, 2, 3):
+        rs = [
+            r["rank"]
+            for r in pagerank_personalized(e, seeds, iterations=it).collect()
+        ]
+        assert abs(sum(rs) - 1.0) < 1e-9  # mass conservation
+    # seed-relative authority: with seed {a}, a-side nodes outrank
+    # the far end; with seed {c} the ordering flips
+    r3a = {
+        r["node"]: r["rank"]
+        for r in pagerank_personalized(e, seeds, iterations=3).collect()
+    }
+    r3c = {
+        r["node"]: r["rank"]
+        for r in pagerank_personalized(
+            e, spark.createDataFrame([("c",)], ["node"]), iterations=3
+        ).collect()
+    }
+    assert r3a["a"] > r3a["c"] and r3c["c"] > r3c["a"]
+    with pytest.raises(ValueError):
+        pagerank_personalized(e, seeds, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank_personalized(e, seeds, damping=1.0)
+
+
+def test_hits_hand_case_and_separation(spark):
+    """Directed path a→b→c, one iteration: integer scores (h0=1, no
+    normalization — the rational formulation): authorities b=c=1,
+    hubs a=b=1, all EXACT. On a star hub→{spokes}, two iterations
+    give the hub all hub mass (16) and zero authority."""
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: (int(r["authority"]), int(r["hub"]))
+           for r in hits_fixed(e, iterations=1).collect()}
+    assert got == {
+        "a": (0, 1),
+        "b": (1, 1),
+        "c": (1, 0),
+    }
+    star = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(4)], "src string, dst string"
+    )
+    # integer accumulation: a1(s_i)=1, h1(h)=4, a2(s_i)=4, h2(h)=16
+    out = {r["node"]: r for r in hits_fixed(star, iterations=2).collect()}
+    assert int(out["h"]["hub"]) == 16 and int(out["h"]["authority"]) == 0
+    for i in range(4):
+        assert int(out[f"s{i}"]["authority"]) == 4
+        assert int(out[f"s{i}"]["hub"]) == 0
+    with pytest.raises(ValueError):
+        hits_fixed(star, iterations=0)

@@ -367,9 +367,21 @@ def test_r8_batch5_shuffle_budgets(spark, sf_dir):
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
     # the top-50 reduction must lower to TakeOrderedAndProject; a
     # regression back to a global window would reintroduce both the
-    # Exchange and a full sort
-    p175 = _plan(spark, sf_dir, "q175_pagerank")
-    assert "TakeOrderedAndProject" in p175, p175
+    # Exchange and a full sort. Same contract for the r9 graph pair
+    # (seeded PageRank, HITS), which share the q175 final shape.
+    # (q181's 2 exchanges are the node-keyed full-outer join of the
+    # final hub and authority frames — rank-table-sized inputs, the
+    # legitimate combine; the PageRank variants end on a checkpointed
+    # rank table and need none)
+    for gname, gbudget in (
+        ("q175_pagerank", 0),
+        ("q180_pagerank_seeded", 0),
+        ("q181_hits_copurchase", 2),
+    ):
+        pg = _plan(spark, sf_dir, gname)
+        assert "TakeOrderedAndProject" in pg, (gname, pg)
+        assert pg.count("Exchange") <= gbudget, (gname, pg.count("Exchange"))
+        assert "BatchEvalPython" not in pg and "ArrowEval" not in pg, gname
 
 
 def test_r9_batch1_shuffle_budgets(spark, sf_dir):
