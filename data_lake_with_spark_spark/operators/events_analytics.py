@@ -358,3 +358,63 @@ def event_lift(
             ).alias("lift"),
         )
     )
+
+
+def rate_spikes(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    factor: int = 3,
+    trailing: int = 4,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Event-rate spike detection — the pipeline-monitoring pass that
+    catches an ingest storm, a clickbot burst, or a broken producer
+    the hour it happens: per (event type, time bucket), is the
+    bucket's event count more than ``factor`` times its trailing
+    baseline (the mean of the previous ``trailing`` buckets)?
+
+    ENTIRELY INTEGER ARITHMETIC: counts are bigints, the baseline
+    stays a (sum, n) pair, and the spike test cross-multiplies —
+    ``count · baseline_n > factor · baseline_sum`` — so there is no
+    division, no float, and nothing an engine can round differently
+    (the graph-family lesson applied preemptively). One keyed
+    groupBy + one ROWS-frame window per type (ROWS, not RANGE — the
+    compaction-planner peer-row lesson); a bucket with no
+    predecessors has baseline_n = 0 and is never flagged
+    (cross-multiplying keeps that case exact too: 0 > 0 is false).
+    Buckets with zero events are ABSENT, not zero — the trailing
+    frame walks existing buckets; feed :func:`timeseries` gap-fill
+    first when silence itself must count.
+
+    Returns (event_type, bucket_ts, n_events, baseline_sum,
+    baseline_n, is_spike).
+    """
+    from pyspark.sql import Window
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    counts = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing, -1)
+    )
+    return counts.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("baseline_sum"),
+        F.count("n_events").over(w).cast("bigint").alias("baseline_n"),
+    ).withColumn(
+        "is_spike",
+        (F.col("n_events") * F.col("baseline_n"))
+        > (F.lit(int(factor)) * F.col("baseline_sum")),
+    )

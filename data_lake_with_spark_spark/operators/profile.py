@@ -764,3 +764,127 @@ def numeric_outlier_report(
             ).alias("outlier_rate"),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    pairs: "list[tuple[list[str], str]]",
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate dependency
+    ``determinant columns → dependent column``, does every
+    determinant group map to exactly ONE dependent value? The
+    profiling staple next to key discovery (:func:`key_uniqueness`):
+    keys say which columns identify a row; FDs say which columns are
+    DERIVABLE — the difference between "safe to denormalize/join on"
+    and "this 'attribute' secretly varies per group" (the data bug
+    that silently duplicates rows after an enrichment join).
+
+    Per pair: ONE keyed groupBy counting distinct dependent values
+    (over a STRUCT, so NULL dependents count as a value — an FD
+    violated only by NULLs is still violated), then one summary agg.
+    Pairs union (bounded by the audit list, never data); each
+    pipeline is partial-aggregable, row volume collapses at the
+    first groupBy. All counts exact integers.
+
+    Returns (determinant, dependent, n_groups, n_violating_groups,
+    max_dep_values, holds) — ``holds`` iff no group maps to more
+    than one dependent value.
+    """
+    if not pairs:
+        raise ValueError("functional_dependencies needs at least one pair")
+    parts = []
+    for dets, dep in pairs:
+        if not dets:
+            raise ValueError("determinant column list must be non-empty")
+        per_group = (
+            df.groupBy(*[F.col(c) for c in dets])
+            .agg(
+                F.countDistinct(F.struct(F.col(dep))).alias("_nd")
+            )
+        )
+        parts.append(
+            per_group.agg(
+                F.lit(",".join(dets)).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.max("_nd").cast("bigint").alias("max_dep_values"),
+            ).withColumn("holds", F.col("n_violating_groups") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def percentile_envelope(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float = 0.5,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Driver-verifiable gate for the OTHER Spark sketch:
+    ``approx_percentile`` (Greenwald–Khanna). Unlike HLL (q53/q179's
+    6·rsd envelope — a standard-error multiple, not a guarantee), GK
+    carries a HARD deterministic rank bound: the returned value's
+    rank is within ``±n/accuracy`` of ``p·n``. The gate computes the
+    estimate per group, then the estimate's EXACT rank INTERVAL
+    (duplicate values occupy a rank range, not a point) in a second
+    keyed pass, and emits whether that interval intersects the
+    guaranteed band — the estimate itself (engine-specific) never
+    reaches the output, so the oracle is portable (the q53 pattern,
+    with a hard bound instead of an envelope). NULL values are
+    excluded from both the sketch and the rank, matching SQL
+    percentile semantics.
+
+    Returns (group, n, within_bound).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    v = F.col(value_col)
+    est = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.percentile_approx(v, p, accuracy).alias("_est"),
+        F.count(v).cast("bigint").alias("n"),
+    )
+    ranked = (
+        df.select(F.col(group_col).alias("group"), v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .join(F.broadcast(est), "group")
+        .groupBy("group")
+        .agg(
+            F.sum(F.when(F.col("_v") < F.col("_est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_lt"),
+            F.sum(F.when(F.col("_v") <= F.col("_est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_le"),
+            F.max("n").alias("n"),
+        )
+    )
+    # GK guarantee: the returned VALUE occupies the rank interval
+    # [count(v < est) + 1, count(v ≤ est)] (duplicates widen it), and
+    # SOME rank in that interval lies within ±n/accuracy (+1 for the
+    # discrete floor) of p·n. The bound test is whether the two
+    # intervals intersect — pure rational arithmetic via integer
+    # cross-multiplication (no float comparison at all), with p
+    # scaled to an exact rational p_num/10^6:
+    #   rank_lo ≤ p·n + n/acc + 1   AND   rank_hi ≥ p·n − n/acc − 1
+    p_num = int(round(p * 10**6))
+    acc = int(accuracy)
+    m = F.lit(10**6)
+    target = F.lit(p_num) * F.col("n") * F.lit(acc)  # p·n · acc·10^6
+    slack = (F.col("n") + F.lit(acc)) * m  # (n/acc + 1) · acc·10^6
+    rank_lo = (F.col("_lt") + F.lit(1)) * F.lit(acc) * m
+    rank_hi = F.col("_le") * F.lit(acc) * m
+    return ranked.select(
+        "group",
+        "n",
+        (
+            (rank_lo <= target + slack) & (rank_hi >= target - slack)
+        ).alias("within_bound"),
+    )

@@ -1674,3 +1674,92 @@ def delete_from_bm25_index(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
     out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction (PMI-ranked word bigrams): the corpus
+    analysis that surfaces multi-word units ("new york", "machine
+    learning") for tokenizer vocab decisions, boilerplate discovery,
+    and n-gram-LM feature design. Scores by LIFT — the PMI argument
+    ``P(ab) / (P(a)·P(b))`` WITHOUT the log (libm log ulps diverge
+    across engines; log is monotone, so the ranking is identical —
+    the rational-idf rule): ``lift = (c_ab/B) / ((c_a/U)·(c_b/U))``
+    evaluated in pinned operand order, where c are exact integer
+    counts, U total unigrams, B total bigrams.
+
+    Two count aggregates over the exploded token/bigram frames (both
+    partial-aggregable), a broadcast of the two scalar totals, and
+    two broadcast-able joins of the bigram frame against the unigram
+    counts (the bigram VOCABULARY frame — min_count-pruned — carries
+    the joins, never the corpus). ``min_count`` floors both the
+    bigram and its parts, killing the hapax noise that dominates raw
+    PMI. Top-k via TakeOrderedAndProject.
+
+    Returns (bigram, c_ab, c_a, c_b, lift, rank).
+    """
+    from data_lake_with_spark_spark.operators.relational import top_k
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u_total = uni.agg(F.sum("c").cast("bigint").alias("u"))
+    bi = (
+        docs.select(
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    b_total = bi.agg(F.sum("c_ab").cast("bigint").alias("b"))
+    parts = F.split(F.col("bigram"), " ", 2)
+    scored = (
+        bi.where(F.col("c_ab") >= min_count)
+        .withColumn("_w1", parts.getItem(0))
+        .withColumn("_w2", parts.getItem(1))
+        .join(
+            uni.select(F.col("tok").alias("_w1"), F.col("c").alias("c_a")),
+            "_w1",
+        )
+        .join(
+            uni.select(F.col("tok").alias("_w2"), F.col("c").alias("c_b")),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(u_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            # pinned order: ((c_ab / B) / (c_a / U)) / (c_b / U) —
+            # four divisions, each correctly rounded over identical
+            # operands in any IEEE engine
+            (
+                (F.col("c_ab") / F.col("b"))
+                / (F.col("c_a") / F.col("u"))
+                / (F.col("c_b") / F.col("u"))
+            ).alias("lift"),
+        )
+    )
+    ranked = top_k(
+        scored, [F.col("lift").desc(), F.col("bigram").asc()], k
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), F.col("bigram").asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

@@ -5833,6 +5833,168 @@ SELECT node, authority, hub, pos FROM (
 """
 
 
+def q182_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (profile.functional_dependencies):
+    does l_orderkey determine the return flag (no — it varies per
+    line with the ship date), does the line-level key determine the part (trivially
+    yes), does a part pin its supplier (no — TPC-H gives each part
+    several)? The derivability question every denormalization /
+    enrichment-join decision rests on: joining on a column that only
+    LOOKS functionally determined silently duplicates rows. Exact
+    integer counts, one keyed groupBy per audited pair."""
+    from data_lake_with_spark_spark.operators.profile import (
+        functional_dependencies,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return functional_dependencies(
+        li,
+        [
+            (["l_orderkey"], "l_returnflag"),
+            (["l_orderkey", "l_linenumber"], "l_partkey"),
+            (["l_partkey"], "l_suppkey"),
+        ],
+    )
+
+
+O_Q182 = """
+WITH g1 AS (SELECT l_orderkey, COUNT(DISTINCT (l_returnflag)) AS nd
+            FROM lineitem GROUP BY l_orderkey),
+g2 AS (SELECT l_orderkey, l_linenumber, COUNT(DISTINCT (l_partkey)) AS nd
+       FROM lineitem GROUP BY l_orderkey, l_linenumber),
+g3 AS (SELECT l_partkey, COUNT(DISTINCT (l_suppkey)) AS nd
+       FROM lineitem GROUP BY l_partkey)
+SELECT 'l_orderkey' AS determinant, 'l_returnflag' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(MAX(nd) AS BIGINT) AS max_dep_values,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM g1
+UNION ALL
+SELECT 'l_orderkey,l_linenumber', 'l_partkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(nd) AS BIGINT),
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM g2
+UNION ALL
+SELECT 'l_partkey', 'l_suppkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(nd) AS BIGINT),
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM g3
+"""
+
+
+def q183_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection (events_analytics.rate_spikes):
+    per (event type, hour), flag buckets whose count exceeds 3× the
+    trailing-4-bucket mean — the monitoring pass that catches ingest
+    storms and broken producers the hour they happen. ENTIRELY
+    integer arithmetic: the spike test cross-multiplies
+    (count·baseline_n > 3·baseline_sum), so no division and no
+    float exists anywhere in the operator — the graph-family
+    tie-divergence lesson applied preemptively. One keyed groupBy +
+    one ROWS-frame window per type."""
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        rate_spikes,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rate_spikes(e, factor=3, trailing=4)
+
+
+O_Q183 = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+w AS (
+  SELECT event_type, bucket_ts, n_events,
+         CAST(COALESCE(SUM(n_events) OVER win, 0) AS BIGINT)
+           AS baseline_sum,
+         CAST(COUNT(n_events) OVER win AS BIGINT) AS baseline_n
+  FROM c
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket_ts, n_events, baseline_sum, baseline_n,
+       (n_events * baseline_n) > (3 * baseline_sum) AS is_spike
+FROM w
+"""
+
+
+def q184_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GK-sketch twin of q179's HLL gate
+    (profile.percentile_envelope): ``approx_percentile`` — the
+    quantile sketch a 100 TB pipeline uses where exact percentiles
+    would shuffle the world — driver-verified through its HARD rank
+    guarantee (|rank(est) − p·n| ≤ n/accuracy, deterministic, unlike
+    HLL's standard-error envelope). The estimate's exact rank
+    INTERVAL (ties widen it) is checked against the guaranteed band
+    with integer cross-multiplication; the engine-specific estimate
+    never reaches the output, so the oracle is portable."""
+    from data_lake_with_spark_spark.operators.profile import (
+        percentile_envelope,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return percentile_envelope(e, "event_type", "value", p=0.5, accuracy=1000)
+
+
+O_Q184 = """
+SELECT event_type AS "group",
+       CAST(COUNT(value) AS BIGINT) AS n,
+       TRUE AS within_bound
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q185_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (text.collocations): top-50 word
+    bigrams by LIFT — PMI without the log (monotone, so identical
+    ranking; libm log ulps diverge cross-engine — the rational-idf
+    rule) — the corpus analysis behind multi-word tokenizer vocab
+    entries and boilerplate phrase discovery. Exact integer counts,
+    four pinned-order divisions per surviving bigram, min_count=5
+    hapax pruning, top-k via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    return text.collocations(d, k=50, min_count=5)
+
+
+O_Q185 = """
+WITH arr AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS a FROM documents),
+tok AS (
+  SELECT unnest(a) AS tok FROM arr),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        WHERE tok <> '' GROUP BY tok),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni),
+bi AS (
+  SELECT a[g] || ' ' || a[g + 1] AS bigram
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS g) s
+  WHERE len(a) >= 2),
+bic AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi
+        GROUP BY bigram),
+bt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b FROM bic),
+sc AS (
+  SELECT bic.bigram, bic.c_ab, ua.c AS c_a, ub.c AS c_b,
+         ((bic.c_ab / bt.b) / (ua.c / ut.u)) / (ub.c / ut.u) AS lift
+  FROM bic
+  JOIN uni ua ON ua.tok = split_part(bic.bigram, ' ', 1)
+  JOIN uni ub ON ub.tok = split_part(bic.bigram, ' ', 2)
+  CROSS JOIN ut CROSS JOIN bt
+  WHERE bic.c_ab >= 5)
+SELECT bigram, c_ab, c_a, c_b, lift, rank FROM (
+  SELECT bigram, c_ab, c_a, c_b, lift,
+         CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, bigram)
+              AS BIGINT) AS rank
+  FROM sc) WHERE rank <= 50
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7017,6 +7179,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q179_key_uniqueness_sketch": (q179_key_uniqueness_sketch, O_Q162),
     "q180_pagerank_seeded": (q180_pagerank_seeded, O_Q180),
     "q181_hits_copurchase": (q181_hits_copurchase, O_Q181),
+    "q182_fd_audit": (q182_fd_audit, O_Q182),
+    "q183_rate_spikes": (q183_rate_spikes, O_Q183),
+    "q184_percentile_envelope": (q184_percentile_envelope, O_Q184),
+    "q185_collocations": (q185_collocations, O_Q185),
 }
 
 
@@ -7208,6 +7374,15 @@ _ROTATED_IN = (
     # them. Promoted after 30× probes + a full driver_sim replay.
     "q180_pagerank_seeded",
     "q181_hits_copurchase",
+    # round 9c: audit/monitoring classes — FD audit (the derivability
+    # twin of key discovery), integer-arithmetic rate-spike
+    # detection, the GK percentile rank-envelope gate (the hard-bound
+    # twin of q179's HLL envelope), and PMI-lift collocations —
+    # promoted same-round after 30× probes + a driver_sim replay
+    "q182_fd_audit",
+    "q183_rate_spikes",
+    "q184_percentile_envelope",
+    "q185_collocations",
 )
 _ROTATED_OUT = (
     # round 4
@@ -7454,6 +7629,17 @@ _ROTATED_OUT = (
     # sampling q165 out (sampling keeps q127/q130/q132/q170).
     "q164_referential_integrity",
     "q165_weighted_sample",
+    # round 9c demotions — all four green in CORRECTNESS_r08.json's
+    # window, untouched in r9. Retrieval metrics q167 out (the family
+    # keeps q140/q145/q151/q157/q161/q171 + incoming q178 in-window);
+    # last-touch attribution q148 out (events keep q155 multitouch +
+    # q159 lift + incoming q183); weighted median q153 and HHI/Gini
+    # q160 out (profiling keeps q154/q158/q174 + incoming
+    # q179/q182/q184).
+    "q167_retrieval_metrics",
+    "q148_attribution",
+    "q153_weighted_median",
+    "q160_column_concentration",
 )
 
 

@@ -342,3 +342,58 @@ def test_attribute_conversions_wide_ids_and_domain_guard(spark):
         attribute_conversions(
             spark.createDataFrame(bad, ["event_id", "ts", "user_id", "event_type"]),
         ).collect()
+
+
+def test_rate_spikes_integer_cross_multiplication(spark):
+    """Hand-built hourly counts: a 40-event hour after a (2,3,4,3)
+    baseline (sum 12, n 4) flags at factor 3 (40·4 > 3·12); the
+    first bucket (no baseline) never flags; a bucket exactly AT the
+    factor boundary does not flag (strict >)."""
+    import datetime as dt
+
+    import pytest
+
+    from data_lake_with_spark_spark.operators.events_analytics import (
+        rate_spikes,
+    )
+
+    def hour(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    rows = []
+    for h, n in [(0, 2), (1, 3), (2, 4), (3, 3), (4, 40), (5, 9)]:
+        rows += [("click", hour(h))] * n
+    # a second type: constant rate, never flags
+    for h in range(6):
+        rows += [("view", hour(h))] * 5
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r["event_type"], r["bucket_ts"].hour): r
+        for r in rate_spikes(df, factor=3, trailing=4).collect()
+    }
+    spike = out[("click", 4)]
+    assert spike["is_spike"] and spike["n_events"] == 40
+    assert spike["baseline_sum"] == 12 and spike["baseline_n"] == 4
+    assert not out[("click", 0)]["is_spike"]  # no baseline
+    assert out[("click", 0)]["baseline_n"] == 0
+    # hour 5: baseline (3,4,3,40)=50/4=12.5; 9 < 3*12.5 → quiet
+    assert not out[("click", 5)]["is_spike"]
+    assert all(not out[("view", h)]["is_spike"] for h in range(6))
+    # boundary: 15 events after (5,5,5,5) at factor 3 → 15·4 == 3·20,
+    # strict > keeps it quiet; 16 flags
+    b = [("x", hour(h)) for h in range(4) for _ in range(5)]
+    at = spark.createDataFrame(
+        b + [("x", hour(4))] * 15, "event_type string, ts timestamp"
+    )
+    over = spark.createDataFrame(
+        b + [("x", hour(4))] * 16, "event_type string, ts timestamp"
+    )
+    get = lambda d: [  # noqa: E731
+        r["is_spike"] for r in rate_spikes(d, factor=3).collect()
+        if r["bucket_ts"].hour == 4
+    ][0]
+    assert get(at) is False and get(over) is True
+    with pytest.raises(ValueError):
+        rate_spikes(df, factor=0)
+    with pytest.raises(ValueError):
+        rate_spikes(df, trailing=0)

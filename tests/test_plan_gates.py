@@ -405,3 +405,24 @@ def test_r9_batch1_shuffle_budgets(spark, sf_dir):
     for line in p.splitlines():
         low = line.lower()
         assert not ("expand" in low and "approx_count_distinct" in low), line
+
+
+def test_r9_batch2_shuffle_budgets(spark, sf_dir):
+    """q182 FD audit: 3 audited pairs × (keyed countDistinct groupBy
+    + one-row summary) — 9; q183 rate spikes: ONE keyed groupBy +
+    the type-partition ROWS window — 2; q184 GK envelope: estimate
+    agg + broadcast join + rank agg — 3; q185 collocations: unigram/
+    bigram count aggs, two scalar-total aggs, two vocab joins and
+    the top-k — 11, all vocabulary-sized after the first groupBys.
+    Zero Python nodes; spike test and FD counts are pure integer
+    arithmetic (no float to diverge)."""
+    budgets = {
+        "q182_fd_audit": 9,
+        "q183_rate_spikes": 2,
+        "q184_percentile_envelope": 3,
+        "q185_collocations": 11,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name

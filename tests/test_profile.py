@@ -309,3 +309,65 @@ def test_numeric_outlier_report_hand_case(spark):
     assert a["iqr"] == 4.0 and a["lo_fence"] == -3.0 and a["hi_fence"] == 13.0
     assert a["n_outliers"] == 1 and a["outlier_rate"] == 1 / 9
     assert out["b"]["n_outliers"] == 0 and out["b"]["outlier_rate"] == 0.0
+
+
+def test_functional_dependencies_holds_and_violations(spark):
+    """c→n holds (each customer one nation); c→v violated by value
+    AND by a NULL variant (NULL dependents count as values via the
+    struct trick — an FD violated only by NULLs is still violated)."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.profile import (
+        functional_dependencies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "us", 10), (1, "us", 10), (2, "de", 5),
+         (2, "de", None), (3, "fr", 7)],
+        "cust bigint, nation string, v bigint",
+    )
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in functional_dependencies(
+            df, [(["cust"], "nation"), (["cust"], "v")]
+        ).collect()
+    }
+    fd1 = out[("cust", "nation")]
+    assert fd1["holds"] and fd1["n_groups"] == 3
+    assert fd1["n_violating_groups"] == 0 and fd1["max_dep_values"] == 1
+    fd2 = out[("cust", "v")]
+    assert not fd2["holds"]
+    assert fd2["n_violating_groups"] == 1  # cust 2 maps to {5, NULL}
+    assert fd2["max_dep_values"] == 2
+    with pytest.raises(ValueError):
+        functional_dependencies(df, [])
+    with pytest.raises(ValueError):
+        functional_dependencies(df, [([], "v")])
+
+
+def test_percentile_envelope_gk_bound(spark):
+    """The GK rank guarantee holds on a hand-built group, and the
+    bound test itself is integer cross-multiplication (no float
+    compare). A degenerate accuracy=1 sketch still satisfies its own
+    (loose) bound; bad params raise."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.profile import (
+        percentile_envelope,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["group"]: r for r in percentile_envelope(
+        df, "g", "v", p=0.5, accuracy=1000
+    ).collect()}
+    assert out["a"]["n"] == 100 and out["a"]["within_bound"]
+    assert out["b"]["n"] == 10 and out["b"]["within_bound"]
+    loose = {r["group"]: r["within_bound"] for r in percentile_envelope(
+        df, "g", "v", p=0.9, accuracy=1
+    ).collect()}
+    assert loose == {"a": True, "b": True}
+    with pytest.raises(ValueError):
+        percentile_envelope(df, "g", "v", p=1.0)
+    with pytest.raises(ValueError):
+        percentile_envelope(df, "g", "v", accuracy=0)

@@ -755,3 +755,33 @@ def test_delete_from_bm25_index_equals_scratch(spark, tmp_path):
             spark, del_idx,
             spark.createDataFrame([(1,)], ["doc_id"]), del_idx,
         )
+
+
+def test_collocations_lift_ranking(spark):
+    """'new york' co-occurs always (lift ≫ 1) while 'the the'-style
+    independent pairs sit near lift 1; min_count prunes hapax pairs;
+    the lift value matches the hand-computed pinned-order rational."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and the city is the place") for i in range(5)]
+        + [(99, "brand pair")],
+        ["doc_id", "text"],
+    )
+    out = {r["bigram"]: r for r in text.collocations(
+        docs, k=20, min_count=5
+    ).collect()}
+    assert "brand pair" not in out  # hapax pruned (c_ab = 1 < 5)
+    ny = out["new york"]
+    assert ny["c_ab"] == 5 and ny["c_a"] == 5 and ny["c_b"] == 5
+    # U = 5*10 + 2 = 52 unigrams, B = 5*9 + 1 = 46 bigrams
+    exp = (5 / 46) / (5 / 52) / (5 / 52)
+    assert ny["lift"] == exp  # pinned-order, bit-exact
+    # 'is the' (c_ab=5) pairs two high-frequency words → lower lift
+    assert out["is the"]["lift"] < ny["lift"]
+    ranks = sorted((r["rank"], b) for b, r in out.items())
+    assert ranks[0][0] == 1 and len(ranks) <= 20
+    with pytest.raises(ValueError):
+        text.collocations(docs, k=0)
+    with pytest.raises(ValueError):
+        text.collocations(docs, min_count=0)
