@@ -201,6 +201,188 @@ def pagerank_personalized(
     return r
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Triangle census of an undirected graph — n_nodes, n_edges,
+    n_wedges (ΣC(deg,2)), n_triangles, and the global clustering
+    coefficient 3·T/W (graph transitivity) — the density/community
+    structure signal a crawl-curation stack reads before trusting
+    link-authority scores (a link farm shows near-clique clustering;
+    organic link graphs sit orders of magnitude lower).
+
+    DEGREE-ORDERED ORIENTATION (the scale contract): each undirected
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, and wedges are generated only between OUT-neighbors of a
+    common source. Out-degree under this orientation is bounded by
+    O(√E) regardless of skew (a hub's edges orient INTO it), so
+    candidate wedges are Σ C(outdeg, 2) — the arboricity-bounded
+    count of Chiba–Nishizeki / Schank–Wagner — instead of the
+    unbounded Σ C(deg, 2) a naive neighbor self-join generates on a
+    hub. Each candidate wedge (v, w) closes into a triangle iff the
+    oriented edge v→w exists (orientation order is transitive, so
+    every triangle is counted exactly once, at its lowest-order
+    vertex). All joins are node-keyed shuffles; the closing check is
+    a LEFT SEMI join against the oriented edge set; no driver-side
+    state. Counts are exact integers; the clustering coefficient is
+    (3.0·T)/W — an exact integer-valued product then ONE IEEE
+    division, bit-identical cross-engine.
+
+    Input may contain duplicates, self-loops, or both directions of
+    an edge: rows are canonicalized to (lo, hi), self-loops dropped,
+    duplicates collapsed. Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    g = e.join(
+        deg.withColumnsRenamed({"node": "lo", "deg": "deg_lo"}), "lo"
+    ).join(deg.withColumnsRenamed({"node": "hi", "deg": "deg_hi"}), "hi")
+    # orientation order: (deg, node) lexicographic — explicit boolean,
+    # mirrored verbatim in SQL oracles (no struct-compare dialect risk)
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = g.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("deg_hi"))
+        .otherwise(F.col("deg_lo"))
+        .alias("deg_v"),
+    ).localCheckpoint()
+    o2 = oriented.select(
+        F.col("u"),
+        F.col("v").alias("w"),
+        F.col("deg_v").alias("deg_w"),
+    )
+    wedges = oriented.join(o2, "u").where(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - F.lit(1))).alias("_dp"),
+    ).select(
+        "n_nodes", F.expr("_dp div 2").cast("bigint").alias("n_wedges")
+    )
+    edge_stats = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Clamped-seed label propagation (the semi-supervised classic:
+    Zhu & Ghahramani 2002 / Raghavan et al. 2007's LPA restricted to
+    a fixed synchronous round count): a small trusted seed set
+    carries labels (domain topics, quality tiers, license classes);
+    each round, every node adjacent to a labeled node takes the
+    MAJORITY label of its labeled neighbors; seed labels are CLAMPED
+    (never overwritten). How a curation pipeline spreads scarce
+    human/classifier labels over a crawl graph without scoring every
+    page. The labeled set grows monotonically, so a fixed small
+    iteration count labels everything within `iterations` hops of a
+    seed — the curation norm, and what keeps the plan a finite
+    unrolled composition (no convergence loop).
+
+    DETERMINISM CONTRACT: votes are exact integer counts over the
+    DISTINCT symmetrized edge set, and the winner is argmax by
+    (votes DESC, label ASC) — a total order, so ties break
+    identically in any engine; no floats anywhere. Per round: one
+    node-keyed join + one (node, label)-keyed count + one
+    node-partitioned rank window (partitioned — never a global
+    window), then the clamp is a seed-keyed anti join; the round
+    result is pinned with localCheckpoint so round t+1 consumes a
+    table, not a growing plan (the connected-components lesson).
+
+    Returns (node, label) for seeds plus every node within
+    ``iterations`` hops of one.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    s = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = s
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(rank_w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = s.unionByName(
+            winners.join(s, "node", "left_anti")
+        ).localCheckpoint()
+    return labels
+
+
 def hits_fixed(
     edges: DataFrame,
     iterations: int = 2,

@@ -5995,6 +5995,148 @@ SELECT bigram, c_ab, c_a, c_b, lift, rank FROM (
 """
 
 
+def _part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (lo < hi) part–part co-purchase pairs: two parts are
+    adjacent iff some order contains both. The unipartite projection
+    of the order–part bipartite graph — the graph the triangle census
+    and label spread run on (the bipartite frame itself has no odd
+    cycles, hence no triangles)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+
+
+def q186_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (graph.triangle_stats) of the part–part
+    co-purchase graph: exact triangle count via DEGREE-ORDERED
+    orientation (wedges generated only between out-neighbors under
+    the (deg, id) order — candidate count bounded by Σ C(outdeg, 2)
+    = O(E^1.5) worst-case instead of hub-quadratic), plus the global
+    clustering coefficient 3·T / ΣC(deg,2) — the transitivity signal
+    that separates organic link graphs from link-farm near-cliques.
+    Integer-exact; ONE IEEE division for the coefficient."""
+    from data_lake_with_spark_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_part_copurchase_pairs(spark, sf_dir))
+
+
+_O_COPURCHASE_P0 = """
+p0 AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+O_Q186 = f"""
+WITH {_O_COPURCHASE_P0},
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0) GROUP BY node),
+o AS (SELECT
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN p0.lo ELSE p0.hi END AS u,
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN p0.hi ELSE p0.lo END AS v,
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN dh.deg ELSE dl.deg END AS deg_v
+  FROM p0 JOIN deg dl ON dl.node = p0.lo JOIN deg dh ON dh.node = p0.hi),
+w AS (SELECT o1.v AS v, o2.v AS w FROM o o1 JOIN o o2
+      ON o1.u = o2.u AND (o1.deg_v < o2.deg_v
+                          OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM w SEMI JOIN o ON o.u = w.v AND o.v = w.w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+      FROM deg),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM p0)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN (3.0 * n_triangles) / n_wedges
+            ELSE 0.0 END AS global_clustering
+FROM n, m, t
+"""
+
+
+def q187_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-seed label propagation (graph.label_propagation) over
+    the part–part co-purchase graph: small parts (p_size <= 5, ~10%)
+    seed their brand as a trusted label; two synchronous
+    majority-vote rounds spread labels to every node within 2 hops —
+    how scarce human/classifier labels cover a crawl graph without
+    scoring every page. Votes are exact integer counts; the winner
+    is argmax by (votes DESC, label ASC) — a total order, so the
+    result is engine-independent. Output: per-label node counts
+    split into seeded vs propagated."""
+    from data_lake_with_spark_spark.operators.graph import label_propagation
+
+    part = _t(spark, sf_dir, "part")
+    seeds = part.where(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    lab = label_propagation(
+        _part_copurchase_pairs(spark, sf_dir), seeds, iterations=2
+    )
+    seed_nodes = seeds.select("node").withColumn("_is_seed", F.lit(1))
+    return (
+        lab.join(seed_nodes, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.coalesce(F.col("_is_seed"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_seeded"),
+        )
+        .withColumn(
+            "n_propagated",
+            (F.col("n_total") - F.col("n_seeded")).cast("bigint"),
+        )
+    )
+
+
+O_Q187 = f"""
+WITH {_O_COPURCHASE_P0},
+e AS (SELECT lo AS src, hi AS dst FROM p0
+      UNION ALL SELECT hi AS src, lo AS dst FROM p0),
+seeds AS (SELECT p_partkey AS node, p_brand AS label FROM part
+          WHERE p_size <= 5),
+v1 AS (SELECT e.dst AS node, s.label, COUNT(*) AS votes
+       FROM e JOIN seeds s ON s.node = e.src GROUP BY e.dst, s.label),
+w1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node
+                                   ORDER BY votes DESC, label) AS rn
+         FROM v1) WHERE rn = 1),
+l1 AS (SELECT node, label FROM seeds UNION ALL
+       SELECT w1.node, w1.label FROM w1
+       ANTI JOIN seeds ON seeds.node = w1.node),
+v2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS votes
+       FROM e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.label),
+w2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node
+                                   ORDER BY votes DESC, label) AS rn
+         FROM v2) WHERE rn = 1),
+l2 AS (SELECT node, label FROM seeds UNION ALL
+       SELECT w2.node, w2.label FROM w2
+       ANTI JOIN seeds ON seeds.node = w2.node)
+SELECT l2.label AS label, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seeded,
+       CAST(COUNT(*) - SUM(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_propagated
+FROM l2 LEFT JOIN (SELECT node FROM seeds) s ON s.node = l2.node
+GROUP BY l2.label
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7183,6 +7325,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q183_rate_spikes": (q183_rate_spikes, O_Q183),
     "q184_percentile_envelope": (q184_percentile_envelope, O_Q184),
     "q185_collocations": (q185_collocations, O_Q185),
+    "q186_triangle_census": (q186_triangle_census, O_Q186),
+    "q187_label_propagation": (q187_label_propagation, O_Q187),
 }
 
 
@@ -7383,6 +7527,14 @@ _ROTATED_IN = (
     "q183_rate_spikes",
     "q184_percentile_envelope",
     "q185_collocations",
+    # round 9d: the graph-structure pair — exact triangle census via
+    # degree-ordered orientation (wedge candidates bounded by
+    # ΣC(outdeg,2) = O(E^1.5), never hub-quadratic) and clamped-seed
+    # majority-vote label propagation (integer votes, total-order
+    # tie-break). Promoted same-round after 30× probes + a full
+    # driver_sim replay.
+    "q186_triangle_census",
+    "q187_label_propagation",
 )
 _ROTATED_OUT = (
     # round 4
@@ -7640,6 +7792,12 @@ _ROTATED_OUT = (
     "q148_attribution",
     "q153_weighted_median",
     "q160_column_concentration",
+    # round 9d demotions — both driver-hard verified in r8's rotated
+    # window (CORRECTNESS_r08 50/50), untouched in r9; the
+    # text-quality family keeps q126/q130/q131/q135/q137/q139/
+    # q141/q142/q143/q156 in-window.
+    "q168_vocab_budget_rewrite",
+    "q169_boilerplate_prefixes",
 )
 
 

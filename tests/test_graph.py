@@ -121,3 +121,64 @@ def test_hits_hand_case_and_separation(spark):
         assert int(out[f"s{i}"]["hub"]) == 0
     with pytest.raises(ValueError):
         hits_fixed(star, iterations=0)
+
+
+def test_triangle_stats_hand_cases(spark):
+    """K4 has 4 triangles, 12 wedges, transitivity 1.0; a 4-path has
+    none; input canonicalization collapses duplicates, both
+    directions, and self-loops."""
+    from data_lake_with_spark_spark.operators.graph import triangle_stats
+
+    def stats(pairs):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return triangle_stats(e).collect()[0]
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = stats(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert r["global_clustering"] == 1.0
+    path = stats([("a", "b"), ("b", "c"), ("c", "d")])
+    assert path["n_triangles"] == 0 and path["n_wedges"] == 2
+    assert path["global_clustering"] == 0.0
+    # triangle + pendant: wedges C(2,2)*2 + C(3,2) = 5, one triangle
+    tp = stats([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert tp["n_triangles"] == 1 and tp["n_wedges"] == 5
+    # noisy input: dup edges, reversed copies, self-loop — same K4
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a"), ("a", "b")]
+    rn = stats(noisy)
+    assert (rn["n_edges"], rn["n_triangles"]) == (6, 4)
+
+
+def test_label_propagation_hand_cases(spark):
+    """Path s1-a-b with seed s1=X: one round labels a, two rounds
+    reach b; majority voting with the (votes DESC, label ASC)
+    tie-break; seeds are clamped over any neighbor majority."""
+    from data_lake_with_spark_spark.operators.graph import label_propagation
+
+    import pytest as _pt
+
+    def run(pairs, seed_rows, iters):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        s = spark.createDataFrame(seed_rows, "node string, label string")
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(e, s, iterations=iters).collect()
+        }
+
+    path = [("s1", "a"), ("a", "b")]
+    assert run(path, [("s1", "X")], 1) == {"s1": "X", "a": "X"}
+    assert run(path, [("s1", "X")], 2) == {"s1": "X", "a": "X", "b": "X"}
+    # majority: v has two Y-seeds and one X-seed as neighbors
+    maj = [("y1", "v"), ("y2", "v"), ("x1", "v")]
+    seeds = [("y1", "Y"), ("y2", "Y"), ("x1", "X")]
+    assert run(maj, seeds, 1)["v"] == "Y"
+    # tie at one vote each -> label ASC wins (deterministic)
+    tie = [("y1", "v"), ("x1", "v")]
+    assert run(tie, [("y1", "Y"), ("x1", "X")], 1)["v"] == "X"
+    # clamp: a seed surrounded by the other label keeps its own
+    clamp = [("y1", "s"), ("y2", "s")]
+    assert run(clamp, [("y1", "Y"), ("y2", "Y"), ("s", "X")], 2)["s"] == "X"
+    with _pt.raises(ValueError):
+        run(path, [("s1", "X")], 0)

@@ -426,3 +426,23 @@ def test_r9_batch2_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+def test_r9_graph_batch2_shuffle_budgets(spark, sf_dir):
+    """q186 triangle census: the counted plan (after the edge/oriented
+    checkpoints) is the wedge self-join on u (keyed), the (v, w)
+    LEFT SEMI closing join, the degree re-derivation for ΣC(deg,2),
+    and the three one-row aggregates that cross-join broadcast — 10
+    exchanges, all node- or pair-keyed or one-row; no global sort
+    anywhere. q187 label propagation ends on a seed-flag join + a
+    label-keyed count over the final checkpointed label table (2);
+    per-round plans are deliberately truncated by the round pin —
+    the round shape itself is held by the hand-case tests (majority,
+    tie-break, clamp, hop count). Zero Python nodes in both."""
+    budgets = {
+        "q186_triangle_census": 10,
+        "q187_label_propagation": 2,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
