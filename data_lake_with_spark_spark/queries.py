@@ -5393,20 +5393,7 @@ def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.graph import pagerank_fixed
     from data_lake_with_spark_spark.operators.relational import top_k
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5685,21 +5672,8 @@ def q180_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_lake_with_spark_spark.operators.relational import top_k
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5781,20 +5755,7 @@ def q181_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.graph import hits_fixed
     from data_lake_with_spark_spark.operators.relational import top_k
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _copurchase_pairs(spark, sf_dir)
     r = hits_fixed(edges, iterations=2).select(
         "node",
         F.col("authority").cast("bigint").alias("authority"),
@@ -5995,12 +5956,45 @@ SELECT bigram, c_ab, c_a, c_b, lift, rank FROM (
 """
 
 
+# Shared edge-frame builders for the graph family. Deliberately NOT
+# disk-cached across entries (the _bm25_index pattern was measured
+# here and REJECTED): pair construction is one broadcast-ish join +
+# distinct, and the A/B showed re-reading a cached parquet copy is
+# SLOWER than rebuilding (pagerank_fixed at sf0.1: inline 5.96s vs
+# cached-read 8.15s min-of-2 — the read's few fat partitions feed
+# the symmetrize + checkpoint with a third of the parallelism of the
+# 32-partition distinct output, and nothing expensive is being
+# amortized, unlike the BM25 corpus explode). Caching is for
+# operators whose build DOMINATES their serve; these builders are
+# the cheap end of their queries.
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→part purchase pairs ('c…'/'p…' string node
+    ids) — the bipartite frame q175/q180 symmetrize and q181 ranks
+    directly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+
+
 def _part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (lo < hi) part–part co-purchase pairs: two parts are
-    adjacent iff some order contains both. The unipartite projection
-    of the order–part bipartite graph — the graph the triangle census
-    and label spread run on (the bipartite frame itself has no odd
-    cycles, hence no triangles)."""
+    """Canonical (lo < hi) distinct part–part co-purchase pairs: two
+    parts are adjacent iff some order contains both. The unipartite
+    projection of the order–part bipartite graph — the graph the
+    triangle census and label spread run on (the bipartite frame
+    itself has no odd cycles, hence no triangles)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     return (
@@ -6013,7 +6007,8 @@ def _part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-    )
+    )  # consumers canonicalize + distinct (an outer distinct here
+    #    would just add a pair-keyed exchange before theirs)
 
 
 def q186_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
