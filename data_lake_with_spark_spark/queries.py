@@ -6132,6 +6132,93 @@ GROUP BY l2.label
 """
 
 
+def q188_related_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-5 related items (graph.related_items) from order
+    baskets: squared-cosine co-occurrence score n_ab²/(n_a·n_b) —
+    exact bigint numerator/denominator, ONE IEEE division (sqrt
+    would be libm; squaring is monotone so rankings are unchanged) —
+    ranked by a PER-ITEM window (never a global sort). The nightly
+    item-item serving table: pair candidates are Σ C(|basket|, 2),
+    bounded by basket size, never by item popularity."""
+    from data_lake_with_spark_spark.operators.graph import related_items
+
+    li = _t(spark, sf_dir, "lineitem")
+    return related_items(
+        li, basket_col="l_orderkey", item_col="l_partkey", k=5
+    )
+
+
+O_Q188 = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM b
+      GROUP BY item),
+p AS (SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+      GROUP BY x.item, y.item),
+sym AS (SELECT a AS item, b AS other, n_ab FROM p
+        UNION ALL SELECT b AS item, a AS other, n_ab FROM p),
+sc AS (SELECT sym.item, sym.other, sym.n_ab,
+              (sym.n_ab * sym.n_ab) / (ni.n_item * no.n_item) AS score
+       FROM sym JOIN n ni ON ni.item = sym.item
+                JOIN n no ON no.item = sym.other)
+SELECT item, other, n_ab, score, rank FROM (
+  SELECT item, other, n_ab, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                 ORDER BY score DESC, other)
+              AS BIGINT) AS rank
+  FROM sc) WHERE rank <= 5
+"""
+
+
+def q189_hub_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clustering audit of the top-50 highest-degree parts
+    (graph.hub_clustering) in the co-purchase graph: per-hub triangle
+    count and local coefficient 2·T_v/(deg·(deg−1)) — the link-farm
+    detector (organic hubs: neighbors that don't know each other,
+    LOW clustering; farms: near-cliques). Triangles materialize once
+    at their lowest-order vertex (degree-ordered orientation, the
+    q186 bound) then attribute to all three members; hub selection
+    is TakeOrderedAndProject by (deg DESC, node ASC)."""
+    from data_lake_with_spark_spark.operators.graph import hub_clustering
+
+    return hub_clustering(_part_copurchase_pairs(spark, sf_dir), k=50)
+
+
+O_Q189 = f"""
+WITH {_O_COPURCHASE_P0},
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT lo AS node FROM p0 UNION ALL SELECT hi FROM p0) GROUP BY node),
+o AS (SELECT
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN p0.lo ELSE p0.hi END AS u,
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN p0.hi ELSE p0.lo END AS v,
+    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND p0.lo < p0.hi)
+         THEN dh.deg ELSE dl.deg END AS deg_v
+  FROM p0 JOIN deg dl ON dl.node = p0.lo JOIN deg dh ON dh.node = p0.hi),
+tri AS (
+  SELECT o1.u AS u, o1.v AS v, o2.v AS w
+  FROM o o1 JOIN o o2
+    ON o1.u = o2.u AND (o1.deg_v < o2.deg_v
+                        OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))
+  JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri) GROUP BY node),
+hubs AS (SELECT node, deg,
+                ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS pos
+         FROM deg)
+SELECT h.node, h.deg, CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN h.deg > 1
+            THEN (2.0 * COALESCE(pn.n_tri, 0)) / (h.deg * (h.deg - 1))
+            ELSE 0.0 END AS local_clustering,
+       CAST(h.pos AS BIGINT) AS pos
+FROM hubs h LEFT JOIN pn ON pn.node = h.node
+WHERE h.pos <= 50
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7322,6 +7409,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q185_collocations": (q185_collocations, O_Q185),
     "q186_triangle_census": (q186_triangle_census, O_Q186),
     "q187_label_propagation": (q187_label_propagation, O_Q187),
+    "q188_related_items": (q188_related_items, O_Q188),
+    "q189_hub_clustering": (q189_hub_clustering, O_Q189),
 }
 
 
@@ -7530,6 +7619,14 @@ _ROTATED_IN = (
     # driver_sim replay.
     "q186_triangle_census",
     "q187_label_propagation",
+    # round 9e: the co-occurrence serving pair — per-item top-k
+    # related items (squared-cosine rational scoring, per-item rank
+    # window) and the hub local-clustering audit (member-pushdown
+    # triangle attribution, k-bounded hub collect). Promoted
+    # same-round after 30× probes + the synthetic-graph-side probe
+    # (tools/graph_scale_probe.py) + a full driver_sim replay.
+    "q188_related_items",
+    "q189_hub_clustering",
 )
 _ROTATED_OUT = (
     # round 4
@@ -7793,6 +7890,12 @@ _ROTATED_OUT = (
     # q141/q142/q143/q156 in-window.
     "q168_vocab_budget_rewrite",
     "q169_boilerplate_prefixes",
+    # round 9e demotions — both driver-hard verified in r8's rotated
+    # window (CORRECTNESS_r08 50/50), untouched in r9; dedup keeps
+    # q128/q129/q138 in-window, profiling keeps
+    # q154/q158/q179/q182/q184.
+    "q173_soft_dedup",
+    "q174_outlier_report",
 )
 
 

@@ -182,3 +182,60 @@ def test_label_propagation_hand_cases(spark):
     assert run(clamp, [("y1", "Y"), ("y2", "Y"), ("s", "X")], 2)["s"] == "X"
     with _pt.raises(ValueError):
         run(path, [("s1", "X")], 0)
+
+
+def test_related_items_hand_case(spark):
+    """Baskets {1:(a,b,c), 2:(a,b), 3:(a,d)}: n_a=3, n_b=2, n_c=1,
+    n_d=1, n_ab=2, n_ac=1, n_bc=1, n_ad=1. score(b|a)=4/6, score
+    symmetric; duplicate (basket,item) rows must not inflate counts;
+    rank caps at k with (score DESC, other ASC) ties."""
+    from data_lake_with_spark_spark.operators.graph import related_items
+
+    import pytest as _pt
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "d"),
+        (3, "a"),  # duplicate row: must collapse
+    ]
+    b = spark.createDataFrame(rows, "basket int, item string")
+    out = related_items(b, k=2)
+    got = {
+        (r["item"], r["rank"]): (r["other"], r["n_ab"], r["score"])
+        for r in out.collect()
+    }
+    # a's best is b: 2^2/(3*2) = 0.666..; then c and d tie at
+    # 1/(3*1) -> other ASC picks c
+    assert got[("a", 1)] == ("b", 2, 4 / 6)
+    assert got[("a", 2)] == ("c", 1, 1 / 3)
+    # b: a first (4/6), then c (1/2)
+    assert got[("b", 1)] == ("a", 2, 4 / 6)
+    assert got[("b", 2)] == ("c", 1, 1 / 2)
+    # d only co-occurs with a
+    assert got[("d", 1)] == ("a", 1, 1 / 3)
+    assert ("d", 2) not in got
+    with _pt.raises(ValueError):
+        related_items(b, k=0)
+
+
+def test_hub_clustering_hand_case(spark):
+    """Triangle a-b-c plus pendant c-d: deg c=3 (top hub), local
+    clustering of c = 2*1/(3*2) = 1/3; a and b = 1.0 (deg 2, one
+    triangle); d has deg 1 -> 0.0 by convention. pos follows
+    (deg DESC, node ASC)."""
+    from data_lake_with_spark_spark.operators.graph import hub_clustering
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in hub_clustering(e, k=10).collect()}
+    assert out["c"]["deg"] == 3 and out["c"]["n_tri"] == 1
+    assert out["c"]["local_clustering"] == 1 / 3
+    assert out["a"]["local_clustering"] == 1.0
+    assert out["d"]["n_tri"] == 0 and out["d"]["local_clustering"] == 0.0
+    assert out["c"]["pos"] == 1  # highest degree
+    # k caps the audit: only the top-2 hubs survive
+    top2 = hub_clustering(e, k=2).collect()
+    assert sorted(r["node"] for r in top2) == ["a", "c"]

@@ -446,3 +446,28 @@ def test_r9_graph_batch2_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+def test_r9_batch3_shuffle_budgets(spark, sf_dir):
+    """q188 related items: basket self-join + pair count + the two
+    n_item joins + the per-item rank window (PARTITIONED by item —
+    never a global sort) — 9 exchanges, all basket- or item-keyed.
+    q189 hub audit: the counted plan is everything after the
+    edge/oriented/hubs checkpoints — three member-pushdown wedge
+    branches (each side of each join shuffles on u: the checkpoint
+    erases output-partitioning metadata, so the branches cannot
+    share one exchange), the (u,v,w) dedup, the closing join, the
+    3-way attribution union + node count, and the k-row finish (27);
+    every one of them is hub-neighborhood-sized AFTER the pushdown
+    except the branch scans themselves. Hub selection's
+    TakeOrderedAndProject sits INSIDE the hubs localCheckpoint (the
+    k-bounded collect forces it), so it cannot appear in the final
+    plan string — top_k's lowering is pinned by its own gate. Zero
+    Python nodes in both."""
+    budgets = {
+        "q188_related_items": 9,
+        "q189_hub_clustering": 27,
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
