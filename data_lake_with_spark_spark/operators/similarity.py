@@ -785,7 +785,7 @@ def merge_ivf_index(
     vec_col: str = "embedding",
     vec_dim: int | None = None,
     validate_centroids: bool = True,
-) -> None:
+) -> dict:
     """Incremental IVF index maintenance — the dense-side twin of
     :func:`text.merge_bm25_index`, completing the persisted-index
     lifecycle: merge an embedding batch into an existing
@@ -807,17 +807,27 @@ def merge_ivf_index(
     batch-sized, not corpus-sized) raises on that instead of
     diverging.
 
-    Cost: one anti join of the base lists against the batch-id frame
-    + one assignment pass over the BATCH (never the corpus) + the
-    partitioned rewrite. An append-only batch touches only the
-    ``cent_id=`` partitions its vectors assign to — pair with
-    ``spark.sql.sources.partitionOverwriteMode=dynamic`` to rewrite
-    just those; the upsert case must rewrite every partition whose
-    lists lose a replaced id. ``out_path`` must be FRESH (the merge
-    reads the base lazily while writing — enforced); the two
-    component writes are promoted by directory swap, never in place.
+    Cost — incremental in I/O as well as compute (copy-on-write
+    promotion): one assignment pass over the BATCH (never the
+    corpus), one COLUMN-PRUNED ``(cent_id, id)`` scan of the base
+    lists to locate partitions holding replaced ids (two narrow
+    columns — doclens-scale bytes, not vector bytes), then a
+    partitioned Spark write of ONLY the changed ``cent_id=``
+    partitions (those receiving batch vectors ∪ those losing a
+    replaced id). Every unchanged partition directory — byte-identical
+    to the base by construction — is promoted into ``out_path`` by
+    hard link (copy fallback; Hadoop ``FileUtil`` copy on non-local
+    schemes), and the frozen ``centroids`` component is linked whole.
+    Bytes written therefore scale with the batch's partition
+    footprint, not the corpus (asserted by tests via
+    ``sources.cow.written_bytes``). ``out_path`` must be FRESH (the
+    merge reads the base lazily while writing — enforced); promotion
+    into a fresh directory also makes the swap atomic at directory
+    granularity. Returns the promotion stats dict.
     """
     import os as _os
+
+    from data_lake_with_spark_spark.sources import cow
 
     if _os.path.abspath(out_path) == _os.path.abspath(base_path):
         raise ValueError(
@@ -840,11 +850,6 @@ def merge_ivf_index(
                 "(or pass validate_centroids=False to accept frozen-"
                 "centroid semantics explicitly)"
             )
-    base_lists = (
-        spark.read.parquet(f"{base_path}/lists")
-        .select("cent_id", id_col, vec_col)
-        .join(new_ids, id_col, "left_anti")
-    )
     batch = new_vecs.select(id_col, vec_col)
     if vec_dim is None:
         w_assign = Window.partitionBy(id_col).orderBy(
@@ -861,11 +866,46 @@ def merge_ivf_index(
         assigned = _assign_argmax_arrow(batch, cents, vec_col, vec_dim).select(
             "cent_id", id_col, vec_col
         )
-    merged = base_lists.unionByName(assigned)
-    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    # pinned: consumed twice (changed-set collect + the write) — and
+    # the collect is size-gated by the frozen centroid budget (one row
+    # per touched centroid, ≤ n_centroids)
+    assigned = assigned.localCheckpoint()
+    changed_new = {
+        r["cent_id"]
+        for r in assigned.select("cent_id").distinct().collect()
+    }
+    # partitions that lose a replaced id: column-pruned scan of the
+    # base lists' (cent_id, id) projection — never the vector column
+    changed_old = {
+        r["cent_id"]
+        for r in spark.read.parquet(f"{base_path}/lists")
+        .select("cent_id", id_col)
+        .join(new_ids, id_col, "left_semi")
+        .select("cent_id")
+        .distinct()
+        .collect()
+    }
+    changed = sorted(changed_new | changed_old)
+    part_filter = (
+        F.col("cent_id").isin(changed) if changed else F.lit(False)
+    )
+    base_keep = (
+        spark.read.parquet(f"{base_path}/lists")
+        .where(part_filter)
+        .select("cent_id", id_col, vec_col)
+        .join(new_ids, id_col, "left_anti")
+    )
+    merged = base_keep.unionByName(assigned)
     merged.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    stats = cow.promote_unchanged_partitions(
+        spark, f"{base_path}/lists", f"{out_path}/lists", "cent_id", changed
+    )
+    cow.promote_dir(
+        spark, f"{base_path}/centroids", f"{out_path}/centroids"
+    )
+    return stats
 
 
 def delete_from_ivf_index(
@@ -874,7 +914,7 @@ def delete_from_ivf_index(
     delete_ids: DataFrame,
     out_path: str,
     id_col: str = "vec_id",
-) -> None:
+) -> dict:
     """Erasure that reaches the serving index — the GDPR path that
     :func:`sources.lakehouse.delete_keys` starts must END here, or a
     deleted vector keeps surfacing in top-k until the next full
@@ -886,12 +926,20 @@ def delete_from_ivf_index(
     Serve-after-delete is gated identical to an index rebuilt without
     the ids over the same centroid set.
 
-    Cost: one anti join over the lists + the partitioned rewrite
-    (only partitions containing deleted ids change content — dynamic
-    partition overwrite confines the rewrite to those).
-    ``out_path`` must be FRESH, as with :func:`merge_ivf_index`.
+    Cost — incremental in I/O (copy-on-write promotion, the
+    :func:`merge_ivf_index` contract): one column-pruned
+    ``(cent_id, id)`` scan locates the partitions containing deleted
+    ids; ONLY those are anti-joined and rewritten (a partition whose
+    rows all die simply vanishes from the layout); every other
+    ``cent_id=`` directory and the frozen ``centroids`` component are
+    hard-linked from the base. Bytes written scale with the deleted
+    ids' partition footprint, not the corpus. ``out_path`` must be
+    FRESH, as with :func:`merge_ivf_index`. Returns the promotion
+    stats dict.
     """
     import os as _os
+
+    from data_lake_with_spark_spark.sources import cow
 
     if _os.path.abspath(out_path) == _os.path.abspath(base_path):
         raise ValueError(
@@ -900,15 +948,34 @@ def delete_from_ivf_index(
             "writing; an in-place overwrite would destroy the source "
             "mid-read)"
         )
-    cents = spark.read.parquet(f"{base_path}/centroids")
     ids = delete_ids.select(F.col(id_col)).distinct()
-    kept = spark.read.parquet(f"{base_path}/lists").join(
-        ids, id_col, "left_anti"
+    changed = sorted(
+        r["cent_id"]
+        for r in spark.read.parquet(f"{base_path}/lists")
+        .select("cent_id", id_col)
+        .join(ids, id_col, "left_semi")
+        .select("cent_id")
+        .distinct()
+        .collect()
     )
-    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    part_filter = (
+        F.col("cent_id").isin(changed) if changed else F.lit(False)
+    )
+    kept = (
+        spark.read.parquet(f"{base_path}/lists")
+        .where(part_filter)
+        .join(ids, id_col, "left_anti")
+    )
     kept.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    stats = cow.promote_unchanged_partitions(
+        spark, f"{base_path}/lists", f"{out_path}/lists", "cent_id", changed
+    )
+    cow.promote_dir(
+        spark, f"{base_path}/centroids", f"{out_path}/centroids"
+    )
+    return stats
 
 
 def ivf_topk_indexed(

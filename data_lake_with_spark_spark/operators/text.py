@@ -1525,7 +1525,7 @@ def merge_bm25_index(
     out_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> dict:
     """Incremental BM25 index maintenance — the operation that makes
     a persisted index viable at 100 TB, where "re-run
     :func:`build_bm25_index` over the whole corpus" is not a plan:
@@ -1545,12 +1545,21 @@ def merge_bm25_index(
     merged corpus (gated in tests and by q171 sharing the from-raw
     oracle).
 
-    At scale, an APPEND-ONLY batch touches only the buckets its
-    tokens hash to — pair this rewrite with
-    ``spark.sql.sources.partitionOverwriteMode=dynamic`` to rewrite
-    just those partitions; the upsert (replaced-id) case must still
-    anti-join every bucket, because an old document's postings live
-    wherever its tokens hashed.
+    I/O — incremental via copy-on-write promotion: only the CHANGED
+    ``tok_bucket=`` partitions (buckets the batch's tokens hash to ∪
+    buckets holding a replaced id's postings, located by a
+    column-pruned ``(tok_bucket, id)`` scan) are anti-joined,
+    re-sorted, and Spark-written; every unchanged bucket directory is
+    hard-linked from the base (copy fallback / Hadoop-``FileUtil`` on
+    non-local schemes). Bytes written scale with the batch's BUCKET
+    footprint — note the honest caveat: natural-language batches have
+    broad vocabulary coverage, so a doc batch touches
+    ~min(|batch vocab|, n_buckets) buckets; the win is large exactly
+    when it matters (small/targeted batches, or production bucket
+    counts in the thousands), and degenerates gracefully to the full
+    rewrite when every bucket changes. The doclens and stats
+    components rewrite whole — they are doc-count-sized (no token
+    dimension), orders of magnitude below postings bytes.
 
     ``out_path`` must be a FRESH directory, never ``base_path`` (the
     merge reads the base lazily while writing — enforced with a
@@ -1558,9 +1567,12 @@ def merge_bm25_index(
     not mutually atomic; a mid-merge failure leaves a partial
     ``out_path``, which is why merging never overwrites the base:
     the base index stays serveable, and deployment promotes the new
-    directory with one rename after all three writes land.
+    directory with one rename after all three writes land. Returns
+    the promotion stats dict.
     """
     import os as _os
+
+    from data_lake_with_spark_spark.sources import cow
 
     if _os.path.abspath(out_path) == _os.path.abspath(base_path):
         # the merged frames read base_path LAZILY while the
@@ -1576,6 +1588,7 @@ def merge_bm25_index(
     stats = spark.read.parquet(f"{base_path}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     new_ids = new_docs.select(F.col(id_col)).distinct()
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int")
     new_ctf = (
         new_docs.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -1585,20 +1598,53 @@ def merge_bm25_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .localCheckpoint()
     )
+    # changed buckets: batch-token buckets ∪ replaced-id buckets. Both
+    # collects are size-gated by n_buckets (one row per bucket); the
+    # replaced-id probe is a column-pruned (tok_bucket, id) scan —
+    # never the tok/tf payload columns.
+    changed_new = {
+        r["tok_bucket"]
+        for r in new_ctf.select(bucket.alias("tok_bucket"))
+        .distinct()
+        .collect()
+    }
+    changed_old = {
+        r["tok_bucket"]
+        for r in spark.read.parquet(f"{base_path}/postings")
+        .select("tok_bucket", id_col)
+        .join(new_ids, id_col, "left_semi")
+        .select("tok_bucket")
+        .distinct()
+        .collect()
+    }
+    changed = sorted(changed_new | changed_old)
+    part_filter = (
+        F.col("tok_bucket").isin(changed) if changed else F.lit(False)
+    )
     base_post = (
         spark.read.parquet(f"{base_path}/postings")
-        .select(id_col, "tok", "tf")
+        .where(part_filter)
+        .select(id_col, "tok", "tf", "tok_bucket")
         .join(new_ids, id_col, "left_anti")
     )
-    merged = base_post.unionByName(new_ctf.select(id_col, "tok", "tf"))
-    bucket = F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("int")
+    merged = base_post.unionByName(
+        new_ctf.select(id_col, "tok", "tf").withColumn("tok_bucket", bucket)
+    )
+    # re-sort within buckets so the tok-sorted row-group-skipping
+    # layout contract survives the rewrite (same as the builder)
     (
-        merged.withColumn("tok_bucket", bucket)
-        .repartition(n_buckets, "tok_bucket")
+        merged.repartition(int(n_buckets), "tok_bucket")
         .sortWithinPartitions("tok")
         .write.mode("overwrite")
         .partitionBy("tok_bucket")
         .parquet(f"{out_path}/postings")
+    )
+    cow_stats = cow.promote_unchanged_partitions(
+        spark,
+        f"{base_path}/postings",
+        f"{out_path}/postings",
+        "tok_bucket",
+        changed,
     )
     new_dl = new_ctf.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("dl")
@@ -1614,6 +1660,7 @@ def merge_bm25_index(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
     out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")
+    return cow_stats
 
 
 def delete_from_bm25_index(
@@ -1622,7 +1669,7 @@ def delete_from_bm25_index(
     delete_ids: DataFrame,
     out_path: str,
     id_col: str = "doc_id",
-) -> None:
+) -> dict:
     """Erasure that reaches the serving index — the GDPR path that
     ``lakehouse.delete_keys`` starts must END here, or a deleted
     document keeps matching queries until the next full rebuild: drop
@@ -1634,14 +1681,23 @@ def delete_from_bm25_index(
     minus the ids (the same equality the merge gate pins; gated in
     tests and by the registered entry's rebuild-shaped oracle).
 
-    Cost: one anti join per component frame + the partitioned
-    rewrite; the bucket layout (n_buckets) carries unchanged. A
-    deleted document's postings live wherever its tokens hashed, so
-    the delete — like the upsert — must anti-join every bucket.
-    ``out_path`` must be FRESH (the delete reads the base lazily
-    while writing — enforced, same as :func:`merge_bm25_index`).
+    I/O — incremental via copy-on-write promotion (the
+    :func:`merge_bm25_index` contract): a column-pruned
+    ``(tok_bucket, id)`` scan locates the buckets holding any deleted
+    id's postings; ONLY those are anti-joined, re-sorted (the
+    tok-sorted row-group-skipping layout survives), and
+    Spark-written; every other bucket directory is hard-linked from
+    the base. A deleted doc's postings live wherever its tokens
+    hashed, so the changed set is ~min(|deleted docs' vocab|,
+    n_buckets) buckets — small GDPR batches touch few. The doclens
+    and stats components rewrite whole (doc-count-sized). The bucket
+    layout (n_buckets) carries unchanged. ``out_path`` must be FRESH
+    (the delete reads the base lazily while writing — enforced, same
+    as :func:`merge_bm25_index`). Returns the promotion stats dict.
     """
     import os as _os
+
+    from data_lake_with_spark_spark.sources import cow
 
     if _os.path.abspath(out_path) == _os.path.abspath(base_path):
         raise ValueError(
@@ -1653,8 +1709,22 @@ def delete_from_bm25_index(
     stats = spark.read.parquet(f"{base_path}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     ids = delete_ids.select(F.col(id_col)).distinct()
-    kept_post = spark.read.parquet(f"{base_path}/postings").join(
-        ids, id_col, "left_anti"
+    changed = sorted(
+        r["tok_bucket"]
+        for r in spark.read.parquet(f"{base_path}/postings")
+        .select("tok_bucket", id_col)
+        .join(ids, id_col, "left_semi")
+        .select("tok_bucket")
+        .distinct()
+        .collect()
+    )
+    part_filter = (
+        F.col("tok_bucket").isin(changed) if changed else F.lit(False)
+    )
+    kept_post = (
+        spark.read.parquet(f"{base_path}/postings")
+        .where(part_filter)
+        .join(ids, id_col, "left_anti")
     )
     # re-sort within buckets so the tok-sorted row-group-skipping
     # layout contract survives the rewrite (same as the builder)
@@ -1665,6 +1735,13 @@ def delete_from_bm25_index(
         .partitionBy("tok_bucket")
         .parquet(f"{out_path}/postings")
     )
+    cow_stats = cow.promote_unchanged_partitions(
+        spark,
+        f"{base_path}/postings",
+        f"{out_path}/postings",
+        "tok_bucket",
+        changed,
+    )
     dl = spark.read.parquet(f"{base_path}/doclens").join(
         ids, id_col, "left_anti"
     )
@@ -1674,6 +1751,7 @@ def delete_from_bm25_index(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     ).withColumn("n_buckets", F.lit(int(n_buckets)).cast("int"))
     out_stats.write.mode("overwrite").parquet(f"{out_path}/stats")
+    return cow_stats
 
 
 def collocations(
