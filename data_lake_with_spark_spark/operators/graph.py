@@ -30,7 +30,8 @@ def pagerank_fixed(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    validate: bool = False,
+    validate: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame:
     ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)``, starting
@@ -58,24 +59,53 @@ def pagerank_fixed(
     outdegree frames are pinned once and reused by all iterations.
 
     Dangling nodes (outdeg 0) cannot exist in the supported input
-    shape (symmetric edges); ``validate=True`` checks and raises on
+    shape (symmetric edges); ``validate=True`` (the DEFAULT — an
+    unvetted external edge frame should fail loudly, not silently
+    drop rank rows and leak rank mass) checks and raises on
     violation. The check is an extra full-edge anti-join action per
-    call, so it defaults OFF for pre-validated edge frames (e.g.
-    explicitly symmetrized unions, where danglers are impossible by
-    construction) — a dangling node under ``validate=False`` simply
-    receives no contributions and its rank row is dropped, it does
-    not corrupt other nodes' ranks.
+    call, so PRE-VALIDATED callers (explicitly symmetrized unions,
+    where danglers are impossible by construction — every registry
+    query) opt out with ``validate=False``; a dangling node under
+    ``validate=False`` simply receives no contributions and its rank
+    row is dropped, it does not corrupt other nodes' ranks.
+
+    ``weight_col`` (optional) runs the WEIGHTED-EDGE variant — the
+    shape real crawl/co-occurrence graphs arrive in (link counts,
+    co-purchase strength): contribution becomes
+    ``r·w / Σ_out w`` instead of ``r / outdeg``. Weights MUST be
+    integer-valued (counts; the operator casts to bigint) so the
+    out-weight totals SUM exactly — a float weight sum would be
+    shuffle-order-dependent and never hash-verify; pre-quantize
+    fractional weights to a grid yourself. ``w=1`` on every edge is
+    property-tested identical to the unweighted path (``r·1/Σ1`` is
+    the same IEEE arithmetic as ``r/outdeg``).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("outdeg")
-    )
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("w"))
+    e = edges.select(*cols).localCheckpoint()
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("outdeg")
+        )
+        # one IEEE division then the tie-free grid snap
+        contrib_units = F.floor(
+            (F.col("rank") / F.col("outdeg")) * F.lit(1e15)
+        )
+    else:
+        # total out-WEIGHT sums exactly (bigint); contribution is
+        # rank·w then one division — two pinned-order IEEE ops,
+        # mirrored verbatim in SQL oracles
+        outdeg = e.groupBy("src").agg(
+            F.sum("w").cast("bigint").alias("outdeg")
+        )
+        contrib_units = F.floor(
+            ((F.col("rank") * F.col("w")) / F.col("outdeg")) * F.lit(1e15)
+        )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -88,6 +118,17 @@ def pagerank_fixed(
             raise ValueError(
                 "pagerank_fixed requires every node to have out-edges "
                 "(symmetric/bipartite edge frames) — dangling nodes found"
+            )
+        if (
+            weight_col is not None
+            and outdeg.where(F.col("outdeg") <= 0).limit(1).count() > 0
+        ):
+            # a node whose out-weights total ≤ 0 is effectively
+            # dangling (its contribution divides by ≤ 0) — the
+            # sampling all-zero-weights rule applied to graphs
+            raise ValueError(
+                "pagerank_fixed: node with non-positive total "
+                "out-weight — weights must be positive counts"
             )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -102,9 +143,7 @@ def pagerank_fixed(
             contribs.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(
-                    (F.col("rank") / F.col("outdeg")) * F.lit(1e15)
-                ).alias("_c"),
+                contrib_units.alias("_c"),
             )
             .groupBy("node")
             .agg((F.sum("_c") / F.lit(1e15)).alias("_s"))
@@ -131,6 +170,7 @@ def pagerank_personalized(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized (seeded-teleport) PageRank — the crawl-frontier /
     source-authority variant a curation pipeline actually runs:
@@ -149,10 +189,17 @@ def pagerank_personalized(
     engines, the divergence THIS operator exposed live at sf0.01;
     the scaled sum stays under 2^53 because personalized rank mass
     stays ≤ 1, Σs = 1), pinned-order scalar damped update, per-round
-    localCheckpoint. The teleport term is a broadcast left join of
-    the (small) seed frame; non-seed nodes with no inbound rank mass
+    localCheckpoint. The teleport term is a full-outer join against
+    the (small) seed frame — full-outer cannot broadcast a side in
+    Spark, so it runs sort-merge, which is cheap precisely because
+    the seed side is tiny; non-seed nodes with no inbound rank mass
     simply carry rank d·0 + 0 and drop out of the frame — identical
     to their limit value of 0 for ranking purposes.
+
+    ``weight_col`` (optional): the weighted-edge variant —
+    contribution ``r·w / Σ_out w`` with INTEGER (count) weights, the
+    :func:`pagerank_fixed` contract; q188-style co-occurrence counts
+    feed this directly instead of being flattened to 0/1 edges.
 
     Returns (node, rank) for nodes with inbound contributions or
     seed membership.
@@ -161,12 +208,24 @@ def pagerank_personalized(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("outdeg")
-    )
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("w"))
+    e = edges.select(*cols).localCheckpoint()
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("outdeg")
+        )
+        contrib_units = F.floor(
+            (F.col("rank") / F.col("outdeg")) * F.lit(1e15)
+        )
+    else:
+        outdeg = e.groupBy("src").agg(
+            F.sum("w").cast("bigint").alias("outdeg")
+        )
+        contrib_units = F.floor(
+            ((F.col("rank") * F.col("w")) / F.col("outdeg")) * F.lit(1e15)
+        )
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
     n_seeds = s.agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
     s = s.crossJoin(F.broadcast(n_seeds)).select(
@@ -179,15 +238,16 @@ def pagerank_personalized(
             contribs.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(
-                    (F.col("rank") / F.col("outdeg")) * F.lit(1e15)
-                ).alias("_c"),
+                contrib_units.alias("_c"),
             )
             .groupBy("node")
             .agg((F.sum("_c") / F.lit(1e15)).alias("_s"))
         )
         r = (
-            incoming.join(F.broadcast(s), "node", "full_outer")
+            # no broadcast hint: Spark cannot broadcast a side of a
+            # full-outer hash join (the hint was silently ignored);
+            # SMJ on the tiny seed frame is the honest plan
+            incoming.join(s, "node", "full_outer")
             .select(
                 "node",
                 (
@@ -372,6 +432,7 @@ def label_propagation(
     dst_col: str = "dst",
     node_col: str = "node",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Clamped-seed label propagation (the semi-supervised classic:
     Zhu & Ghahramani 2002 / Raghavan et al. 2007's LPA restricted to
@@ -386,8 +447,9 @@ def label_propagation(
     seed — the curation norm, and what keeps the plan a finite
     unrolled composition (no convergence loop).
 
-    DETERMINISM CONTRACT: votes are exact integer counts over the
-    DISTINCT symmetrized edge set, and the winner is argmax by
+    DETERMINISM CONTRACT: votes are exact integer counts (or, with
+    ``weight_col``, exact bigint WEIGHT SUMS) over the DISTINCT
+    symmetrized edge set, and the winner is argmax by
     (votes DESC, label ASC) — a total order, so ties break
     identically in any engine; no floats anywhere. Per round: one
     node-keyed join + one (node, label)-keyed count + one
@@ -396,6 +458,14 @@ def label_propagation(
     result is pinned with localCheckpoint so round t+1 consumes a
     table, not a growing plan (the connected-components lesson).
 
+    ``weight_col`` (optional): weighted voting — each labeled
+    neighbor votes with its edge weight (INTEGER counts, the
+    :func:`pagerank_fixed` weight contract — integer votes stay
+    exact in any engine). Parallel/reversed duplicates of an edge
+    collapse by SUMMING their weights during symmetrization (a
+    multi-edge is a stronger tie), where the unweighted path
+    collapses them to one vote.
+
     Returns (node, label) for seeds plus every node within
     ``iterations`` hops of one.
     """
@@ -403,17 +473,41 @@ def label_propagation(
 
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e0 = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    e = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is None:
+        e0 = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+        e = (
+            e0.unionByName(
+                e0.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        vote_agg = F.count(F.lit(1)).cast("bigint").alias("votes")
+    else:
+        e0 = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        e = (
+            e0.unionByName(
+                e0.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                )
+            )
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .localCheckpoint()
+        )
+        vote_agg = F.sum("w").cast("bigint").alias("votes")
     s = (
         seeds.select(
             F.col(node_col).alias("node"), F.col(label_col).alias("label")
@@ -429,7 +523,7 @@ def label_propagation(
         votes = (
             e.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), F.col("label"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+            .agg(vote_agg)
         )
         winners = (
             votes.withColumn("_rn", F.row_number().over(rank_w))
@@ -447,6 +541,7 @@ def related_items(
     basket_col: str = "basket",
     item_col: str = "item",
     k: int = 5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Per-item top-k related items by co-occurrence cosine — the
     nightly "related items" serving table an item catalog precomputes
@@ -457,6 +552,17 @@ def related_items(
     numerator and denominator then ONE IEEE division, bit-identical
     cross-engine (a sqrt would be a libm call; squaring is monotone
     on non-negatives so rankings are unchanged).
+
+    ``min_count`` (default 1 = keep all) floors the pair support:
+    pairs co-occurring in fewer than ``min_count`` baskets are cut
+    BEFORE symmetrize+rank — the q185-collocations pattern applied to
+    the serving table. On a 100 TB catalog the (a, b) aggregate's key
+    space is dominated by the long tail of ONE-basket coincidences
+    (Zipf: most pairs occur once); the floor bounds the symmetrize/
+    join/window input to the recurring pairs a recommender would
+    trust anyway. Applied post-aggregation (the groupBy itself is the
+    irreducible support count) — the A/B reduction is measured on the
+    Zipf basket fixture in MEASUREMENTS_r10.md.
 
     Scale shape: pair generation is a per-basket self-join, so
     candidate rows are Σ C(|basket|, 2) — bounded by basket size,
@@ -474,6 +580,8 @@ def related_items(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     b = (
         baskets.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -496,6 +604,8 @@ def related_items(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
+    if min_count > 1:
+        pairs = pairs.where(F.col("n_ab") >= min_count)
     sym = pairs.select(
         F.col("a").alias("item"), F.col("b").alias("other"), "n_ab"
     ).unionByName(
@@ -628,7 +738,13 @@ def hits_fixed(
     engines — the q85/q154 lesson family; integers never take it).
     Scores accumulate through DECIMAL(38,0) so a deep-degree graph
     cannot silently overflow a bigint (magnitude after t iterations
-    is ≤ E·maxdeg^(2t-1); DECIMAL(38,0) holds 10^38). HITS rankings
+    is ≤ E·maxdeg^(2t-1); DECIMAL(38,0) holds 10^38) — and an
+    overflow past that bound RAISES, never emits a 0: under ANSI mode
+    (the Spark 4 default) the SUM itself throws ARITHMETIC_OVERFLOW,
+    and for non-ANSI sessions — where an overflowed DECIMAL(38,0) SUM
+    returns NULL silently, downstream sums would DROP it, and the
+    final coalesce would mask it as 0 — every iteration asserts no
+    NULL scores on its already-materialized frame. HITS rankings
     are scale-invariant, so the unnormalized integers rank
     identically to Kleinberg's normalized scores; callers needing
     the normalized view divide by the L1 total once at the end.
@@ -650,19 +766,35 @@ def hits_fixed(
     h = nodes.select(
         "node", F.lit(1).cast("decimal(38,0)").alias("score")
     ).localCheckpoint()
+    def _no_overflow(frame: DataFrame, side: str) -> DataFrame:
+        # non-ANSI Spark returns NULL on DECIMAL(38,0) SUM overflow;
+        # unchecked, the NULL is dropped by the next round's SUM and
+        # coalesced to 0 at the end — a silent corruption. The frame
+        # is already localCheckpoint-materialized, so this scan is
+        # cache-priced.
+        if frame.where(F.col("score").isNull()).limit(1).count() > 0:
+            raise ArithmeticError(
+                f"hits_fixed: {side} sum overflowed DECIMAL(38,0) "
+                "(graph too deep/dense for the 10^38 bound) — reduce "
+                "iterations or normalize between rounds"
+            )
+        return frame
+
     a = None
     for _ in range(iterations):
-        a = (
+        a = _no_overflow(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
-            .localCheckpoint()
+            .localCheckpoint(),
+            "authority",
         )
-        h = (
+        h = _no_overflow(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
-            .localCheckpoint()
+            .localCheckpoint(),
+            "hub",
         )
     zero = F.lit(0).cast("decimal(38,0)")
     return (

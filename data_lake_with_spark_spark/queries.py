@@ -5819,11 +5819,25 @@ def q182_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_Q182 = """
-WITH g1 AS (SELECT l_orderkey, COUNT(DISTINCT (l_returnflag)) AS nd
+-- NULL-INCLUSIVE distinct: the operator counts distinct over a
+-- STRUCT(dep), so a NULL dependent is a value (an FD violated only
+-- by NULLs is still violated); plain COUNT(DISTINCT col) would
+-- ignore NULLs and diverge on NULL-bearing data — the oracle
+-- mirrors the contract with COUNT(DISTINCT col) + MAX(is-null)
+WITH g1 AS (SELECT l_orderkey,
+                   COUNT(DISTINCT (l_returnflag))
+                     + MAX(CASE WHEN l_returnflag IS NULL
+                                THEN 1 ELSE 0 END) AS nd
             FROM lineitem GROUP BY l_orderkey),
-g2 AS (SELECT l_orderkey, l_linenumber, COUNT(DISTINCT (l_partkey)) AS nd
+g2 AS (SELECT l_orderkey, l_linenumber,
+              COUNT(DISTINCT (l_partkey))
+                + MAX(CASE WHEN l_partkey IS NULL
+                           THEN 1 ELSE 0 END) AS nd
        FROM lineitem GROUP BY l_orderkey, l_linenumber),
-g3 AS (SELECT l_partkey, COUNT(DISTINCT (l_suppkey)) AS nd
+g3 AS (SELECT l_partkey,
+              COUNT(DISTINCT (l_suppkey))
+                + MAX(CASE WHEN l_suppkey IS NULL
+                           THEN 1 ELSE 0 END) AS nd
        FROM lineitem GROUP BY l_partkey)
 SELECT 'l_orderkey' AS determinant, 'l_returnflag' AS dependent,
        CAST(COUNT(*) AS BIGINT) AS n_groups,

@@ -34,14 +34,19 @@ def test_pagerank_authority_ordering_and_validation(spark):
     dangling = spark.createDataFrame(
         [("a", "b")], "src string, dst string"
     )
+    # validate defaults ON: an unvetted edge frame with danglers
+    # fails loudly instead of silently dropping rank rows
     with pytest.raises(ValueError, match="dangling"):
-        pagerank_fixed(dangling, validate=True)
-    # validate defaults OFF (the check is an extra full-edge action
-    # per call): a dangler then simply receives no contributions —
-    # 'a' has no in-edges so its rank row drops, 'b' still ranks
+        pagerank_fixed(dangling, iterations=1)
+    # pre-validated callers opt OUT (the check is an extra full-edge
+    # action per call): a dangler then simply receives no
+    # contributions — 'a' has no in-edges so its rank row drops,
+    # 'b' still ranks
     r_noval = {
         x["node"]: x["rank"]
-        for x in pagerank_fixed(dangling, iterations=1).collect()
+        for x in pagerank_fixed(
+            dangling, iterations=1, validate=False
+        ).collect()
     }
     assert set(r_noval) == {"b"}
     with pytest.raises(ValueError):
@@ -239,3 +244,148 @@ def test_hub_clustering_hand_case(spark):
     # k caps the audit: only the top-2 hubs survive
     top2 = hub_clustering(e, k=2).collect()
     assert sorted(r["node"] for r in top2) == ["a", "c"]
+
+
+def _sym_weighted(spark, triples):
+    rows = [(a, b, w) for a, b, w in triples] + [
+        (b, a, w) for a, b, w in triples
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_pagerank_weighted_unit_weights_identical(spark):
+    """w=1 on every edge is BIT-identical to the unweighted path
+    (rank·1/Σ1 is the same IEEE arithmetic as rank/outdeg) — the
+    degenerate-case contract that keeps the weighted variant from
+    forking the float story."""
+    from data_lake_with_spark_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    e = _sym_weighted(
+        spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 1)]
+    )
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(e, iterations=3, validate=False).collect()
+    }
+    weighted = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(
+            e, iterations=3, validate=False, weight_col="w"
+        ).collect()
+    }
+    assert plain == weighted  # exact, not approximate
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    p_plain = {
+        r["node"]: r["rank"]
+        for r in pagerank_personalized(e, seeds, iterations=2).collect()
+    }
+    p_weighted = {
+        r["node"]: r["rank"]
+        for r in pagerank_personalized(
+            e, seeds, iterations=2, weight_col="w"
+        ).collect()
+    }
+    assert p_plain == p_weighted
+
+
+def test_pagerank_weighted_mass_follows_weights(spark):
+    """Star with one heavy spoke: the hub's mass splits ∝ weights, so
+    the weight-9 spoke outranks the weight-1 spokes; with equal
+    weights they tie. Zero/negative total out-weight raises under
+    validate (the sampling all-zero-weights rule)."""
+    e = _sym_weighted(
+        spark,
+        [("hub", "heavy", 9), ("hub", "s1", 1), ("hub", "s2", 1)],
+    )
+    r = {
+        x["node"]: x["rank"]
+        for x in pagerank_fixed(e, iterations=2, weight_col="w").collect()
+    }
+    assert r["heavy"] > r["s1"] and r["s1"] == r["s2"]
+    zero = _sym_weighted(spark, [("a", "b", 0)])
+    with pytest.raises(ValueError, match="out-weight"):
+        pagerank_fixed(zero, iterations=1, weight_col="w")
+
+
+def test_label_propagation_weighted_votes(spark):
+    """One weight-5 edge to an X-seed beats two weight-1 edges to
+    Y-seeds; with weight_col omitted the same graph votes by edge
+    COUNT and Y wins — the exact semantic the weight column adds."""
+    from data_lake_with_spark_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("n", "x1", 5), ("n", "y1", 1), ("n", "y2", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame(
+        [("x1", "X"), ("y1", "Y"), ("y2", "Y")], ["node", "label"]
+    )
+    weighted = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            edges, seeds, iterations=1, weight_col="w"
+        ).collect()
+    }
+    assert weighted["n"] == "X"
+    plain = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iterations=1).collect()
+    }
+    assert plain["n"] == "Y"
+    # parallel edges SUM their weights during symmetrization
+    multi = spark.createDataFrame(
+        [("n", "y1", 3), ("y1", "n", 3), ("n", "x1", 5)],
+        "src string, dst string, w long",
+    )
+    summed = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            multi, seeds, iterations=1, weight_col="w"
+        ).collect()
+    }
+    assert summed["n"] == "Y"  # 3+3 = 6 beats 5
+
+
+def test_hits_overflow_raises_not_zero(spark):
+    """An overflow past DECIMAL(38,0) must RAISE, never reach the
+    output as a coalesced 0 (advisor r9). Under ANSI mode (the Spark 4
+    default, active here) the SUM itself raises ARITHMETIC_OVERFLOW;
+    under non-ANSI it returns NULL silently and hits_fixed's
+    per-iteration null assert raises ArithmeticError — either way the
+    failure is loud. A dense complete graph blows past 10^38 within a
+    dozen iterations."""
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+
+    n = 60
+    rows = [(f"v{i}", f"v{j}") for i in range(n) for j in range(n) if i != j]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    with pytest.raises(Exception, match="(?i)overflow"):
+        hits_fixed(e, iterations=12)
+
+
+def test_related_items_min_count_floor(spark):
+    """min_count cuts sub-floor pairs BEFORE symmetrize+rank;
+    min_count=1 is the identity. The floor changes membership, never
+    the surviving pairs' counts/scores."""
+    from data_lake_with_spark_spark.operators.graph import related_items
+
+    rows = (
+        [(b, i) for b in ("b1", "b2", "b3") for i in ("a", "b")]
+        + [("b1", "c")]  # (a,c)/(b,c) co-occur once
+    )
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    full = related_items(df, k=5)
+    floored = related_items(df, k=5, min_count=2)
+    full_pairs = {(r["item"], r["other"]): r["n_ab"] for r in full.collect()}
+    fl_pairs = {(r["item"], r["other"]): r["n_ab"] for r in floored.collect()}
+    assert full_pairs[("a", "b")] == 3 and ("a", "c") in full_pairs
+    assert ("a", "c") not in fl_pairs and ("c", "a") not in fl_pairs
+    assert fl_pairs == {("a", "b"): 3, ("b", "a"): 3}
+    ident = related_items(df, k=5, min_count=1)
+    assert sorted(map(tuple, ident.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    with pytest.raises(ValueError, match="min_count"):
+        related_items(df, min_count=0)

@@ -15,7 +15,8 @@ graph-side equivalent.
 It generates DETERMINISTIC synthetic graphs (xxhash64 targets — no
 RNG, identical across runs) at two sizes with constant average
 degree, plus a HUB-SKEWED variant at the large size (5% of edges
-funneled into a 1% hot node set), and times triangle_stats /
+funneled into a hot set of n_nodes // 10000 nodes — 0.01% of nodes,
+an EXTREME hub concentration), and times triangle_stats /
 hub_clustering / label_propagation on each. Claims under test:
 
 - census wall grows ~linearly in E at constant degree (wedges =
@@ -39,7 +40,8 @@ import time
 def synth_edges(spark, n_nodes: int, d: int, skew: bool):
     """Deterministic multigraph: d pseudo-random out-stubs per node
     (xxhash64(src, t) % N). skew=True redirects stubs where
-    hash % 20 == 0 (5%) into the first N/100 nodes (hubs).
+    hash % 20 == 0 (5%) into the first N // 10000 nodes (hubs —
+    0.01% of nodes, an extreme concentration).
     Self-loops/duplicates are dropped by the operators'
     canonicalization."""
     from pyspark.sql import functions as F
