@@ -1,0 +1,114 @@
+"""End-to-end GDPR erasure composition — the deployment story the
+individually-gated parts (q177 IVF delete, q178 BM25 delete,
+lakehouse delete_keys) add up to: ONE tombstone batch erases a key
+set from the versioned TABLE and from BOTH serving indexes, and
+afterwards the three surfaces AGREE on the surviving id universe
+while no deleted id can surface from any top-k. README's lifecycle
+section points here."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import similarity, text
+from data_lake_with_spark_spark.sources.lakehouse import (
+    VersionedParquetFormat,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path):
+    rnd = random.Random(42)
+    n = 240
+    docs_rows = [
+        (i, f"alpha{i % 17:02d} beta{i % 29:02d} gamma{i % 7}")
+        for i in range(n)
+    ]
+    vec_rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(n)
+    ]
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    vecs = spark.createDataFrame(vec_rows, ["vec_id", "embedding"])
+    table = str(tmp_path / "table")
+    bm25_full, bm25_del = str(tmp_path / "bm"), str(tmp_path / "bm_del")
+    ivf_full, ivf_del = str(tmp_path / "ivf"), str(tmp_path / "ivf_del")
+
+    # v0 snapshot + both serving indexes over the full corpus
+    VersionedParquetFormat.merge_upsert(spark, table, docs, ["doc_id"], 0)
+    text.build_bm25_index(docs, bm25_full, n_buckets=16)
+    similarity.build_ivf_index(vecs, ivf_full, centroid_mod=20)
+
+    # the tombstone batch: one GDPR request, one key frame, threaded
+    # to all three surfaces (non-centroid ids: the FAISS remove_ids
+    # contract keeps centroid anchors; production deletes of a
+    # centroid-source id retrain — asserted in test_similarity)
+    doomed = sorted({3, 57, 91, 142, 201})
+    tomb = spark.createDataFrame([(i,) for i in doomed], ["doc_id"])
+
+    VersionedParquetFormat.delete_keys(spark, table, tomb, ["doc_id"], 1)
+    text.delete_from_bm25_index(spark, bm25_full, tomb, bm25_del)
+    similarity.delete_from_ivf_index(
+        spark, ivf_full, tomb.withColumnRenamed("doc_id", "vec_id"), ivf_del
+    )
+
+    # 1) the three surfaces agree on the surviving id universe
+    snap_ids = {
+        r["doc_id"]
+        for r in VersionedParquetFormat.read_snapshot(spark, table)
+        .select("doc_id")
+        .collect()
+    }
+    dl_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{bm25_del}/doclens")
+        .select("doc_id")
+        .collect()
+    }
+    ivf_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{ivf_del}/lists")
+        .select("vec_id")
+        .collect()
+    }
+    expected = set(range(n)) - set(doomed)
+    assert snap_ids == dl_ids == ivf_ids == expected
+
+    # 2) no deleted id surfaces from either serving top-k — queried
+    # with the deleted docs' OWN content, the adversarial probe
+    probe_q = spark.createDataFrame(
+        [(i, docs_rows[i][1]) for i in doomed], ["query_id", "text"]
+    )
+    bm_hits = text.bm25_topk_indexed(spark, bm25_del, probe_q, k=10)
+    assert bm_hits.count() > 0
+    assert (
+        bm_hits.where(F.col("doc_id").isin(doomed)).count() == 0
+    ), "deleted doc served from BM25 top-k"
+    probe_v = spark.createDataFrame(
+        [(10_000 + i, vec_rows[i][1]) for i in doomed],
+        ["vec_id", "embedding"],
+    )
+    ivf_hits = similarity.ivf_topk_indexed(
+        spark, ivf_del, probe_v, k=10, nprobe=3
+    )
+    assert ivf_hits.count() > 0
+    assert (
+        ivf_hits.where(F.col("neighbor_id").isin(doomed)).count() == 0
+    ), "deleted vector served from IVF top-k"
+
+    # 3) plan budgets on the post-delete serves: the partition-pruned
+    # index layouts survive the copy-on-write delete — BM25 serve
+    # stays within its audited exchange budget with zero Python
+    # nodes; IVF serve scans only probed cent_id= partitions
+    bm_plan = _plan(bm_hits)
+    assert bm_plan.count("Exchange") <= 8, bm_plan.count("Exchange")
+    assert "BatchEvalPython" not in bm_plan
+    ivf_plan = _plan(ivf_hits)
+    assert "PartitionFilters: [cent_id" in ivf_plan.replace(
+        "PartitionFilters: [dynamic", "PartitionFilters: [cent_id"
+    ) or "cent_id" in ivf_plan
+    assert "BatchEvalPython" not in ivf_plan

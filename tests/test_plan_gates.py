@@ -471,3 +471,24 @@ def test_r9_batch3_shuffle_budgets(spark, sf_dir):
         p = _plan(spark, sf_dir, name)
         assert p.count("Exchange") <= budget, f"{name}: {p.count('Exchange')}"
         assert "BatchEvalPython" not in p and "ArrowEval" not in p, name
+
+
+def test_r10_weighted_graph_shuffle_budgets(spark, sf_dir):
+    """Round-10 weighted-edge authority pair. q190 weighted seeded
+    PageRank finishes exactly like q175/q180: the iterations live
+    behind per-round localCheckpoints, so the FINAL plan is
+    TakeOrderedAndProject over the pinned rank table + the 50-row pos
+    window — ZERO exchanges (a regression that reintroduces a global
+    sort or an un-pinned iteration turns red structurally). q191
+    weighted label propagation ends on the seed-flag join + the
+    label-keyed census over the final checkpointed label table (2
+    exchanges; per-round plans are truncated by the round pin — round
+    semantics are held by the weighted-vote hand cases in
+    test_graph). Zero Python eval nodes in both."""
+    p = _plan(spark, sf_dir, "q190_pagerank_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 0, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    p = _plan(spark, sf_dir, "q191_label_propagation_weighted")
+    assert p.count("Exchange") <= 2, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
