@@ -785,6 +785,7 @@ def merge_ivf_index(
     vec_col: str = "embedding",
     vec_dim: int | None = None,
     validate_centroids: bool = True,
+    layout: str = "links",
 ) -> dict:
     """Incremental IVF index maintenance — the dense-side twin of
     :func:`text.merge_bm25_index`, completing the persisted-index
@@ -824,6 +825,15 @@ def merge_ivf_index(
     merge reads the base lazily while writing — enforced); promotion
     into a fresh directory also makes the swap atomic at directory
     granularity. Returns the promotion stats dict.
+
+    ``layout="manifest"`` promotes by METADATA instead of links —
+    the object-store path (S3 has no link primitive; the FileUtil
+    fallback would copy corpus bytes): only the changed partitions
+    and a small JSON manifest are written; unchanged partitions keep
+    their earlier-epoch owners and readers resolve through
+    ``cow.read_component``. A manifest base REQUIRES manifest
+    promotion (its partitions live across epochs — there is nothing
+    complete to link from); enforced with a raise.
     """
     import os as _os
 
@@ -835,7 +845,15 @@ def merge_ivf_index(
             "(the merge reads the base index lazily while writing; "
             "an in-place overwrite would destroy the source mid-read)"
         )
-    cents = spark.read.parquet(f"{base_path}/centroids")
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "lists"):
+        raise ValueError(
+            "merge_ivf_index: base index uses a manifest layout — its "
+            "partitions live across epochs, so there is no complete "
+            "directory to link from; pass layout='manifest'"
+        )
+    cents = cow.read_component(spark, base_path, "centroids")
     new_ids = new_vecs.select(F.col(id_col)).distinct()
     if validate_centroids:
         stale = new_ids.join(
@@ -878,7 +896,7 @@ def merge_ivf_index(
     # base lists' (cent_id, id) projection — never the vector column
     changed_old = {
         r["cent_id"]
-        for r in spark.read.parquet(f"{base_path}/lists")
+        for r in cow.read_component(spark, base_path, "lists")
         .select("cent_id", id_col)
         .join(new_ids, id_col, "left_semi")
         .select("cent_id")
@@ -890,7 +908,7 @@ def merge_ivf_index(
         F.col("cent_id").isin(changed) if changed else F.lit(False)
     )
     base_keep = (
-        spark.read.parquet(f"{base_path}/lists")
+        cow.read_component(spark, base_path, "lists")
         .where(part_filter)
         .select("cent_id", id_col, vec_col)
         .join(new_ids, id_col, "left_anti")
@@ -899,6 +917,12 @@ def merge_ivf_index(
     merged.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "lists", "cent_id", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "centroids")
+        return stats
     stats = cow.promote_unchanged_partitions(
         spark, f"{base_path}/lists", f"{out_path}/lists", "cent_id", changed
     )
@@ -914,6 +938,7 @@ def delete_from_ivf_index(
     delete_ids: DataFrame,
     out_path: str,
     id_col: str = "vec_id",
+    layout: str = "links",
 ) -> dict:
     """Erasure that reaches the serving index — the GDPR path that
     :func:`sources.lakehouse.delete_keys` starts must END here, or a
@@ -935,7 +960,9 @@ def delete_from_ivf_index(
     hard-linked from the base. Bytes written scale with the deleted
     ids' partition footprint, not the corpus. ``out_path`` must be
     FRESH, as with :func:`merge_ivf_index`. Returns the promotion
-    stats dict.
+    stats dict. ``layout="manifest"`` promotes by metadata (the
+    object-store path — see :func:`merge_ivf_index`); a manifest
+    base requires it.
     """
     import os as _os
 
@@ -948,10 +975,17 @@ def delete_from_ivf_index(
             "writing; an in-place overwrite would destroy the source "
             "mid-read)"
         )
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "lists"):
+        raise ValueError(
+            "delete_from_ivf_index: base index uses a manifest layout "
+            "— pass layout='manifest' (nothing complete to link from)"
+        )
     ids = delete_ids.select(F.col(id_col)).distinct()
     changed = sorted(
         r["cent_id"]
-        for r in spark.read.parquet(f"{base_path}/lists")
+        for r in cow.read_component(spark, base_path, "lists")
         .select("cent_id", id_col)
         .join(ids, id_col, "left_semi")
         .select("cent_id")
@@ -962,13 +996,19 @@ def delete_from_ivf_index(
         F.col("cent_id").isin(changed) if changed else F.lit(False)
     )
     kept = (
-        spark.read.parquet(f"{base_path}/lists")
+        cow.read_component(spark, base_path, "lists")
         .where(part_filter)
         .join(ids, id_col, "left_anti")
     )
     kept.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "lists", "cent_id", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "centroids")
+        return stats
     stats = cow.promote_unchanged_partitions(
         spark, f"{base_path}/lists", f"{out_path}/lists", "cent_id", changed
     )
@@ -998,8 +1038,15 @@ def ivf_topk_indexed(
     Scope: serving-style query batches, where the probe-id union is
     small. A query set so large it probes every list degenerates to
     the full scan — use :func:`ivf_topk` for that batch-join shape.
+
+    Reads resolve through ``cow.read_component``, so plain,
+    link-promoted, and manifest-maintained layouts serve through the
+    same code path (for a manifest layout the probe filter prunes
+    partitions within each owning epoch's explicit dir list).
     """
-    cents = spark.read.parquet(f"{path}/centroids")
+    from data_lake_with_spark_spark.sources import cow
+
+    cents = cow.read_component(spark, path, "centroids")
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc()
     )
@@ -1022,7 +1069,7 @@ def ivf_topk_indexed(
     # schema while pruning every partition (isin([]) would too, but
     # this makes the short-circuit explicit in the plan).
     probe_filter = F.col("cent_id").isin(probe_ids) if probe_ids else F.lit(False)
-    lists = spark.read.parquet(f"{path}/lists").where(probe_filter)
+    lists = cow.read_component(spark, path, "lists").where(probe_filter)
     pairs = (
         lists.join(F.broadcast(probes), on="cent_id")
         .where(F.col("query_id") != F.col(id_col))

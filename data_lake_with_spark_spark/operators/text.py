@@ -1143,7 +1143,12 @@ def _bm25_pruned_postings(
     skipping within the probed buckets (the files are tok-sorted).
     Downstream (:func:`_bm25_rank`) localCheckpoints the candidate
     set, which truncates this scan out of the FINAL plan — so the
-    pruning gate inspects this frame directly."""
+    pruning gate inspects this frame directly. Postings resolve
+    through ``cow.read_component`` so manifest-maintained layouts
+    serve through the same path (pruning applies within each owning
+    epoch's explicit dir list)."""
+    from data_lake_with_spark_spark.sources import cow
+
     n_buckets = (
         spark.read.parquet(f"{path}/stats").select("n_buckets").first()[
             "n_buckets"
@@ -1165,7 +1170,7 @@ def _bm25_pruned_postings(
         F.col("tok_bucket").isin(buckets) if buckets else F.lit(False)
     )
     return (
-        spark.read.parquet(f"{path}/postings")
+        cow.read_component(spark, path, "postings")
         .where(bucket_filter)
         .where(F.col("tok").isin(vocab) if vocab else F.lit(False))
         .select(id_col, "tok", "tf")
@@ -1525,6 +1530,7 @@ def merge_bm25_index(
     out_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    layout: str = "links",
 ) -> dict:
     """Incremental BM25 index maintenance — the operation that makes
     a persisted index viable at 100 TB, where "re-run
@@ -1568,7 +1574,10 @@ def merge_bm25_index(
     ``out_path``, which is why merging never overwrites the base:
     the base index stays serveable, and deployment promotes the new
     directory with one rename after all three writes land. Returns
-    the promotion stats dict.
+    the promotion stats dict. ``layout="manifest"`` promotes by
+    metadata (the object-store path — no link primitive needed, only
+    the changed buckets + one small JSON are written; see
+    ``sources.cow``); a manifest base requires it.
     """
     import os as _os
 
@@ -1584,6 +1593,13 @@ def merge_bm25_index(
             "merge_bm25_index: out_path must differ from base_path "
             "(the merge reads the base index lazily while writing; "
             "an in-place overwrite would destroy the source mid-read)"
+        )
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "postings"):
+        raise ValueError(
+            "merge_bm25_index: base index uses a manifest layout — "
+            "pass layout='manifest' (nothing complete to link from)"
         )
     stats = spark.read.parquet(f"{base_path}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
@@ -1610,7 +1626,7 @@ def merge_bm25_index(
     }
     changed_old = {
         r["tok_bucket"]
-        for r in spark.read.parquet(f"{base_path}/postings")
+        for r in cow.read_component(spark, base_path, "postings")
         .select("tok_bucket", id_col)
         .join(new_ids, id_col, "left_semi")
         .select("tok_bucket")
@@ -1622,7 +1638,7 @@ def merge_bm25_index(
         F.col("tok_bucket").isin(changed) if changed else F.lit(False)
     )
     base_post = (
-        spark.read.parquet(f"{base_path}/postings")
+        cow.read_component(spark, base_path, "postings")
         .where(part_filter)
         .select(id_col, "tok", "tf", "tok_bucket")
         .join(new_ids, id_col, "left_anti")
@@ -1639,13 +1655,18 @@ def merge_bm25_index(
         .partitionBy("tok_bucket")
         .parquet(f"{out_path}/postings")
     )
-    cow_stats = cow.promote_unchanged_partitions(
-        spark,
-        f"{base_path}/postings",
-        f"{out_path}/postings",
-        "tok_bucket",
-        changed,
-    )
+    if layout == "manifest":
+        cow_stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "postings", "tok_bucket", changed
+        )
+    else:
+        cow_stats = cow.promote_unchanged_partitions(
+            spark,
+            f"{base_path}/postings",
+            f"{out_path}/postings",
+            "tok_bucket",
+            changed,
+        )
     new_dl = new_ctf.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("dl")
     )
@@ -1669,6 +1690,7 @@ def delete_from_bm25_index(
     delete_ids: DataFrame,
     out_path: str,
     id_col: str = "doc_id",
+    layout: str = "links",
 ) -> dict:
     """Erasure that reaches the serving index — the GDPR path that
     ``lakehouse.delete_keys`` starts must END here, or a deleted
@@ -1694,6 +1716,8 @@ def delete_from_bm25_index(
     layout (n_buckets) carries unchanged. ``out_path`` must be FRESH
     (the delete reads the base lazily while writing — enforced, same
     as :func:`merge_bm25_index`). Returns the promotion stats dict.
+    ``layout="manifest"`` promotes by metadata (the object-store
+    path); a manifest base requires it.
     """
     import os as _os
 
@@ -1706,12 +1730,20 @@ def delete_from_bm25_index(
             "writing; an in-place overwrite would destroy the source "
             "mid-read)"
         )
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "postings"):
+        raise ValueError(
+            "delete_from_bm25_index: base index uses a manifest "
+            "layout — pass layout='manifest' (nothing complete to "
+            "link from)"
+        )
     stats = spark.read.parquet(f"{base_path}/stats")
     n_buckets = stats.select("n_buckets").first()["n_buckets"]
     ids = delete_ids.select(F.col(id_col)).distinct()
     changed = sorted(
         r["tok_bucket"]
-        for r in spark.read.parquet(f"{base_path}/postings")
+        for r in cow.read_component(spark, base_path, "postings")
         .select("tok_bucket", id_col)
         .join(ids, id_col, "left_semi")
         .select("tok_bucket")
@@ -1722,7 +1754,7 @@ def delete_from_bm25_index(
         F.col("tok_bucket").isin(changed) if changed else F.lit(False)
     )
     kept_post = (
-        spark.read.parquet(f"{base_path}/postings")
+        cow.read_component(spark, base_path, "postings")
         .where(part_filter)
         .join(ids, id_col, "left_anti")
     )
@@ -1735,13 +1767,18 @@ def delete_from_bm25_index(
         .partitionBy("tok_bucket")
         .parquet(f"{out_path}/postings")
     )
-    cow_stats = cow.promote_unchanged_partitions(
-        spark,
-        f"{base_path}/postings",
-        f"{out_path}/postings",
-        "tok_bucket",
-        changed,
-    )
+    if layout == "manifest":
+        cow_stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "postings", "tok_bucket", changed
+        )
+    else:
+        cow_stats = cow.promote_unchanged_partitions(
+            spark,
+            f"{base_path}/postings",
+            f"{out_path}/postings",
+            "tok_bucket",
+            changed,
+        )
     dl = spark.read.parquet(f"{base_path}/doclens").join(
         ids, id_col, "left_anti"
     )

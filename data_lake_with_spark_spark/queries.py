@@ -6434,6 +6434,95 @@ GROUP BY l2.label
 """
 
 
+def q192_ivf_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's incremental IVF merge through the MANIFEST layout
+    (similarity.merge_ivf_index layout="manifest" — the object-store
+    copy-on-write: S3 has no link primitive, so the links layout's
+    remote fallback would copy corpus bytes; the manifest epoch
+    writes ONLY the changed cent_id= partitions plus one small JSON
+    re-pointing them, and ivf_topk_indexed resolves through
+    cow.read_component). The oracle is O_Q113 VERBATIM — the same
+    rebuild pin q176 carries — so the driver hash-verifies that
+    metadata-promoted maintenance serves indistinguishably from a
+    from-scratch build over the merged corpus with the same frozen
+    centroid set."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        merge_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    is_delta = (F.col("vec_id") % md != 0) & (F.col("vec_id") % 5 == 0)
+    base_idx = tempfile.mkdtemp(prefix="dlws_ivfm_base_")
+    out_idx = tempfile.mkdtemp(prefix="dlws_ivfm_epoch1_")
+    try:
+        build_ivf_index(
+            emb.where(~is_delta), base_idx, centroid_mod=md, vec_dim=64
+        )
+        merge_ivf_index(
+            spark,
+            base_idx,
+            emb.where(is_delta),
+            out_idx,
+            vec_dim=64,
+            layout="manifest",
+        )
+        out = ivf_topk_indexed(
+            spark,
+            out_idx,
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=4,
+            vec_dim=64,
+        )
+        # pin before the epoch dirs vanish (the q102 pattern) — the
+        # manifest resolves into base_idx, so BOTH dirs must outlive
+        # the lazy read
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_idx, ignore_errors=True)
+        shutil.rmtree(base_idx, ignore_errors=True)
+
+
+def q193_bm25_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's GDPR erasure through the MANIFEST layout
+    (text.delete_from_bm25_index layout="manifest"): only the buckets
+    holding the deleted stripe's postings are rewritten into the
+    epoch; every other bucket stays a manifest pointer at the shared
+    q140 index's bytes. Served scores resolve through
+    cow.read_component and the oracle — O_Q178, the from-scratch
+    rebuild without the ids — hash-gates that the metadata promotion
+    loses nothing (no ghost documents, no stale idf)."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    qs = d.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    dead = d.where(
+        (F.col("doc_id") % 200 != 0) & (F.col("doc_id") % 7 == 3)
+    ).select("doc_id")
+    del_idx = tempfile.mkdtemp(prefix="dlws_bm25m_epoch1_")
+    try:
+        text.delete_from_bm25_index(
+            spark,
+            _bm25_index(spark, sf_dir, "q140"),
+            dead,
+            del_idx,
+            layout="manifest",
+        )
+        out = text.bm25_topk_indexed(spark, del_idx, qs, k=5)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(del_idx, ignore_errors=True)
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7631,6 +7720,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q191_label_propagation_weighted,
         O_Q191,
     ),
+    "q192_ivf_manifest_merge": (q192_ivf_manifest_merge, O_Q113),
+    "q193_bm25_manifest_delete": (q193_bm25_manifest_delete, O_Q178),
 }
 
 
@@ -7856,6 +7947,15 @@ _ROTATED_IN = (
     # in-window for re-verification of the refactored shared paths.
     "q190_pagerank_weighted",
     "q191_label_propagation_weighted",
+    # round 10b: the manifest-layout maintenance pair — the
+    # object-store copy-on-write (metadata promotion, zero
+    # links/copies) serving through cow.read_component; oracles are
+    # the SAME rebuild pins as the links-layout entries (O_Q113 /
+    # O_Q178), so both layouts stay continuously
+    # rebuild-identical-by-gate. Promoted same-round after a full
+    # driver_sim replay.
+    "q192_ivf_manifest_merge",
+    "q193_bm25_manifest_delete",
 )
 _ROTATED_OUT = (
     # round 4
@@ -8132,6 +8232,14 @@ _ROTATED_OUT = (
     # envelope stays value-verified in the local sweep + pytest).
     "q183_rate_spikes",
     "q184_percentile_envelope",
+    # round 10b demotions — both driver-hard verified in r9's window
+    # (CORRECTNESS_r09 50/50), untouched in r10; text quality keeps
+    # q126/q130/q131/q135/q137/q139/q141-q143/q156 in-window (q185's
+    # PMI-lift stays value-verified in the local sweep + pytest);
+    # similarity ingest-QA q172 out with the family keeping
+    # q113-derived q176/q177/q192 + q119-era serving pins local.
+    "q185_collocations",
+    "q172_embedding_quality",
 )
 
 

@@ -1,0 +1,170 @@
+"""Manifest-layout index maintenance — the object-store CoW (no link
+primitive on S3; the FileUtil fallback would copy corpus bytes): a
+maintenance epoch writes ONLY its changed partitions plus one small
+JSON manifest re-pointing them, and readers resolve every layout
+through cow.read_component. Chains must stay FLAT (owners are final
+URIs) and serving must stay rebuild-identical through multiple
+epochs."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import similarity, text
+from data_lake_with_spark_spark.sources import cow
+
+
+def _ivf_rows(spark, idx, queries, **kw):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, **kw).collect()
+    )
+
+
+def test_ivf_manifest_merge_then_delete_chain(spark, tmp_path):
+    """Two manifest epochs (merge, then delete) serve BIT-identically
+    to a from-scratch rebuild over the final corpus; each epoch's
+    directory holds ONLY its changed partitions; owners stay flat
+    across the chain."""
+    rnd = random.Random(13)
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(4)]  # noqa: E731
+    base_rows = [(i, mk()) for i in range(200)]
+    batch_rows = [(7, mk())] + [(i, mk()) for i in range(301, 305)]
+    dead = [3, 44]
+    final_rows = [
+        r
+        for r in base_rows
+        if r[0] != 7 and r[0] not in dead
+    ] + [r for r in batch_rows if r[0] not in dead]
+    base = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
+    final = spark.createDataFrame(final_rows, ["vec_id", "embedding"])
+    base_idx, e1, e2, scratch = (
+        str(tmp_path / d) for d in ("base", "epoch1", "epoch2", "scratch")
+    )
+    similarity.build_ivf_index(base, base_idx, centroid_mod=10)
+    st1 = similarity.merge_ivf_index(
+        spark, base_idx, batch, e1, layout="manifest"
+    )
+    # epoch1 holds ONLY the changed partitions; everything else is a
+    # carried manifest entry pointing at the base — zero bytes moved
+    changed1 = set(st1["changed_partitions"])
+    e1_dirs = {
+        n for n in os.listdir(f"{e1}/lists") if n.startswith("cent_id=")
+    }
+    assert {d.split("=", 1)[1] for d in e1_dirs} == changed1
+    assert st1["linked_bytes"] == 0 and st1["copied_files"] == 0
+    m1 = cow.read_manifest(spark, e1, "lists")
+    base_owner = os.path.abspath(f"{base_idx}/lists")
+    for name, owner in m1["entries"].items():
+        if name.split("=", 1)[1] in changed1:
+            assert owner == os.path.abspath(f"{e1}/lists"), name
+        else:
+            assert owner == base_owner, name
+    # centroids: whole-ref to the ORIGINAL build, no bytes written
+    assert cow.read_manifest(spark, e1, "centroids")["whole"] == (
+        os.path.abspath(f"{base_idx}/centroids")
+    )
+    # epoch2: GDPR delete on the manifest index
+    st2 = similarity.delete_from_ivf_index(
+        spark,
+        e1,
+        spark.createDataFrame([(i,) for i in dead], ["vec_id"]),
+        e2,
+        layout="manifest",
+    )
+    m2 = cow.read_manifest(spark, e2, "lists")
+    # flat chain: every owner is a final component dir (base, e1, or
+    # e2) — never a manifest-bearing index root
+    owners = set(m2["entries"].values())
+    assert owners <= {
+        base_owner,
+        os.path.abspath(f"{e1}/lists"),
+        os.path.abspath(f"{e2}/lists"),
+    }
+    # centroids whole-ref carried through the chain to the original
+    assert cow.read_manifest(spark, e2, "centroids")["whole"] == (
+        os.path.abspath(f"{base_idx}/centroids")
+    )
+    # serving equality through two epochs vs from-scratch
+    similarity.build_ivf_index(final, scratch, centroid_mod=10)
+    qs = final.where(F.col("vec_id").isin(1, 9, 302))
+    got = _ivf_rows(spark, e2, qs, k=5, nprobe=3)
+    exp = _ivf_rows(spark, scratch, qs, k=5, nprobe=3)
+    assert got == exp and len(got) > 0
+    assert st2["rewritten_entries"] <= len(changed1) + 2
+    # links mode cannot consume a manifest base
+    with pytest.raises(ValueError, match="manifest"):
+        similarity.merge_ivf_index(
+            spark, e1, batch.limit(1), str(tmp_path / "x")
+        )
+
+
+def test_bm25_manifest_merge_delete_serving(spark, tmp_path):
+    """BM25 manifest maintenance: merge then delete through manifest
+    epochs, serve with bm25_topk_indexed — identical to a from-scratch
+    build over the final corpus; epochs hold only changed buckets."""
+    vocab = [f"tok{i:03d}" for i in range(120)]
+    mk_text = lambda i: f"{vocab[i % 120]} {vocab[(i * 7) % 120]}"  # noqa: E731
+    base_docs = spark.createDataFrame(
+        [(i, mk_text(i)) for i in range(300)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(1000, "tok001 tok002"), (17, "tok099")], ["doc_id", "text"]
+    )
+    dead = [5, 1000]
+    final_docs = spark.createDataFrame(
+        [(i, mk_text(i)) for i in range(300) if i not in (17, *dead)]
+        + [(17, "tok099")],
+        ["doc_id", "text"],
+    )
+    base_idx, e1, e2, scratch = (
+        str(tmp_path / d) for d in ("b", "e1", "e2", "scratch")
+    )
+    text.build_bm25_index(base_docs, base_idx, n_buckets=32)
+    st1 = text.merge_bm25_index(spark, base_idx, batch, e1, layout="manifest")
+    assert st1["linked_bytes"] == 0
+    e1_dirs = {
+        n for n in os.listdir(f"{e1}/postings") if n.startswith("tok_bucket=")
+    }
+    assert {d.split("=", 1)[1] for d in e1_dirs} == set(
+        st1["changed_partitions"]
+    )
+    text.delete_from_bm25_index(
+        spark,
+        e1,
+        spark.createDataFrame([(i,) for i in dead], ["doc_id"]),
+        e2,
+        layout="manifest",
+    )
+    text.build_bm25_index(final_docs, scratch, n_buckets=32)
+    qs = spark.createDataFrame(
+        [(1, "tok001 tok099"), (2, "tok005")], ["query_id", "text"]
+    )
+    got = sorted(
+        map(tuple, text.bm25_topk_indexed(spark, e2, qs, k=5).collect())
+    )
+    exp = sorted(
+        map(tuple, text.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0
+    # the deleted ids are really gone from the manifest-resolved view
+    ids = {
+        r["doc_id"]
+        for r in cow.read_component(spark, e2, "postings")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert ids.isdisjoint(dead) and 17 in ids
+    with pytest.raises(ValueError, match="manifest"):
+        text.delete_from_bm25_index(
+            spark,
+            e1,
+            spark.createDataFrame([(1,)], ["doc_id"]),
+            str(tmp_path / "y"),
+        )
