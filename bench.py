@@ -77,6 +77,13 @@ SKIP = {
     # before serving q161's plan from it; the delete's anti-join cost
     # is q171's shape, the serve cost is q161's (benched).
     "q178_bm25_delete",
+    # the manifest-layout twins of q176/q178: same maintenance-op
+    # shape (an index build + an epoch rewrite before serving), same
+    # local small-file domination; their serving plans are
+    # q113's/q161's (benched) through the manifest resolution, gated
+    # in tests/test_index_manifest.py and by their 3-SF oracles.
+    "q192_ivf_manifest_merge",
+    "q193_bm25_manifest_delete",
 }
 
 

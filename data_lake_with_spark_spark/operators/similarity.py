@@ -1018,6 +1018,26 @@ def delete_from_ivf_index(
     return stats
 
 
+def compact_ivf_index(spark, index_path: str, out_path: str) -> dict:
+    """Collapse an IVF index (plain, link-promoted, or a MANIFEST
+    epoch chain) into one self-contained plain layout at ``out_path``
+    — the vacuum/OPTIMIZE step that bounds manifest read
+    amplification: after compaction the old epoch directories are
+    deletable (caller retires them once no reader needs them, the
+    Delta-VACUUM discipline). Serving from the compacted index is
+    bit-identical by construction (it rewrites the RESOLVED view;
+    gated in tests/test_index_manifest.py)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    stats = cow.compact_index_component(
+        spark, index_path, out_path, "lists", "cent_id"
+    )
+    cow.compact_index_component(
+        spark, index_path, out_path, "centroids", None
+    )
+    return stats
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

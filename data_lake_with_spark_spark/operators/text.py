@@ -1177,6 +1177,27 @@ def _bm25_pruned_postings(
     )
 
 
+def compact_bm25_index(spark, index_path: str, out_path: str) -> dict:
+    """Collapse a BM25 index (plain, link-promoted, or a MANIFEST
+    epoch chain) into one self-contained plain layout at ``out_path``
+    (the vacuum/OPTIMIZE step — see
+    :func:`similarity.compact_ivf_index`): postings re-sort within
+    buckets so the tok-sorted row-group-skipping contract holds in
+    the compacted files; doclens and stats rewrite verbatim."""
+    from data_lake_with_spark_spark.sources import cow
+
+    stats = cow.compact_index_component(
+        spark, index_path, out_path, "postings", "tok_bucket", sort_col="tok"
+    )
+    spark.read.parquet(f"{index_path}/doclens").write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/doclens")
+    spark.read.parquet(f"{index_path}/stats").write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/stats")
+    return stats
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

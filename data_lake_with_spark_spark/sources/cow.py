@@ -405,6 +405,48 @@ def promote_whole_ref(spark, base_path: str, out_path: str, component: str) -> N
     )
 
 
+def compact_index_component(
+    spark,
+    index_path: str,
+    out_path: str,
+    component: str,
+    partition_col: str | None,
+    sort_col: str | None = None,
+) -> dict:
+    """Collapse a manifest epoch CHAIN back into one self-contained
+    plain component directory — the vacuum/OPTIMIZE step every
+    manifest-based format needs: maintenance epochs accumulate (each
+    holds only its changed partitions; readers touch every owner),
+    and once the chain is longer than the read amplification you'll
+    tolerate, compaction rewrites the CURRENT resolved view into
+    ``{out_path}/{component}`` with no manifest, after which the old
+    epochs are deletable (by the caller, once no reader needs them —
+    the same retire-after-quiesce discipline as Delta VACUUM).
+
+    ``sort_col`` re-establishes a within-partition sort contract
+    (BM25's tok-sorted row-group skipping). Works on plain and
+    link-promoted layouts too (read_component resolves all three),
+    where it doubles as a small-files rewrite. Returns
+    {"partitions": n} for partitioned components.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_component(spark, index_path, component)
+    if partition_col is None:
+        df.write.mode("overwrite").parquet(f"{out_path}/{component}")
+        return {"partitions": 0}
+    out = df.repartition(F.col(partition_col))
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(
+        f"{out_path}/{component}"
+    )
+    n = len(
+        base_partition_owners(spark, out_path, component, partition_col)
+    )
+    return {"partitions": n}
+
+
 def promote_dir(spark, base_dir: str, out_dir: str) -> dict:
     """Promote an ENTIRE unpartitioned component directory (e.g. the
     frozen IVF ``centroids``) from base to out by link/copy — the

@@ -168,3 +168,63 @@ def test_bm25_manifest_merge_delete_serving(spark, tmp_path):
             spark.createDataFrame([(1,)], ["doc_id"]),
             str(tmp_path / "y"),
         )
+
+
+def test_compaction_collapses_epoch_chain(spark, tmp_path):
+    """compact_*_index rewrites the RESOLVED view into one plain
+    self-contained layout: no manifest files at the output, serving
+    unchanged, and the old epochs become deletable — the vacuum step
+    that bounds manifest read amplification."""
+    import shutil
+
+    rnd = random.Random(29)
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(4)]  # noqa: E731
+    base = spark.createDataFrame(
+        [(i, mk()) for i in range(150)], ["vec_id", "embedding"]
+    )
+    batch = spark.createDataFrame(
+        [(i, mk()) for i in range(501, 505)], ["vec_id", "embedding"]
+    )
+    base_idx, e1, compacted = (
+        str(tmp_path / d) for d in ("b", "e1", "flat")
+    )
+    similarity.build_ivf_index(base, base_idx, centroid_mod=10)
+    similarity.merge_ivf_index(
+        spark, base_idx, batch, e1, layout="manifest"
+    )
+    qs = base.where(F.col("vec_id").isin(2, 8))
+    before = _ivf_rows(spark, e1, qs, k=4, nprobe=3)
+    similarity.compact_ivf_index(spark, e1, compacted)
+    assert not os.path.exists(f"{compacted}/lists_manifest.json")
+    assert not os.path.exists(f"{compacted}/centroids_manifest.json")
+    after = _ivf_rows(spark, compacted, qs, k=4, nprobe=3)
+    assert after == before and len(after) > 0
+    # the compacted layout is SELF-CONTAINED: retire every old epoch
+    shutil.rmtree(base_idx)
+    shutil.rmtree(e1)
+    again = _ivf_rows(spark, compacted, qs, k=4, nprobe=3)
+    assert again == before
+    # BM25 side: manifest epoch -> compact -> epochs deletable
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 40:02d} w{(i * 3) % 40:02d}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    b_idx, b_e1, b_flat = (
+        str(tmp_path / d) for d in ("tb", "te1", "tflat")
+    )
+    text.build_bm25_index(docs, b_idx, n_buckets=16)
+    text.delete_from_bm25_index(
+        spark,
+        b_idx,
+        spark.createDataFrame([(11,)], ["doc_id"]),
+        b_e1,
+        layout="manifest",
+    )
+    q = spark.createDataFrame([(1, "w11 w33")], ["query_id", "text"])
+    exp = sorted(map(tuple, text.bm25_topk_indexed(spark, b_e1, q, k=5).collect()))
+    text.compact_bm25_index(spark, b_e1, b_flat)
+    assert not os.path.exists(f"{b_flat}/postings_manifest.json")
+    shutil.rmtree(b_idx)
+    shutil.rmtree(b_e1)
+    got = sorted(map(tuple, text.bm25_topk_indexed(spark, b_flat, q, k=5).collect()))
+    assert got == exp and len(got) > 0
