@@ -718,6 +718,7 @@ def hits_fixed(
     iterations: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg's hubs-and-authorities) over a
     directed edge frame — the second classic source-authority signal
@@ -751,15 +752,30 @@ def hits_fixed(
     Iterations are unrolled with per-step localCheckpoint; edges
     pinned once (the pagerank_fixed execution shape).
 
+    ``weight_col`` (optional) runs WEIGHTED HITS — ``a(v) =
+    Σ_{u→v} h(u)·w(u,v)`` and symmetrically for hubs — with INTEGER
+    weights (link counts; cast to bigint, the graph-family weight
+    contract), which PRESERVES the integer-exactness story: every
+    product and sum stays an exact DECIMAL(38,0) integer, so the
+    weighted variant is as engine-independent as the unweighted one
+    (w=1 is property-tested identical). Magnitude grows as
+    ≤ E·(maxdeg·max_w)^(2t−1); the overflow guard covers it.
+
     Returns (node, authority, hub) as exact integers (DECIMAL(38,0))
     from the final iteration — full outer over both score frames;
     nodes with no in-edges carry authority 0, no out-edges hub 0.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("w"))
+    e = edges.select(*cols).localCheckpoint()
+    contrib = (
+        F.col("score")
+        if weight_col is None
+        else F.col("score") * F.col("w")
+    )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -785,14 +801,14 @@ def hits_fixed(
         a = _no_overflow(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
+            .agg(F.sum(contrib).cast("decimal(38,0)").alias("score"))
             .localCheckpoint(),
             "authority",
         )
         h = _no_overflow(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("score").cast("decimal(38,0)").alias("score"))
+            .agg(F.sum(contrib).cast("decimal(38,0)").alias("score"))
             .localCheckpoint(),
             "hub",
         )

@@ -6523,6 +6523,63 @@ def q193_bm25_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(del_idx, ignore_errors=True)
 
 
+def q194_hits_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED HITS (graph.hits_fixed with weight_col) over the
+    customer→part purchase digraph carrying EDGE MULTIPLICITY
+    (distinct orders per customer-part pair — the q190 edge frame):
+    a(v) = Σ h(u)·w, h(u) = Σ a(v)·w. The point of the integer
+    weight contract: every product and sum is still an exact
+    DECIMAL(38,0) INTEGER, so weighted HITS keeps the strongest
+    cross-engine float story in the graph family — no decimal cast,
+    no grid, nothing to round (w=1 property-tested identical to
+    q181's unweighted scores). Top-50 by authority via
+    TakeOrderedAndProject + the 50-row pos window."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+    from data_lake_with_spark_spark.operators.relational import top_k
+
+    edges = _copurchase_weighted(spark, sf_dir)
+    r = hits_fixed(edges, iterations=2, weight_col="w").select(
+        "node",
+        F.col("authority").cast("bigint").alias("authority"),
+        F.col("hub").cast("bigint").alias("hub"),
+    )
+    top = top_k(
+        r, [F.col("authority").desc(), F.col("node").asc()], 50
+    )
+    w = Window.orderBy(F.col("authority").desc(), F.col("node").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+O_Q194 = """
+WITH e AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS dst,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+a1 AS (SELECT dst AS node, CAST(SUM(w) AS BIGINT) AS score
+       FROM e GROUP BY dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a.score * e.w) AS BIGINT) AS score
+       FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h.score * e.w) AS BIGINT) AS score
+       FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(SUM(a.score * e.w) AS BIGINT) AS score
+       FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+sc AS (
+  SELECT COALESCE(a.node, h.node) AS node,
+         CAST(COALESCE(a.score, 0) AS BIGINT) AS authority,
+         CAST(COALESCE(h.score, 0) AS BIGINT) AS hub
+  FROM a2 a FULL OUTER JOIN h2 h ON h.node = a.node)
+SELECT node, authority, hub, pos FROM (
+  SELECT node, authority, hub,
+         CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, node)
+              AS BIGINT) AS pos
+  FROM sc) WHERE pos <= 50
+"""
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7722,6 +7779,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "q192_ivf_manifest_merge": (q192_ivf_manifest_merge, O_Q113),
     "q193_bm25_manifest_delete": (q193_bm25_manifest_delete, O_Q178),
+    "q194_hits_weighted": (q194_hits_weighted, O_Q194),
 }
 
 
@@ -7956,6 +8014,12 @@ _ROTATED_IN = (
     # driver_sim replay.
     "q192_ivf_manifest_merge",
     "q193_bm25_manifest_delete",
+    # round 10c: weighted HITS — completes the weighted authority
+    # family with the integer-exactness contract intact (products of
+    # bigint weights stay exact DECIMAL(38,0) integers; w=1
+    # property-tested identical to q181). Promoted same-round after a
+    # 3-SF oracle sweep + driver_sim replay.
+    "q194_hits_weighted",
 )
 _ROTATED_OUT = (
     # round 4
@@ -8240,6 +8304,11 @@ _ROTATED_OUT = (
     # q113-derived q176/q177/q192 + q119-era serving pins local.
     "q185_collocations",
     "q172_embedding_quality",
+    # round 10c demotion — q179 driver-hard verified in r9's window,
+    # untouched in r10; profiling keeps q154/q158/q182 in-window and
+    # the approx-vs-exact envelope stays pinned in pytest + the
+    # local sweep (q162-style verify mode already lives there).
+    "q179_key_uniqueness_sketch",
 )
 
 

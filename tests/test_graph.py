@@ -389,3 +389,30 @@ def test_related_items_min_count_floor(spark):
     )
     with pytest.raises(ValueError, match="min_count"):
         related_items(df, min_count=0)
+
+
+def test_hits_weighted_integer_exact(spark):
+    """Weighted HITS stays exact-integer (products of bigint weights
+    and integer scores inside DECIMAL(38,0)); w=1 is identical to the
+    unweighted path; a weight-9 edge pulls authority toward its
+    target vs an equal-degree weight-1 sibling."""
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+
+    e1 = spark.createDataFrame(
+        [("u", "a", 1), ("u", "b", 1), ("v", "a", 1)],
+        "src string, dst string, w long",
+    )
+    plain = sorted(map(tuple, hits_fixed(e1, iterations=2).collect()))
+    unit = sorted(
+        map(tuple, hits_fixed(e1, iterations=2, weight_col="w").collect())
+    )
+    assert plain == unit
+    e9 = spark.createDataFrame(
+        [("u", "a", 9), ("u", "b", 1)], "src string, dst string, w long"
+    )
+    r = {
+        x["node"]: (int(x["authority"]), int(x["hub"]))
+        for x in hits_fixed(e9, iterations=1, weight_col="w").collect()
+    }
+    # h0=1: a(a)=9, a(b)=1, h(u)=9*9+1*1=82
+    assert r["a"][0] == 9 and r["b"][0] == 1 and r["u"][1] == 82

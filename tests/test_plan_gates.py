@@ -492,3 +492,16 @@ def test_r10_weighted_graph_shuffle_budgets(spark, sf_dir):
     p = _plan(spark, sf_dir, "q191_label_propagation_weighted")
     assert p.count("Exchange") <= 2, p.count("Exchange")
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_r10_weighted_hits_shuffle_budget(spark, sf_dir):
+    """q194 weighted HITS finishes exactly like q181: the iterations
+    live behind per-step localCheckpoints, so the final plan is the
+    full-outer score join (2 node-keyed exchanges) +
+    TakeOrderedAndProject + the 50-row pos window. Zero Python eval
+    nodes; the weight multiply lives inside the (checkpointed)
+    integer aggregates."""
+    p = _plan(spark, sf_dir, "q194_hits_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") <= 2, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
