@@ -22,7 +22,11 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
 
 
-def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["links", "manifest"])
+def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     rnd = random.Random(42)
     n = 240
     docs_rows = [
@@ -51,9 +55,15 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path):
     tomb = spark.createDataFrame([(i,) for i in doomed], ["doc_id"])
 
     VersionedParquetFormat.delete_keys(spark, table, tomb, ["doc_id"], 1)
-    text.delete_from_bm25_index(spark, bm25_full, tomb, bm25_del)
+    text.delete_from_bm25_index(
+        spark, bm25_full, tomb, bm25_del, layout=layout
+    )
     similarity.delete_from_ivf_index(
-        spark, ivf_full, tomb.withColumnRenamed("doc_id", "vec_id"), ivf_del
+        spark,
+        ivf_full,
+        tomb.withColumnRenamed("doc_id", "vec_id"),
+        ivf_del,
+        layout=layout,
     )
 
     # 1) the three surfaces agree on the surviving id universe
@@ -69,9 +79,13 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path):
         .select("doc_id")
         .collect()
     }
+    # lists resolve through read_component: under the manifest layout
+    # the epoch dir holds ONLY the changed partitions
+    from data_lake_with_spark_spark.sources import cow
+
     ivf_ids = {
         r["vec_id"]
-        for r in spark.read.parquet(f"{ivf_del}/lists")
+        for r in cow.read_component(spark, ivf_del, "lists")
         .select("vec_id")
         .collect()
     }
