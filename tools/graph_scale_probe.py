@@ -107,6 +107,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from data_lake_with_spark_spark.operators.graph import (
+        hits_fixed,
         hub_clustering,
         label_propagation,
         pagerank_fixed,
@@ -169,6 +170,12 @@ def main() -> int:
             wedges_frame, iterations=3, validate=False, weight_col="w"
         ).count()
         row["pagerank_weighted_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        hits_fixed(edges, iterations=2).count()
+        row["hits_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        hits_fixed(wedges_frame, iterations=2, weight_col="w").count()
+        row["hits_weighted_s"] = round(time.time() - t0, 2)
         results[tag] = row
         print(tag, row, flush=True)
 
@@ -213,6 +220,8 @@ def main() -> int:
         "lpa_weighted_s",
         "pagerank_s",
         "pagerank_weighted_s",
+        "hits_s",
+        "hits_weighted_s",
     )
     for hi, ratio in ((f"uniform_{r1}x", r1), (f"uniform_{r2}x", r2)):
         for op in ops:
