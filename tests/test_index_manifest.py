@@ -228,3 +228,89 @@ def test_compaction_collapses_epoch_chain(spark, tmp_path):
     shutil.rmtree(b_e1)
     got = sorted(map(tuple, text.bm25_topk_indexed(spark, b_flat, q, k=5).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_randomized_maintenance_chain_equals_rebuild(spark, tmp_path):
+    """Randomized (seeded, deterministic) maintenance chains: from a
+    links-layout base, apply a random sequence of manifest merges
+    (append + replace) and deletes, then assert the final served
+    top-k is BIT-identical to a from-scratch build over the corpus
+    state tracked in plain Python — the strongest correctness net
+    for the youngest promotion code (stale-partition exclusion,
+    carry-forward, emptied partitions, centroid whole-refs all get
+    exercised by whatever the sequence hits)."""
+    rnd = random.Random(101)
+    dim = 3
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(dim)]  # noqa: E731
+    state = {i: mk() for i in range(80)}
+    centroid_ids = {i for i in range(80) if i % 10 == 0}
+    base_idx = str(tmp_path / "chain0")
+    similarity.build_ivf_index(
+        spark.createDataFrame(
+            sorted(state.items()), ["vec_id", "embedding"]
+        ),
+        base_idx,
+        centroid_mod=10,
+    )
+    # appended ids avoid % 10 == 0 so the scratch rebuild's
+    # centroid_mod selection yields EXACTLY the chain's frozen
+    # centroid set (asserted below) — otherwise the equality would
+    # compare different quantizers
+    cur, next_id = base_idx, 1001
+    for step in range(4):
+        out = str(tmp_path / f"chain{step + 1}")
+        if step % 2 == 0:
+            # merge: one replace (non-centroid) + two appends
+            replace_pool = sorted(set(state) - centroid_ids)
+            rid = replace_pool[rnd.randrange(len(replace_pool))]
+            batch = {rid: mk(), next_id: mk(), next_id + 1: mk()}
+            next_id += 2
+            similarity.merge_ivf_index(
+                spark,
+                cur,
+                spark.createDataFrame(
+                    sorted(batch.items()), ["vec_id", "embedding"]
+                ),
+                out,
+                layout="manifest",
+            )
+            state.update(batch)
+        else:
+            # delete: three random non-centroid survivors
+            pool = sorted(set(state) - centroid_ids)
+            dead = sorted(rnd.sample(pool, 3))
+            similarity.delete_from_ivf_index(
+                spark,
+                cur,
+                spark.createDataFrame([(i,) for i in dead], ["vec_id"]),
+                out,
+                layout="manifest",
+            )
+            for i in dead:
+                del state[i]
+        cur = out
+    scratch = str(tmp_path / "scratch")
+    similarity.build_ivf_index(
+        spark.createDataFrame(
+            sorted(state.items()), ["vec_id", "embedding"]
+        ),
+        scratch,
+        centroid_mod=10,
+    )
+    # same quantizer on both sides: the chain carried the base's
+    # frozen centroids; the rebuild re-derives the identical set
+    chain_cents = sorted(
+        r["cent_id"]
+        for r in cow.read_component(spark, cur, "centroids").collect()
+    )
+    scratch_cents = sorted(
+        r["cent_id"]
+        for r in spark.read.parquet(f"{scratch}/centroids").collect()
+    )
+    assert chain_cents == scratch_cents == sorted(centroid_ids)
+    qs = spark.createDataFrame(
+        sorted(state.items())[:6], ["vec_id", "embedding"]
+    )
+    got = _ivf_rows(spark, cur, qs, k=5, nprobe=3)
+    exp = _ivf_rows(spark, scratch, qs, k=5, nprobe=3)
+    assert got == exp and len(got) > 0
