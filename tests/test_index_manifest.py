@@ -314,3 +314,67 @@ def test_randomized_maintenance_chain_equals_rebuild(spark, tmp_path):
     got = _ivf_rows(spark, cur, qs, k=5, nprobe=3)
     exp = _ivf_rows(spark, scratch, qs, k=5, nprobe=3)
     assert got == exp and len(got) > 0
+
+
+def test_randomized_bm25_chain_equals_rebuild(spark, tmp_path):
+    """The BM25 twin of the randomized IVF chain: seeded merge/delete
+    manifest epochs vs a tracked corpus dict; final served scores
+    must be bit-identical to a from-scratch build (exercises the
+    per-epoch doclens/stats recompute and the bucket-footprint
+    carry-forward under arbitrary sequences)."""
+    rnd = random.Random(202)
+    vocab = [f"t{i:02d}" for i in range(60)]
+    mk_text = lambda: " ".join(  # noqa: E731
+        rnd.choice(vocab) for _ in range(6)
+    )
+    state = {i: mk_text() for i in range(120)}
+    base_idx = str(tmp_path / "bm0")
+    text.build_bm25_index(
+        spark.createDataFrame(sorted(state.items()), ["doc_id", "text"]),
+        base_idx,
+        n_buckets=16,
+    )
+    cur, next_id = base_idx, 500
+    for step in range(4):
+        out = str(tmp_path / f"bm{step + 1}")
+        if step % 2 == 0:
+            rid = sorted(state)[rnd.randrange(len(state))]
+            batch = {rid: mk_text(), next_id: mk_text(), next_id + 1: mk_text()}
+            next_id += 2
+            text.merge_bm25_index(
+                spark,
+                cur,
+                spark.createDataFrame(
+                    sorted(batch.items()), ["doc_id", "text"]
+                ),
+                out,
+                layout="manifest",
+            )
+            state.update(batch)
+        else:
+            dead = sorted(rnd.sample(sorted(state), 3))
+            text.delete_from_bm25_index(
+                spark,
+                cur,
+                spark.createDataFrame([(i,) for i in dead], ["doc_id"]),
+                out,
+                layout="manifest",
+            )
+            for i in dead:
+                del state[i]
+        cur = out
+    scratch = str(tmp_path / "bm_scratch")
+    text.build_bm25_index(
+        spark.createDataFrame(sorted(state.items()), ["doc_id", "text"]),
+        scratch,
+        n_buckets=16,
+    )
+    qs = spark.createDataFrame(
+        [(1, f"{vocab[3]} {vocab[40]}"), (2, vocab[17])],
+        ["query_id", "text"],
+    )
+    got = sorted(map(tuple, text.bm25_topk_indexed(spark, cur, qs, k=5).collect()))
+    exp = sorted(
+        map(tuple, text.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0
