@@ -835,16 +835,11 @@ def merge_ivf_index(
     promotion (its partitions live across epochs — there is nothing
     complete to link from); enforced with a raise.
     """
-    import os as _os
-
     from data_lake_with_spark_spark.sources import cow
 
-    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
-        raise ValueError(
-            "merge_ivf_index: out_path must differ from base_path "
-            "(the merge reads the base index lazily while writing; "
-            "an in-place overwrite would destroy the source mid-read)"
-        )
+    # normalized-URI compare: catches base == out spelled as the same
+    # remote URI with different formatting, not just local paths
+    cow.assert_fresh_out("merge_ivf_index", base_path, out_path)
     if layout not in ("links", "manifest"):
         raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
     if layout == "links" and cow.read_manifest(spark, base_path, "lists"):
@@ -963,18 +958,22 @@ def delete_from_ivf_index(
     stats dict. ``layout="manifest"`` promotes by metadata (the
     object-store path — see :func:`merge_ivf_index`); a manifest
     base requires it.
-    """
-    import os as _os
 
+    GDPR retention caveat (manifest layout): erasure is POINTER-LEVEL
+    until compaction — the deleted ids' vectors physically remain in
+    earlier epoch directories (an epoch still holds the stale
+    pre-delete version of the partitions this delete re-owned) and in
+    the links layout's base directory. No reader resolving through
+    the new manifest can reach them, but the bytes exist on disk
+    until :func:`compact_ivf_index` rewrites the resolved view and
+    ``cow.vacuum_index`` retires the unreferenced epochs. A
+    regulatory PHYSICAL-deletion obligation therefore requires the
+    full delete → compact → vacuum sequence (composed and gated in
+    tests/test_gdpr_pipeline.py).
+    """
     from data_lake_with_spark_spark.sources import cow
 
-    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
-        raise ValueError(
-            "delete_from_ivf_index: out_path must differ from "
-            "base_path (the delete reads the base index lazily while "
-            "writing; an in-place overwrite would destroy the source "
-            "mid-read)"
-        )
+    cow.assert_fresh_out("delete_from_ivf_index", base_path, out_path)
     if layout not in ("links", "manifest"):
         raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
     if layout == "links" and cow.read_manifest(spark, base_path, "lists"):

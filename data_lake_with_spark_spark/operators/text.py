@@ -1600,21 +1600,13 @@ def merge_bm25_index(
     the changed buckets + one small JSON are written; see
     ``sources.cow``); a manifest base requires it.
     """
-    import os as _os
-
     from data_lake_with_spark_spark.sources import cow
 
-    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
-        # the merged frames read base_path LAZILY while the
-        # mode('overwrite') write deletes it — an in-place merge
-        # would consume its own deletion and corrupt or lose the
-        # index. Write to a fresh dir, then swap/rename atomically
-        # at the deployment layer.
-        raise ValueError(
-            "merge_bm25_index: out_path must differ from base_path "
-            "(the merge reads the base index lazily while writing; "
-            "an in-place overwrite would destroy the source mid-read)"
-        )
+    # the merged frames read base_path LAZILY while the
+    # mode('overwrite') write deletes it — an in-place merge would
+    # consume its own deletion; normalized-URI compare catches the
+    # same remote URI spelled two ways, not just local paths
+    cow.assert_fresh_out("merge_bm25_index", base_path, out_path)
     if layout not in ("links", "manifest"):
         raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
     if layout == "links" and cow.read_manifest(spark, base_path, "postings"):
@@ -1739,18 +1731,22 @@ def delete_from_bm25_index(
     as :func:`merge_bm25_index`). Returns the promotion stats dict.
     ``layout="manifest"`` promotes by metadata (the object-store
     path); a manifest base requires it.
-    """
-    import os as _os
 
+    GDPR retention caveat (manifest layout): erasure is POINTER-LEVEL
+    until compaction — the deleted docs' postings physically remain
+    in earlier epoch directories (an epoch still holds the stale
+    pre-delete version of the buckets this delete re-owned) and in
+    the links layout's base directory. Readers resolving through the
+    new manifest cannot reach them, but the bytes exist on disk until
+    :func:`compact_bm25_index` rewrites the resolved view and
+    ``cow.vacuum_index`` retires the unreferenced epochs. A
+    regulatory PHYSICAL-deletion obligation therefore requires the
+    full delete → compact → vacuum sequence (composed and gated in
+    tests/test_gdpr_pipeline.py).
+    """
     from data_lake_with_spark_spark.sources import cow
 
-    if _os.path.abspath(out_path) == _os.path.abspath(base_path):
-        raise ValueError(
-            "delete_from_bm25_index: out_path must differ from "
-            "base_path (the delete reads the base index lazily while "
-            "writing; an in-place overwrite would destroy the source "
-            "mid-read)"
-        )
+    cow.assert_fresh_out("delete_from_bm25_index", base_path, out_path)
     if layout not in ("links", "manifest"):
         raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
     if layout == "links" and cow.read_manifest(spark, base_path, "postings"):

@@ -45,6 +45,7 @@ instead of trusting it.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from urllib.parse import urlparse
 
@@ -56,6 +57,40 @@ def _local_path(path: str) -> str | None:
     if parsed.scheme in ("", "file"):
         return parsed.path if parsed.scheme == "file" else path
     return None
+
+
+def norm_uri(path: str) -> str:
+    """Canonical identity of a path/URI for the maintenance ops'
+    fresh-``out_path`` guards. Local and ``file:`` paths normalize to
+    their absolute filesystem path; remote URIs keep their authority
+    but lower-case the scheme, collapse duplicate slashes, and strip
+    trailing slashes — so ``s3a://b/idx``, ``s3a://b/idx/`` and
+    ``S3A://b//idx`` all compare equal. ``os.path.abspath`` alone
+    cannot do this for remote URIs (two distinct URIs never collide
+    after abspath, so ``base == out`` spelled as the same remote URI
+    with different formatting slipped through — the r10 hardening
+    item)."""
+    local = _local_path(path)
+    if local is not None:
+        return os.path.abspath(local)
+    p = urlparse(path)
+    norm = re.sub(r"/{2,}", "/", p.path).rstrip("/")
+    return f"{p.scheme.lower()}://{p.netloc}{norm}"
+
+
+def assert_fresh_out(op: str, base_path: str, out_path: str) -> None:
+    """Raise when ``out_path`` names the same location as
+    ``base_path`` (normalized-URI compare): every maintenance op reads
+    the base LAZILY while ``mode("overwrite")`` deletes the target, so
+    an in-place rewrite would consume its own deletion and destroy the
+    index mid-read. Write to a fresh directory and swap at the
+    deployment layer (:func:`set_current`)."""
+    if norm_uri(out_path) == norm_uri(base_path):
+        raise ValueError(
+            f"{op}: out_path must differ from the source index path "
+            "(the op reads the source lazily while writing; an "
+            "in-place overwrite would destroy it mid-read)"
+        )
 
 
 def _link_or_copy_tree(src_dir: str, dst_dir: str) -> tuple[int, int, int]:
@@ -258,6 +293,8 @@ def read_component(spark, index_path: str, component: str):
     what excludes them. Catalyst partition pruning still applies to
     downstream ``.where`` filters (the listed dirs carry their
     partition values)."""
+    import json
+
     m = read_manifest(spark, index_path, component)
     if m is None:
         return spark.read.parquet(f"{index_path}/{component}")
@@ -274,8 +311,16 @@ def read_component(spark, index_path: str, component: str):
             )
         )
     if not frames:
-        # fully-emptied component: preserve an empty frame with the
-        # right schema via a zero-partition read of the out dir
+        # Fully-emptied component (every id deleted): the epoch's own
+        # partitioned overwrite left only _SUCCESS — no parquet footer
+        # to infer a schema from — so the manifest CARRIES the schema
+        # and we return the promised empty frame with it (r10 ADVICE).
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
         return spark.read.parquet(f"{index_path}/{component}")
     out = frames[0]
     for f in frames[1:]:
@@ -332,10 +377,14 @@ def promote_via_manifest(
     base (flat chain — owners are final URIs). A changed partition
     with no surviving rows produces no directory and drops out of
     the mapping entirely. Zero bytes linked or copied on ANY
-    scheme."""
+    scheme. The manifest also carries the component SCHEMA (read from
+    the base's resolved view — a footer-only read) so a later epoch
+    that empties the component entirely can still serve an empty
+    frame with the right columns."""
     import json
 
     changed = {str(v) for v in changed_values}
+    schema_json = read_component(spark, base_path, component).schema.json()
     carried = {
         name: owner
         for name, owner in base_partition_owners(
@@ -357,6 +406,7 @@ def promote_via_manifest(
         "partition_col": partition_col,
         "entries": entries,
         "whole": None,
+        "schema": schema_json,
     }
     _fs_write_text(
         spark,
@@ -428,8 +478,36 @@ def compact_index_component(
     link-promoted layouts too (read_component resolves all three),
     where it doubles as a small-files rewrite. Returns
     {"partitions": n} for partitioned components.
+
+    ``out_path`` must be FRESH — not the index path itself, and (for
+    a manifest chain) not any epoch that OWNS bytes the resolved view
+    still reads: the compaction reads the source lazily while
+    ``mode("overwrite")`` deletes the target, so writing into any
+    owner would destroy live index bytes mid-read (r10 ADVICE).
+    Enforced here for every compact_* entry point.
     """
     from pyspark.sql import functions as F
+
+    assert_fresh_out("compact_index_component", index_path, out_path)
+    m = read_manifest(spark, index_path, component)
+    if m is not None:
+        out_n = norm_uri(out_path)
+        owners = set((m.get("entries") or {}).values())
+        if m.get("whole"):
+            owners.add(m["whole"])
+        for owner in owners:
+            own_n = norm_uri(owner)
+            # owner URIs are component dirs ({epoch}/{component}); a
+            # compact target equal to the owning EPOCH would overwrite
+            # {out}/{component} right on top of it
+            if own_n == out_n or own_n.startswith(out_n + "/"):
+                raise ValueError(
+                    "compact_index_component: out_path "
+                    f"{out_path!r} owns live bytes of the manifest "
+                    f"chain ({owner!r}); compacting into an owning "
+                    "epoch would destroy the index mid-read — use a "
+                    "fresh directory"
+                )
 
     df = read_component(spark, index_path, component)
     if partition_col is None:

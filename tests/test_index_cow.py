@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.operators import similarity, text
@@ -208,3 +209,81 @@ def test_delete_bm25_cow_links_untouched_buckets(spark, tmp_path):
         for f in files
     )
     assert 0 < written < 0.3 * total
+
+
+def test_norm_uri_guard_catches_remote_spellings(spark, tmp_path):
+    """The fresh-out_path guard compares NORMALIZED URIs: the same
+    remote location spelled with a trailing slash, doubled slashes, or
+    an upper-case scheme must collide (abspath on an s3a:// URI never
+    collided — the r10 hardening item); distinct locations must not."""
+    assert cow.norm_uri("s3a://bkt/idx/") == cow.norm_uri("s3a://bkt/idx")
+    assert cow.norm_uri("S3A://bkt//idx") == cow.norm_uri("s3a://bkt/idx")
+    assert cow.norm_uri("s3a://bkt/idx2") != cow.norm_uri("s3a://bkt/idx")
+    assert cow.norm_uri("file:/tmp/x") == cow.norm_uri("/tmp/x")
+    with pytest.raises(ValueError, match="differ"):
+        cow.assert_fresh_out("op", "s3a://bkt/idx", "s3a://bkt/idx/")
+    cow.assert_fresh_out("op", "s3a://bkt/idx", "s3a://bkt2/idx")
+    # and the maintenance ops route through it for local paths too
+    with pytest.raises(ValueError, match="differ"):
+        similarity.merge_ivf_index(
+            spark,
+            str(tmp_path / "same"),
+            spark.createDataFrame([(1, [0.1])], ["vec_id", "embedding"]),
+            str(tmp_path) + "//same/",
+        )
+
+
+def test_compact_into_owning_epoch_raises(spark, tmp_path):
+    """compact_*_index must refuse an out_path that the resolved
+    manifest chain still reads from — mode('overwrite') would destroy
+    live index bytes mid-read (r10 ADVICE medium #1)."""
+    import random
+
+    rnd = random.Random(7)
+    base = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    batch = spark.createDataFrame(
+        [(901, [0.1, 0.2, 0.3, 0.4])], ["vec_id", "embedding"]
+    )
+    base_idx, e1 = str(tmp_path / "b"), str(tmp_path / "e1")
+    similarity.build_ivf_index(base, base_idx, centroid_mod=10)
+    similarity.merge_ivf_index(spark, base_idx, batch, e1, layout="manifest")
+    # in-place compact
+    with pytest.raises(ValueError, match="differ"):
+        similarity.compact_ivf_index(spark, e1, e1)
+    # compact into an epoch the chain still owns bytes in (the base)
+    with pytest.raises(ValueError, match="owns live bytes"):
+        similarity.compact_ivf_index(spark, e1, base_idx)
+    # a genuinely fresh dir is fine
+    similarity.compact_ivf_index(spark, e1, str(tmp_path / "flat"))
+
+
+def test_fully_emptied_manifest_component_serves_empty_frame(
+    spark, tmp_path
+):
+    """Deleting EVERY id through a manifest epoch leaves the component
+    with zero partitions and no parquet footer in the epoch dir; the
+    manifest carries the schema, so read_component returns the
+    promised empty frame instead of raising 'Unable to infer schema'
+    (r10 ADVICE low #3)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 3) % 5}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx, e1 = str(tmp_path / "i"), str(tmp_path / "e1")
+    text.build_bm25_index(docs, idx, n_buckets=4)
+    text.delete_from_bm25_index(
+        spark,
+        idx,
+        docs.select("doc_id"),
+        e1,
+        layout="manifest",
+    )
+    got = cow.read_component(spark, e1, "postings")
+    assert got.count() == 0
+    assert {"doc_id", "tok", "tf", "tok_bucket"} <= set(got.columns)
+    # and serving over the emptied index returns zero rows, not a raise
+    qs = spark.createDataFrame([(1, "w1 w2")], ["query_id", "text"])
+    assert text.bm25_topk_indexed(spark, e1, qs, k=3).count() == 0
