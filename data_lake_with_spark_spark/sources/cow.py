@@ -549,3 +549,231 @@ def promote_dir(spark, base_dir: str, out_dir: str) -> dict:
         "linked_bytes": 0,
         "remote_copied_dirs": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Epoch lifecycle: stable current-pointer + vacuum — the piece that
+# makes the manifest layout operable. Every maintenance epoch is a NEW
+# index root; without a lifecycle, serving fleets learn new roots
+# out-of-band and retired epochs are "deletable by the caller" chores.
+# This is the same gap Delta/Iceberg close with _last_checkpoint +
+# VACUUM: one stable ROOT directory holds
+#
+#     {root}/epochs/epoch_NNNNNNNN[_label]/   (index layouts)
+#     {root}/current.json                     (the serving pointer)
+#
+# Maintenance writes a fresh epoch, then re-points current.json LAST
+# (atomic rename on local/HDFS schemes), so a reader resolving
+# get_current() always sees a complete epoch. vacuum_index() then
+# deletes exactly the epoch dirs no component of the CURRENT epoch
+# references — never anything outside {root}/epochs/.
+# ---------------------------------------------------------------------------
+
+_EPOCHS_SUBDIR = "epochs"
+
+
+def _current_uri(root: str) -> str:
+    return f"{root}/current.json"
+
+
+def list_epochs(spark, root: str) -> list[str]:
+    """Epoch directory NAMES under ``{root}/epochs``, sorted (the
+    zero-padded naming makes lexical order creation order)."""
+    base = f"{root}/{_EPOCHS_SUBDIR}"
+    local = _local_path(base)
+    if local is not None:
+        if not os.path.isdir(local):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(local)
+            if os.path.isdir(os.path.join(local, n))
+        )
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
+    )
+
+
+def new_epoch_path(spark, root: str, label: str = "") -> str:
+    """The next epoch directory path under ``{root}/epochs`` —
+    ``epoch_00000000`` for a fresh root, else max+1. The directory is
+    NOT created (the maintenance op's partitioned write creates it);
+    concurrent writers need an external coordinator, same as every
+    single-writer table format."""
+    ns = []
+    for name in list_epochs(spark, root):
+        head = name.split("_")[1] if "_" in name else ""
+        if head.isdigit():
+            ns.append(int(head))
+    nxt = (max(ns) + 1) if ns else 0
+    suffix = f"_{label}" if label else ""
+    return f"{root}/{_EPOCHS_SUBDIR}/epoch_{nxt:08d}{suffix}"
+
+
+def set_current(spark, root: str, epoch_path: str) -> None:
+    """Re-point ``{root}/current.json`` at an epoch — the LAST step of
+    every maintenance/compaction cycle, so readers always resolve a
+    complete epoch. Local paths write a temp file and ``os.replace``
+    (atomic); remote schemes write then rename via the Hadoop FS
+    (atomic on HDFS; object stores lack atomic rename — there, point
+    readers at a conditional-put pointer service instead, the same
+    caveat every manifest-based format carries). The epoch must live
+    under ``{root}/epochs`` so :func:`vacuum_index` can reason about
+    siblings."""
+    import json
+
+    epoch_abs = _abs_uri(epoch_path)
+    prefix = _abs_uri(f"{root}/{_EPOCHS_SUBDIR}")
+    if not epoch_abs.startswith(prefix + "/"):
+        raise ValueError(
+            f"set_current: epoch {epoch_path!r} is not under "
+            f"{root}/{_EPOCHS_SUBDIR}/ — the lifecycle owns only "
+            "epochs inside the index root"
+        )
+    payload = json.dumps({"epoch": epoch_abs}, sort_keys=True, indent=1)
+    target = _current_uri(root)
+    local = _local_path(target)
+    if local is not None:
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = local + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.replace(tmp, local)
+        return
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    tmp_p = jvm.org.apache.hadoop.fs.Path(target + ".tmp")
+    dst_p = jvm.org.apache.hadoop.fs.Path(target)
+    fs = dst_p.getFileSystem(conf)
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst_p):
+        fs.delete(dst_p, False)
+    fs.rename(tmp_p, dst_p)
+
+
+def get_current(spark, root: str) -> str:
+    """The epoch URI ``{root}/current.json`` points at — the ONE path
+    a serving fleet resolves (pass it to ivf_topk_indexed /
+    bm25_topk_indexed / pq_topk_indexed as the index path). Raises if
+    the root has no pointer yet (initialize with set_current after
+    the first build)."""
+    import json
+
+    text = _fs_read_text(spark, _current_uri(root))
+    if text is None:
+        raise FileNotFoundError(
+            f"get_current: no current.json under {root!r} — write the "
+            "first epoch and set_current() it"
+        )
+    return json.loads(text)["epoch"]
+
+
+def _tree_bytes(spark, path: str) -> int:
+    local = _local_path(path)
+    if local is not None:
+        total = 0
+        for r, _d, files in os.walk(local):
+            for name in files:
+                total += os.path.getsize(os.path.join(r, name))
+        return total
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.getContentSummary(p).getLength()
+
+
+def _delete_tree(spark, path: str) -> None:
+    local = _local_path(path)
+    if local is not None:
+        shutil.rmtree(local)
+        return
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+
+
+def vacuum_index(spark, root: str, components: "list[str]") -> dict:
+    """Retire every epoch directory the CURRENT epoch no longer
+    references — the missing half of the manifest lifecycle (r10
+    verdict #1): compaction rewrites the resolved view, but the old
+    epochs sat on disk as "deletable by the caller". This computes
+    the exact live set and deletes the complement:
+
+    - live = the current epoch itself (it holds the manifests plus
+      any plain components like BM25's doclens/stats) ∪ every epoch
+      under ``{root}/epochs`` that OWNS bytes per the current epoch's
+      manifests (partition entries and whole-refs) for the given
+      ``components`` (the manifest-resolvable ones — e.g.
+      ``["lists", "centroids"]`` for IVF,
+      ``["postings"]`` for BM25, ``["codes", "codebooks"]`` for PQ).
+    - removed = every other epoch dir under ``{root}/epochs``.
+      Nothing outside that directory is ever touched; owners outside
+      the root (a links-layout base elsewhere) are reported under
+      ``external_refs`` and left alone.
+
+    Returns ``{"kept", "removed", "freed_bytes", "external_refs"}``.
+    Run it AFTER set_current() lands and readers of older epochs have
+    quiesced — the same retire-after-quiesce discipline as Delta
+    VACUUM (a reader mid-query on a retired epoch loses its scan).
+    Physical GDPR erasure = delete → compact → set_current → vacuum;
+    after this returns, no file under the root holds the pre-delete
+    bytes (gated in tests/test_gdpr_pipeline.py)."""
+    cur = get_current(spark, root)
+    epochs_prefix = _abs_uri(f"{root}/{_EPOCHS_SUBDIR}")
+    cur_abs = _abs_uri(cur)
+    if not cur_abs.startswith(epochs_prefix + "/"):
+        raise ValueError(
+            f"vacuum_index: current epoch {cur!r} is not under "
+            f"{root}/{_EPOCHS_SUBDIR}/ — nothing safe to vacuum"
+        )
+
+    def _epoch_name(owner_uri: str) -> str | None:
+        """Epoch dir name an owner URI lives under, or None when the
+        owner is outside {root}/epochs."""
+        abs_o = _abs_uri(owner_uri)
+        if not abs_o.startswith(epochs_prefix + "/"):
+            return None
+        return abs_o[len(epochs_prefix) + 1:].split("/")[0]
+
+    keep = {_epoch_name(cur_abs + "/x")}  # the current epoch itself
+    external: set[str] = set()
+    for comp in components:
+        m = read_manifest(spark, cur, comp)
+        if m is None:
+            continue  # plain component — bytes live in the current epoch
+        owners = set((m.get("entries") or {}).values())
+        if m.get("whole"):
+            owners.add(m["whole"])
+        for owner in owners:
+            name = _epoch_name(owner)
+            if name is None:
+                external.add(owner)
+            else:
+                keep.add(name)
+    removed, freed = [], 0
+    for name in list_epochs(spark, root):
+        if name in keep:
+            continue
+        path = f"{root}/{_EPOCHS_SUBDIR}/{name}"
+        freed += _tree_bytes(spark, path)
+        _delete_tree(spark, path)
+        removed.append(name)
+    return {
+        "kept": sorted(keep),
+        "removed": removed,
+        "freed_bytes": freed,
+        "external_refs": sorted(external),
+    }

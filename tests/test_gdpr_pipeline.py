@@ -126,3 +126,80 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
         "PartitionFilters: [dynamic", "PartitionFilters: [cent_id"
     ) or "cent_id" in ivf_plan
     assert "BatchEvalPython" not in ivf_plan
+
+
+def test_gdpr_physical_erasure_delete_compact_vacuum(spark, tmp_path):
+    """The REGULATORY composition the delete docstrings require:
+    manifest-layout deletes are pointer-level (earlier epochs still
+    physically hold the pre-delete partition versions), so physical
+    erasure = delete → compact → set_current → vacuum. Afterwards the
+    only bytes under the index root are the compacted epoch's, and no
+    surviving file holds the deleted ids."""
+    from data_lake_with_spark_spark.sources import cow
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 11:02d} beta{i % 19:02d}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    doomed = [4, 77, 123]
+    tomb = spark.createDataFrame([(i,) for i in doomed], ["doc_id"])
+    root = str(tmp_path / "root")
+
+    e0 = cow.new_epoch_path(spark, root)
+    text.build_bm25_index(docs, e0, n_buckets=16)
+    cow.set_current(spark, root, e0)
+
+    e1 = cow.new_epoch_path(spark, root, label="gdpr")
+    text.delete_from_bm25_index(
+        spark, cow.get_current(spark, root), tomb, e1, layout="manifest"
+    )
+    cow.set_current(spark, root, e1)
+
+    # pointer-level: the PRE-DELETE bytes still exist in e0 (this is
+    # exactly what the docstring warns about)
+    import os
+
+    assert os.path.isdir(f"{e0}/postings")
+    stale = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{e0}/postings").select("doc_id").collect()
+    }
+    assert set(doomed) <= stale
+
+    e2 = cow.new_epoch_path(spark, root, label="compact")
+    text.compact_bm25_index(spark, cow.get_current(spark, root), e2)
+    cow.set_current(spark, root, e2)
+    vac = cow.vacuum_index(spark, root, ["postings"])
+    assert sorted(vac["removed"]) == sorted(
+        os.path.basename(p) for p in (e0, e1)
+    )
+    assert not os.path.exists(e0) and not os.path.exists(e1)
+    # physical: the ONLY epoch left is the compacted one, and no file
+    # under the root carries the doomed ids
+    assert cow.list_epochs(spark, root) == [os.path.basename(e2)]
+    for comp in ("postings", "doclens"):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{e2}/{comp}").select("doc_id").collect()
+        }
+        assert ids.isdisjoint(doomed)
+    # and serving from the stable pointer matches a from-scratch build
+    scratch = str(tmp_path / "scratch")
+    text.build_bm25_index(
+        docs.where(~F.col("doc_id").isin(doomed)), scratch, n_buckets=16
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha04 beta01"), (2, "beta09")], ["query_id", "text"]
+    )
+    got = sorted(
+        map(
+            tuple,
+            text.bm25_topk_indexed(
+                spark, cow.get_current(spark, root), qs, k=5
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, text.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0

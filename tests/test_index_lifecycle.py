@@ -1,0 +1,169 @@
+"""Epoch lifecycle for manifest-maintained indexes: one stable index
+ROOT (``{root}/epochs/epoch_N`` + ``{root}/current.json``), maintenance
+re-points the current pointer LAST, and ``cow.vacuum_index`` deletes
+EXACTLY the epoch dirs the current epoch no longer references — the
+_last_checkpoint + VACUUM pair every manifest-based table format needs
+(r10 verdict item #1). Serving equality with a from-scratch rebuild is
+asserted through the whole merge → merge → compact → vacuum chain."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import similarity, text
+from data_lake_with_spark_spark.sources import cow
+
+
+def _ivf_rows(spark, idx, queries, **kw):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in similarity.ivf_topk_indexed(spark, idx, queries, **kw).collect()
+    )
+
+
+def test_pointer_guards(spark, tmp_path):
+    root = str(tmp_path / "root")
+    with pytest.raises(FileNotFoundError, match="current.json"):
+        cow.get_current(spark, root)
+    # the first epoch name is deterministic and zero-padded
+    e0 = cow.new_epoch_path(spark, root)
+    assert e0.endswith("/epochs/epoch_00000000")
+    # an epoch outside {root}/epochs is rejected — vacuum could not
+    # reason about its siblings
+    with pytest.raises(ValueError, match="not under"):
+        cow.set_current(spark, root, str(tmp_path / "elsewhere"))
+    os.makedirs(e0)
+    cow.set_current(spark, root, e0)
+    assert cow.get_current(spark, root) == os.path.abspath(e0)
+    # labels ride along; numbering continues past them
+    e1 = cow.new_epoch_path(spark, root, label="merge")
+    assert e1.endswith("/epochs/epoch_00000001_merge")
+    os.makedirs(e1)
+    assert cow.new_epoch_path(spark, root).endswith("epoch_00000002")
+
+
+def test_ivf_lifecycle_merge_merge_compact_vacuum_serve(spark, tmp_path):
+    """The full operator sequence a serving fleet runs: build → merge
+    → merge → compact → vacuum, with current.json re-pointed after
+    each step. Vacuum removes EXACTLY the unreferenced epochs, and
+    the served top-k stays bit-identical to a from-scratch rebuild
+    over the final corpus at every stage."""
+    rnd = random.Random(17)
+    mk = lambda: [rnd.uniform(-1, 1) for _ in range(4)]  # noqa: E731
+    state = {i: mk() for i in range(150)}
+    batch1 = {(301 + i): mk() for i in range(4)}
+    batch2 = {(401 + i): mk() for i in range(3)}
+    root = str(tmp_path / "root")
+
+    e0 = cow.new_epoch_path(spark, root)
+    similarity.build_ivf_index(
+        spark.createDataFrame(sorted(state.items()), ["vec_id", "embedding"]),
+        e0,
+        centroid_mod=10,
+    )
+    cow.set_current(spark, root, e0)
+
+    e1 = cow.new_epoch_path(spark, root, label="merge")
+    similarity.merge_ivf_index(
+        spark,
+        cow.get_current(spark, root),
+        spark.createDataFrame(sorted(batch1.items()), ["vec_id", "embedding"]),
+        e1,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e1)
+    state.update(batch1)
+
+    # vacuum NOW is a no-op: e1's manifest still owns bytes in e0
+    vac0 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    assert vac0["removed"] == [] and vac0["freed_bytes"] == 0
+    assert len(vac0["kept"]) == 2 and vac0["external_refs"] == []
+
+    e2 = cow.new_epoch_path(spark, root, label="merge")
+    similarity.merge_ivf_index(
+        spark,
+        cow.get_current(spark, root),
+        spark.createDataFrame(sorted(batch2.items()), ["vec_id", "embedding"]),
+        e2,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e2)
+    state.update(batch2)
+
+    # an ABANDONED epoch: written but never promoted (a failed deploy)
+    e_abandoned = cow.new_epoch_path(spark, root, label="abandoned")
+    similarity.merge_ivf_index(
+        spark,
+        cow.get_current(spark, root),
+        spark.createDataFrame([(999, mk())], ["vec_id", "embedding"]),
+        e_abandoned,
+        layout="manifest",
+    )
+
+    scratch = str(tmp_path / "scratch")
+    similarity.build_ivf_index(
+        spark.createDataFrame(sorted(state.items()), ["vec_id", "embedding"]),
+        scratch,
+        centroid_mod=10,
+    )
+    qs = spark.createDataFrame(
+        sorted(state.items())[:5] + sorted(batch2.items())[:1],
+        ["vec_id", "embedding"],
+    )
+    exp = _ivf_rows(spark, scratch, qs, k=5, nprobe=3)
+    assert _ivf_rows(spark, cow.get_current(spark, root), qs, k=5, nprobe=3) == exp
+
+    # vacuum with the chain live: keeps e0/e1/e2 (all referenced),
+    # removes EXACTLY the abandoned epoch
+    vac1 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    assert vac1["removed"] == [os.path.basename(e_abandoned)]
+    assert vac1["freed_bytes"] > 0
+    assert not os.path.exists(e_abandoned)
+    assert _ivf_rows(spark, cow.get_current(spark, root), qs, k=5, nprobe=3) == exp
+
+    # compact → re-point → vacuum retires the whole chain
+    e3 = cow.new_epoch_path(spark, root, label="compact")
+    similarity.compact_ivf_index(spark, cow.get_current(spark, root), e3)
+    cow.set_current(spark, root, e3)
+    vac2 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    assert vac2["removed"] == [
+        os.path.basename(p) for p in (e0, e1, e2)
+    ]
+    assert cow.list_epochs(spark, root) == [os.path.basename(e3)]
+    assert _ivf_rows(spark, cow.get_current(spark, root), qs, k=5, nprobe=3) == exp
+
+
+def test_vacuum_leaves_external_links_base_alone(spark, tmp_path):
+    """A manifest chain whose base index lives OUTSIDE the root (the
+    first migration step an existing deployment takes): vacuum keeps
+    every in-root epoch the manifest references, reports the external
+    base under external_refs, and never touches it."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13:02d} w{(i * 5) % 13:02d}") for i in range(120)],
+        ["doc_id", "text"],
+    )
+    outside_base = str(tmp_path / "legacy_index")
+    text.build_bm25_index(docs, outside_base, n_buckets=8)
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    text.delete_from_bm25_index(
+        spark,
+        outside_base,
+        spark.createDataFrame([(7,)], ["doc_id"]),
+        e0,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e0)
+    vac = cow.vacuum_index(spark, root, ["postings"])
+    assert vac["removed"] == []
+    assert vac["external_refs"] == [os.path.abspath(f"{outside_base}/postings")]
+    assert os.path.isdir(outside_base)
+    qs = spark.createDataFrame([(1, "w02 w07")], ["query_id", "text"])
+    assert (
+        text.bm25_topk_indexed(spark, cow.get_current(spark, root), qs, k=3).count()
+        > 0
+    )
