@@ -1688,6 +1688,369 @@ def pq_topk_rerank(
         F.col("rank") <= k
     )
 
+def _pq_meta_uri(path: str) -> str:
+    return f"{path}/pq_meta.json"
+
+
+def _pq_bucket(id_col: str, n_buckets: int):
+    # xxhash64 spreads any id stripe uniformly across buckets (an
+    # ``id % n`` bucket would correlate with the modulo-structured
+    # batch/delete stripes real pipelines use)
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    target_codes: int | None = None,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ family as a SERVABLE index — the FAISS
+    ``IndexPQ``-with-``IndexRefine`` shape: until round 11 the PQ trio
+    (q117–q119) proved the math but re-derived codebooks and re-encoded
+    the corpus per query; at 100 TB the CODES are the artifact (the
+    32×-compressed corpus representation), built once and maintained
+    incrementally like the IVF and BM25 layouts.
+
+    Layout: ``path/codebooks`` — the (subspace, code, cent_sub) frame
+    (|codes|·m rows, broadcast-sized, FROZEN after build — the same
+    frozen-quantizer contract as IVF centroids); ``path/codes`` — one
+    (id, subspace, code) long-form row per vector×subspace,
+    PARTITIONED BY ``id_bucket = pmod(xxhash64(id), n_buckets)``;
+    ``path/pq_meta.json`` — {dim, m, n_buckets}, what serving and
+    maintenance need to interpret the layout.
+
+    The partition column is the MAINTENANCE unit, not a pruning
+    structure: ADC serving scans every code partition by design (the
+    compressed full scan IS the PQ serving model — contrast IVF's
+    ``cent_id=`` pruning), but a merge/delete batch rewrites only the
+    buckets its ids hash to, and the bucket is a pure function of the
+    id, so an upsert's new and replaced rows land in the SAME
+    partition. ``target_codes`` fixes the codebook budget independent
+    of corpus size (the q113 fixed-budget arithmetic — codebooks must
+    not grow with the corpus)."""
+    spark = corpus.sparkSession
+    if target_codes is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_codes))
+    cb = pq_codebooks(
+        corpus, dim=dim, m=m, centroid_mod=centroid_mod,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = pq_encode(corpus, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col)
+    (
+        codes.withColumn("id_bucket", _pq_bucket(id_col, n_buckets))
+        .repartition(n_buckets, "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(f"{path}/codes")
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.write_json(
+        spark,
+        _pq_meta_uri(path),
+        {"dim": int(dim), "m": int(m), "n_buckets": int(n_buckets)},
+    )
+
+
+def _pq_index_parts(spark, path: str):
+    """(meta, codebooks, codes) of a :func:`build_pq_index` layout —
+    components resolve through ``cow.read_component`` so plain,
+    link-promoted, and manifest epochs serve identically."""
+    from data_lake_with_spark_spark.sources import cow
+
+    meta = cow.read_json(spark, _pq_meta_uri(path))
+    if meta is None:
+        raise FileNotFoundError(f"no pq_meta.json under {path!r}")
+    cb = cow.read_component(spark, path, "codebooks")
+    codes = cow.read_component(spark, path, "codes")
+    return meta, cb, codes
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k served from a persisted :func:`build_pq_index`
+    layout: identical results to :func:`pq_topk` over the same
+    codebooks (the scoring tail IS :func:`pq_topk`), but the corpus is
+    never re-encoded — the scan reads 8 small ints per vector from the
+    codes partitions. Dim/m come from the index meta, so the caller
+    cannot drift from the layout."""
+    meta, cb, codes = _pq_index_parts(spark, path)
+    return pq_topk(
+        codes.select(id_col, "subspace", "code"),
+        cb,
+        queries,
+        k=k,
+        dim=meta["dim"],
+        m=meta["m"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def pq_topk_rerank_indexed(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ serving as deployed, from the persisted index (the FAISS
+    ``IndexRefine`` pattern over :func:`build_pq_index`): ADC
+    shortlist from the stored codes, exact squared-L2 re-rank of only
+    the shortlisted vectors fetched from ``corpus`` (the source table
+    — at 100 TB a ``n_queries × shortlist`` point-lookup semi-join,
+    never a vector scan; the codes layout deliberately does NOT
+    duplicate the float vectors the lakehouse already stores)."""
+    meta, cb, codes = _pq_index_parts(spark, path)
+    return pq_topk_rerank(
+        corpus,
+        codes.select(id_col, "subspace", "code"),
+        cb,
+        queries,
+        k=k,
+        shortlist=shortlist,
+        dim=meta["dim"],
+        m=meta["m"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def merge_pq_index(
+    spark,
+    base_path: str,
+    new_vecs: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    validate_codebooks: bool = True,
+    layout: str = "links",
+) -> dict:
+    """Incremental PQ index maintenance — completing the third index
+    family's lifecycle (IVF and BM25 gained theirs in rounds 8–10):
+    merge an embedding batch into a :func:`build_pq_index` layout with
+    UPSERT semantics (batch ids replace their old codes; fresh ids
+    append). Codebooks are CARRIED VERBATIM — the frozen-quantizer
+    contract (FAISS ``add`` never retrains) — and the batch encodes
+    against them through the SAME argmin kernel as the builder, so the
+    merged index is bit-identical to a from-scratch build over the
+    merged corpus with the same codebook set (the q176 gate, PQ side).
+    Replacing a CODEBOOK-SOURCE vector would leave the frozen codebook
+    stale relative to a retrain; ``validate_codebooks=True`` (an
+    ids-only semi-join against the broadcast-small codebook frame)
+    raises on that instead of diverging.
+
+    Cost — incremental in I/O as well as compute: the bucket is a
+    pure function of the id (``pmod(xxhash64(id), n_buckets)``), so
+    the changed set is EXACTLY the batch ids' buckets — an upsert's
+    new rows and the rows they replace share a partition, and no base
+    scan is needed to locate them. Only those partitions are
+    anti-joined and rewritten; unchanged partitions promote by hard
+    link (``layout="links"``) or manifest entry
+    (``layout="manifest"`` — the object-store path); the frozen
+    codebooks promote whole; the meta sidecar rewrites (bytes-trivial).
+    ``out_path`` must be FRESH (normalized-URI enforced). Returns the
+    promotion stats dict."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out("merge_pq_index", base_path, out_path)
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "codes"):
+        raise ValueError(
+            "merge_pq_index: base index uses a manifest layout — its "
+            "partitions live across epochs, so there is no complete "
+            "directory to link from; pass layout='manifest'"
+        )
+    meta = cow.read_json(spark, _pq_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no pq_meta.json under {base_path!r}")
+    dim, m, n_buckets = meta["dim"], meta["m"], meta["n_buckets"]
+    cb = cow.read_component(spark, base_path, "codebooks")
+    new_ids = new_vecs.select(F.col(id_col)).distinct()
+    if validate_codebooks:
+        stale = new_ids.join(
+            F.broadcast(
+                cb.select(F.col("code").alias(id_col)).distinct()
+            ),
+            id_col,
+        )
+        if stale.limit(1).count() > 0:
+            raise ValueError(
+                "merge_pq_index: batch replaces a codebook-source "
+                "vector; the frozen codebook would go stale relative "
+                "to a retrain — rebuild with build_pq_index instead "
+                "(or pass validate_codebooks=False to accept frozen-"
+                "codebook semantics explicitly)"
+            )
+    batch_codes = pq_encode(
+        new_vecs.select(id_col, vec_col), cb, dim=dim, m=m,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumn("id_bucket", _pq_bucket(id_col, n_buckets))
+    # changed buckets: a pure function of the batch ids — size-gated
+    # collect (distinct buckets ≤ n_buckets rows)
+    changed = sorted(
+        r["id_bucket"]
+        for r in new_ids.select(
+            _pq_bucket(id_col, n_buckets).alias("id_bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    part_filter = (
+        F.col("id_bucket").isin(changed) if changed else F.lit(False)
+    )
+    base_keep = (
+        cow.read_component(spark, base_path, "codes")
+        .where(part_filter)
+        .select(id_col, "subspace", "code", "id_bucket")
+        .join(new_ids, id_col, "left_anti")
+    )
+    merged = base_keep.unionByName(batch_codes)
+    (
+        merged.repartition(max(1, len(changed)), "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(f"{out_path}/codes")
+    )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "codes", "id_bucket", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "codebooks")
+    else:
+        stats = cow.promote_unchanged_partitions(
+            spark, f"{base_path}/codes", f"{out_path}/codes",
+            "id_bucket", changed,
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/codebooks", f"{out_path}/codebooks"
+        )
+    cow.write_json(spark, _pq_meta_uri(out_path), meta)
+    return stats
+
+
+def delete_from_pq_index(
+    spark,
+    base_path: str,
+    delete_ids: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+    layout: str = "links",
+) -> dict:
+    """Erasure reaching the PQ serving index — the GDPR path for the
+    third index family: drop the ids' code rows from a
+    :func:`build_pq_index` layout. Codebooks stay FROZEN (deleting a
+    codebook's source vector removes it from every result set but
+    keeps the entry as a geometric anchor — the FAISS ``remove_ids``
+    contract; retrain to move codebooks). Serve-after-delete is gated
+    identical to an index rebuilt without the ids over the same
+    codebook set.
+
+    Cost: a column-pruned ``(id_bucket, id)`` scan confirms which of
+    the ids' hash buckets actually hold rows (an absent id's bucket is
+    NOT rewritten); only those partitions are anti-joined and
+    rewritten — a partition whose rows all die vanishes from the
+    layout (the manifest carries the schema, so even a fully-emptied
+    component still serves an empty typed frame). Unchanged partitions
+    and the frozen codebooks promote as in :func:`merge_pq_index`.
+
+    GDPR retention caveat (manifest layout): erasure is pointer-level
+    until ``compact_pq_index`` + ``cow.vacuum_index`` — see
+    :func:`delete_from_ivf_index`; the same delete → compact → vacuum
+    sequence applies."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out("delete_from_pq_index", base_path, out_path)
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "codes"):
+        raise ValueError(
+            "delete_from_pq_index: base index uses a manifest layout "
+            "— pass layout='manifest' (nothing complete to link from)"
+        )
+    meta = cow.read_json(spark, _pq_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no pq_meta.json under {base_path!r}")
+    ids = delete_ids.select(F.col(id_col)).distinct()
+    changed = sorted(
+        r["id_bucket"]
+        for r in cow.read_component(spark, base_path, "codes")
+        .select("id_bucket", id_col)
+        .join(ids, id_col, "left_semi")
+        .select("id_bucket")
+        .distinct()
+        .collect()
+    )
+    part_filter = (
+        F.col("id_bucket").isin(changed) if changed else F.lit(False)
+    )
+    kept = (
+        cow.read_component(spark, base_path, "codes")
+        .where(part_filter)
+        .join(ids, id_col, "left_anti")
+    )
+    (
+        kept.repartition(max(1, len(changed)), "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket")
+        .parquet(f"{out_path}/codes")
+    )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "codes", "id_bucket", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "codebooks")
+    else:
+        stats = cow.promote_unchanged_partitions(
+            spark, f"{base_path}/codes", f"{out_path}/codes",
+            "id_bucket", changed,
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/codebooks", f"{out_path}/codebooks"
+        )
+    cow.write_json(spark, _pq_meta_uri(out_path), meta)
+    return stats
+
+
+def compact_pq_index(spark, index_path: str, out_path: str) -> dict:
+    """Collapse a PQ index (plain, link-promoted, or a MANIFEST epoch
+    chain) into one self-contained plain layout at ``out_path`` — the
+    vacuum/OPTIMIZE step (see :func:`compact_ivf_index`); pair with
+    ``cow.vacuum_index`` to retire the old epochs. Serving from the
+    compacted index is bit-identical (it rewrites the RESOLVED
+    view)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    stats = cow.compact_index_component(
+        spark, index_path, out_path, "codes", "id_bucket"
+    )
+    cow.compact_index_component(
+        spark, index_path, out_path, "codebooks", None
+    )
+    meta = cow.read_json(spark, _pq_meta_uri(index_path))
+    if meta is not None:
+        cow.write_json(spark, _pq_meta_uri(out_path), meta)
+    return stats
+
+
 def truncated_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

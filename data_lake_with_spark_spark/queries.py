@@ -6580,6 +6580,140 @@ SELECT node, authority, hub, pos FROM (
 """
 
 
+_PQ_IDX_CACHE: dict[str, str] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Process-cached full-corpus persisted PQ index (q118's exact
+    config: target_codes=40 over the 64-d embeddings) — the
+    build-once-serve-many shape q195/q197 exercise, mirroring the
+    shared q140 BM25 index."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    cached = _PQ_IDX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(f"{cached}/codes"):
+        return cached
+    from data_lake_with_spark_spark.operators.similarity import build_pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="dlws_pq_full_")
+    build_pq_index(
+        emb, path, dim=_PQ_DIM, m=_PQ_M, target_codes=40, n_buckets=32
+    )
+    _PQ_IDX_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q195_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k served from the PERSISTED PQ index
+    (similarity.build_pq_index / pq_topk_indexed — the FAISS IndexPQ
+    artifact): until round 11 the PQ family re-derived codebooks and
+    re-encoded the corpus per query (q117/q118 prove the math); here
+    the codes are built once into a partitioned layout and q118's
+    exact query config is served from disk — the oracle is O_Q118
+    VERBATIM, so the driver hash-verifies the persisted path returns
+    bit-identical ADC distances (the q102-vs-q13 parity applied to
+    the third index family)."""
+    from data_lake_with_spark_spark.operators.similarity import pq_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk_indexed(
+        spark, _pq_index(spark, sf_dir), emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+def q196_pq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance (similarity.merge_pq_index):
+    the q176 upsert contract applied to the third index family — build
+    the PQ index over the corpus minus a 20% delta, MERGE the delta
+    against the CARRIED (frozen) codebooks, and serve q118's query
+    config from the merged index. The oracle is O_Q118 VERBATIM: the
+    incrementally-merged code layout must be indistinguishable from a
+    from-scratch encode of the full corpus over the same codebook set.
+    The delta excludes codebook-source ids (merge_pq_index raises on
+    replacing one — the frozen-quantizer contract), so the carried
+    codebooks equal the full-corpus seed set the oracle derives."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_pq_index,
+        merge_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    is_delta = (F.col("vec_id") % md != 0) & (F.col("vec_id") % 5 == 0)
+    base_idx = tempfile.mkdtemp(prefix="dlws_pq_base_")
+    out_idx = tempfile.mkdtemp(prefix="dlws_pq_merged_")
+    try:
+        build_pq_index(
+            emb.where(~is_delta), base_idx,
+            dim=_PQ_DIM, m=_PQ_M, centroid_mod=md, n_buckets=32,
+        )
+        merge_pq_index(spark, base_idx, emb.where(is_delta), out_idx)
+        out = pq_topk_indexed(
+            spark, out_idx, emb.where(F.col("vec_id") < 10), k=5
+        )
+        # pin before the index dirs vanish (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_idx, ignore_errors=True)
+        shutil.rmtree(out_idx, ignore_errors=True)
+
+
+def q197_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure reaching the PQ serving index
+    (similarity.delete_from_pq_index): drop a deterministic id stripe
+    (vec_id % 9 = 4 — the q177 GDPR batch, dense-code side) from the
+    shared persisted PQ index and serve q118's query config from the
+    post-delete layout. Codebooks stay FROZEN (the FAISS remove_ids
+    contract), which the oracle mirrors exactly: O_Q118 with the
+    encode CTE filtered to surviving vectors while the codebook CTE
+    stays unfiltered — serve-after-delete is hash-gated identical to
+    rebuild-without-the-ids over the same codebook set."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        delete_from_pq_index,
+        pq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    del_idx = tempfile.mkdtemp(prefix="dlws_pq_deleted_")
+    try:
+        delete_from_pq_index(
+            spark,
+            _pq_index(spark, sf_dir),
+            emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
+            del_idx,
+        )
+        out = pq_topk_indexed(
+            spark, del_idx, emb.where(F.col("vec_id") < 10), k=5
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(del_idx, ignore_errors=True)
+
+
+# O_Q197: O_Q118 with the ENCODE restricted to surviving vectors while
+# the codebook CTE stays unfiltered — the SQL mirror of frozen-codebook
+# deletion (the O_Q177 derivation, PQ side). Derived, not copy-edited;
+# the guard catches a silent no-op anchor miss (the q70-typo lesson).
+O_Q197 = O_Q118.replace(
+    "FROM ev JOIN cb USING (subspace)) WHERE rn = 1)",
+    "FROM ev JOIN cb USING (subspace)) WHERE rn = 1 AND vec_id % 9 <> 4)",
+)
+if O_Q197 == O_Q118:  # pragma: no cover
+    raise AssertionError("O_Q197 anchor text missing from O_Q118")
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7780,6 +7914,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q192_ivf_manifest_merge": (q192_ivf_manifest_merge, O_Q113),
     "q193_bm25_manifest_delete": (q193_bm25_manifest_delete, O_Q178),
     "q194_hits_weighted": (q194_hits_weighted, O_Q194),
+    # Same oracle as q118: the persisted/merged PQ code layout must
+    # serve bit-identical ADC distances to the inline from-scratch
+    # encode (the q176/q171 contract, third index family).
+    "q195_pq_indexed": (q195_pq_indexed, O_Q118),
+    "q196_pq_merge": (q196_pq_merge, O_Q118),
+    "q197_pq_delete": (q197_pq_delete, O_Q197),
 }
 
 

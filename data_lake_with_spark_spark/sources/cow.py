@@ -777,3 +777,22 @@ def vacuum_index(spark, root: str, components: "list[str]") -> dict:
         "freed_bytes": freed,
         "external_refs": sorted(external),
     }
+
+
+def write_json(spark, uri: str, obj: dict) -> None:
+    """Persist a small JSON sidecar (index meta like PQ's
+    ``{dim, m, n_buckets}``) — scheme-agnostic via the same FS text
+    plumbing the manifests use. Maintenance epochs rewrite their
+    sidecars whole (they are bytes-trivial next to any partition)."""
+    import json
+
+    _fs_write_text(spark, uri, json.dumps(obj, sort_keys=True, indent=1))
+
+
+def read_json(spark, uri: str) -> dict | None:
+    """Read a JSON sidecar written by :func:`write_json`; None when
+    absent."""
+    import json
+
+    text = _fs_read_text(spark, uri)
+    return None if text is None else json.loads(text)
