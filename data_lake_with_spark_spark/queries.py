@@ -6714,6 +6714,79 @@ if O_Q197 == O_Q118:  # pragma: no cover
     raise AssertionError("O_Q197 anchor text missing from O_Q118")
 
 
+def q198_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE epoch lifecycle a serving fleet runs (r10 verdict
+    item #1), registered as one driver-verifiable composition: under a
+    single stable index ROOT, build the IVF base into epoch 0, apply
+    TWO manifest merge epochs (a split 20% delta — each epoch writes
+    only its changed cent_id= partitions plus a manifest),
+    cow.set_current re-points the stable pointer after every step,
+    compact_ivf_index collapses the chain into epoch 3, and
+    cow.vacuum_index retires EXACTLY the three now-unreferenced
+    epochs (asserted in-query — a wrong vacuum raises rather than
+    serving). Serving then resolves ONE pointer (cow.get_current) and
+    the oracle is O_Q113 VERBATIM: after merge→merge→compact→vacuum,
+    top-k must remain bit-identical to a from-scratch build over the
+    full corpus with the same frozen centroid set."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+        merge_ivf_index,
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    is_delta = (F.col("vec_id") % md != 0) & (F.col("vec_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="dlws_ivf_root_")
+    try:
+        e0 = cow.new_epoch_path(spark, root)
+        build_ivf_index(
+            emb.where(~is_delta), e0, centroid_mod=md, vec_dim=64
+        )
+        cow.set_current(spark, root, e0)
+        epochs = [e0]
+        for half in (0, 1):
+            out = cow.new_epoch_path(spark, root, label="merge")
+            merge_ivf_index(
+                spark,
+                cow.get_current(spark, root),
+                emb.where(is_delta & (F.col("vec_id") % 2 == half)),
+                out,
+                vec_dim=64,
+                layout="manifest",
+            )
+            cow.set_current(spark, root, out)
+            epochs.append(out)
+        flat = cow.new_epoch_path(spark, root, label="compact")
+        compact_ivf_index(spark, cow.get_current(spark, root), flat)
+        cow.set_current(spark, root, flat)
+        vac = cow.vacuum_index(spark, root, ["lists", "centroids"])
+        if sorted(vac["removed"]) != sorted(
+            os.path.basename(p) for p in epochs
+        ):
+            raise AssertionError(
+                f"vacuum retired {vac['removed']}, expected exactly "
+                f"{[os.path.basename(p) for p in epochs]}"
+            )
+        out = ivf_topk_indexed(
+            spark,
+            cow.get_current(spark, root),
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=4,
+            vec_dim=64,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7920,6 +7993,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q195_pq_indexed": (q195_pq_indexed, O_Q118),
     "q196_pq_merge": (q196_pq_merge, O_Q118),
     "q197_pq_delete": (q197_pq_delete, O_Q197),
+    # Same oracle as q113: after merge->merge->compact->vacuum under
+    # the current-pointer lifecycle, serving must remain a from-scratch
+    # rebuild bit-for-bit.
+    "q198_index_lifecycle": (q198_index_lifecycle, O_Q113),
 }
 
 
