@@ -604,6 +604,27 @@ def related_items(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
+    return _related_topk(pairs, n, k, min_count)
+
+
+def _related_topk(
+    pairs: DataFrame,
+    n_items: DataFrame,
+    k: int,
+    min_count: int,
+    restrict: DataFrame | None = None,
+) -> DataFrame:
+    """The shared scoring tail of :func:`related_items` and the
+    incremental serving-state maintenance (:func:`merge_related_items_
+    state`): floor → symmetrize → join counts → squared-cosine score →
+    per-item rank window. ``pairs`` is the (a, b, n_ab) support
+    aggregate (a < b), ``n_items`` the (item, n_item) counts.
+    ``restrict`` (an (item) frame) limits ranking to those items —
+    the incremental path recomputes ONLY affected items' top-k; the
+    expressions are shared so the two paths are bit-identical by
+    construction."""
+    from pyspark.sql import Window
+
     if min_count > 1:
         pairs = pairs.where(F.col("n_ab") >= min_count)
     sym = pairs.select(
@@ -613,10 +634,12 @@ def related_items(
             F.col("b").alias("item"), F.col("a").alias("other"), "n_ab"
         )
     )
+    if restrict is not None:
+        sym = sym.join(restrict.select("item"), "item", "left_semi")
     scored = (
-        sym.join(n, "item")
+        sym.join(n_items, "item")
         .join(
-            n.withColumnsRenamed({"item": "other", "n_item": "n_other"}),
+            n_items.withColumnsRenamed({"item": "other", "n_item": "n_other"}),
             "other",
         )
         .select(
@@ -824,3 +847,449 @@ def hits_fixed(
             F.coalesce("hub", zero).alias("hub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental related-items serving state (r10 verdict item #4):
+# related_items() rebuilds the pair-support aggregate from the FULL
+# basket history every run — fine as a query, not as the nightly
+# serving job at 100 TB, where a day's baskets are ~0.1% of history.
+# The state layout persists the irreducible aggregates and a
+# daily batch delta-updates them, rewriting only affected partitions
+# through the same CoW machinery as the IVF/BM25/PQ indexes.
+# ---------------------------------------------------------------------------
+
+
+def _ri_meta_uri(path: str) -> str:
+    return f"{path}/ri_meta.json"
+
+
+def _ri_bucket(cols, n_buckets: int):
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def _ri_read(spark, path: str, component: str, meta: dict) -> DataFrame:
+    """Read a state component via ``cow.read_component``, falling back
+    to a typed EMPTY frame from the meta sidecar's schema when the
+    component directory holds no parquet footer — a plain-layout
+    component can be legitimately empty (a min_count floor nobody
+    crosses leaves ``topk`` with zero rows, and Spark's empty
+    partitioned write emits only _SUCCESS)."""
+    import json
+
+    from pyspark.errors import AnalysisException
+
+    from data_lake_with_spark_spark.sources import cow
+
+    try:
+        return cow.read_component(spark, path, component)
+    except AnalysisException:
+        schema = (meta.get("schemas") or {}).get(component)
+        if schema is None:
+            raise
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+
+
+def build_related_items_state(
+    baskets: DataFrame,
+    path: str,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    k: int = 5,
+    min_count: int = 1,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize :func:`related_items` as a maintainable serving
+    STATE — four components plus a meta sidecar:
+
+    - ``pairs`` (a, b, n_ab), a < b, partitioned by
+      ``pair_bucket = pmod(xxhash64(a, b), n_buckets)`` — the support
+      aggregate, stored UNFLOORED: the ``min_count`` floor applies at
+      top-k derivation, because a floored state could never resurrect
+      a pair whose support crosses the floor in a later batch (the
+      q108 incremental-aggregate lesson: persist the full aggregate,
+      derive the serving view).
+    - ``items`` (item, n_item), partitioned by
+      ``item_bucket = pmod(xxhash64(item), n_buckets)``.
+    - ``baskets`` (basket), same hash-bucket scheme — the append-only
+      ledger that lets a merge REJECT a re-delivered basket id
+      (double-counting a basket would silently inflate supports).
+    - ``topk`` (item, other, n_ab, score, rank ≤ k), partitioned by
+      ``item_bucket`` — the serving table itself, derived through the
+      SAME expressions as :func:`related_items`
+      (:func:`_related_topk`), so build-then-serve equals the
+      from-scratch query bit-for-bit.
+
+    All four partition columns are pure hash functions of their keys,
+    so a batch's changed-partition set is computable without scanning
+    the state. ``k``/``min_count``/``n_buckets`` freeze into the meta
+    sidecar; maintenance reads them back rather than trusting callers
+    to repeat them."""
+    from data_lake_with_spark_spark.sources import cow
+
+    if k < 1 or min_count < 1 or n_buckets < 1:
+        raise ValueError("k, min_count, n_buckets must all be >= 1")
+    spark = baskets.sparkSession
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n = b.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.basket") == F.col("y.basket"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .localCheckpoint()
+    )
+    n = n.localCheckpoint()
+    pairs_w = pairs.withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
+    items_w = n.withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
+    baskets_w = (
+        b.select("basket")
+        .distinct()
+        .withColumn("basket_bucket", _ri_bucket(["basket"], n_buckets))
+    )
+    topk_w = _related_topk(pairs, n, k, min_count).withColumn(
+        "item_bucket", _ri_bucket(["item"], n_buckets)
+    )
+    for comp, frame, bucket_col in (
+        ("pairs", pairs_w, "pair_bucket"),
+        ("items", items_w, "item_bucket"),
+        ("baskets", baskets_w, "basket_bucket"),
+        ("topk", topk_w, "item_bucket"),
+    ):
+        (
+            frame.repartition(n_buckets, bucket_col)
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .parquet(f"{path}/{comp}")
+        )
+    cow.write_json(
+        spark,
+        _ri_meta_uri(path),
+        {
+            "k": int(k),
+            "min_count": int(min_count),
+            "n_buckets": int(n_buckets),
+            # per-component schemas: a plain-layout component can be
+            # legitimately EMPTY (floor nobody crosses), and an empty
+            # partitioned write leaves no footer to infer from
+            "schemas": {
+                comp: frame.schema.json()
+                for comp, frame in (
+                    ("pairs", pairs_w),
+                    ("items", items_w),
+                    ("baskets", baskets_w),
+                    ("topk", topk_w),
+                )
+            },
+        },
+    )
+
+
+def related_items_topk(spark, path: str) -> DataFrame:
+    """The serving table of a :func:`build_related_items_state`
+    layout — (item, other, n_ab, score, rank), resolved through
+    ``cow.read_component`` so plain, link-promoted, and manifest
+    epochs serve identically."""
+    from data_lake_with_spark_spark.sources import cow
+
+    meta = cow.read_json(spark, _ri_meta_uri(path)) or {}
+    return _ri_read(spark, path, "topk", meta).select(
+        "item", "other", "n_ab", "score", "rank"
+    )
+
+
+def merge_related_items_state(
+    spark,
+    base_path: str,
+    new_baskets: DataFrame,
+    out_path: str,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    layout: str = "links",
+) -> dict:
+    """Delta-update the related-items serving state with a batch of
+    NEW baskets (the nightly order feed) — the q108
+    incremental-aggregate pattern applied to the pair-support state,
+    with the CoW promotion the index families use:
+
+    1. The batch's (basket, item) incidence dedups and self-joins into
+       delta pair supports — Σ C(|basket|, 2) rows, bounded by batch
+       basket SIZE, never item popularity or history length; the full
+       history is never re-paired.
+    2. Batch basket ids are validated NEW against the baskets ledger
+       (bucket-pruned semi-join; a re-delivered basket raises instead
+       of double-counting — replay the batch minus it, or rebuild).
+    3. ``pairs`` / ``items`` / ``baskets`` update by summing deltas
+       into EXACTLY the partitions the batch keys hash to (pure hash
+       functions — no scan locates them); every other partition
+       promotes by hard link or manifest entry.
+    4. The serving ``topk`` recomputes for AFFECTED items only:
+       batch items (their n_item changed, rescoring every pair they
+       touch) plus their partners in the updated pair state (a
+       partner's ranking sees the changed score). Partner discovery
+       is one column-pruned (a, b) scan of the pairs state against
+       the broadcast batch-item set — at 100 TB this is the batch's
+       graph neighborhood, not the catalog. Affected items' rows
+       rewrite within their hash buckets; unaffected items in the
+       same buckets carry verbatim; untouched buckets promote.
+
+    Served results are gated bit-identical to a from-scratch
+    :func:`related_items` over the full history (q199's oracle is
+    O_Q188 verbatim) — the floor/score/rank expressions are shared
+    (:func:`_related_topk`), and the floor applies at derivation so
+    pairs crossing ``min_count`` in this batch appear exactly as a
+    rebuild would have them. Returns the pairs-component promotion
+    stats plus ``affected_items``/``changed_topk_partitions``
+    counters."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out("merge_related_items_state", base_path, out_path)
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "pairs"):
+        raise ValueError(
+            "merge_related_items_state: base state uses a manifest "
+            "layout — pass layout='manifest' (nothing complete to "
+            "link from)"
+        )
+    meta = cow.read_json(spark, _ri_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no ri_meta.json under {base_path!r}")
+    k, min_count, n_buckets = meta["k"], meta["min_count"], meta["n_buckets"]
+
+    nb = (
+        new_baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    new_basket_ids = nb.select("basket").distinct().localCheckpoint()
+    # --- validate: every batch basket id must be NEW ---------------
+    ch_baskets = sorted(
+        r["b"]
+        for r in new_basket_ids.select(
+            _ri_bucket(["basket"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    bfilter = (
+        F.col("basket_bucket").isin(ch_baskets) if ch_baskets else F.lit(False)
+    )
+    replayed = (
+        _ri_read(spark, base_path, "baskets", meta)
+        .where(bfilter)
+        .join(new_basket_ids, "basket", "left_semi")
+    )
+    if replayed.limit(1).count() > 0:
+        raise ValueError(
+            "merge_related_items_state: batch re-delivers basket ids "
+            "already in the state — merging would double-count their "
+            "pairs; deliver only new baskets (or rebuild)"
+        )
+
+    # --- deltas (batch-sized) ---------------------------------------
+    x, y = nb.alias("x"), nb.alias("y")
+    d_pairs = (
+        x.join(
+            y,
+            (F.col("x.basket") == F.col("y.basket"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_ab"))
+        .localCheckpoint()
+    )
+    d_items = nb.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_item")
+    ).localCheckpoint()
+
+    # --- pairs: sum deltas into the batch's hash buckets -------------
+    ch_pairs = sorted(
+        r["b"]
+        for r in d_pairs.select(
+            _ri_bucket(["a", "b"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pfilter = (
+        F.col("pair_bucket").isin(ch_pairs) if ch_pairs else F.lit(False)
+    )
+    base_pairs = (
+        _ri_read(spark, base_path, "pairs", meta)
+        .where(pfilter)
+        .select("a", "b", "n_ab")
+    )
+    upd_pairs = (
+        base_pairs.join(d_pairs, ["a", "b"], "full")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("n_ab"), F.lit(0))
+                + F.coalesce(F.col("d_ab"), F.lit(0))
+            ).cast("bigint").alias("n_ab"),
+        )
+        .withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
+    )
+    (
+        upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
+        .write.mode("overwrite")
+        .partitionBy("pair_bucket")
+        .parquet(f"{out_path}/pairs")
+    )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
+        )
+    else:
+        stats = cow.promote_unchanged_partitions(
+            spark, f"{base_path}/pairs", f"{out_path}/pairs",
+            "pair_bucket", ch_pairs,
+        )
+
+    # --- items --------------------------------------------------------
+    ch_items = sorted(
+        r["b"]
+        for r in d_items.select(
+            _ri_bucket(["item"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    ifilter = (
+        F.col("item_bucket").isin(ch_items) if ch_items else F.lit(False)
+    )
+    upd_items = (
+        _ri_read(spark, base_path, "items", meta)
+        .where(ifilter)
+        .select("item", "n_item")
+        .join(d_items, "item", "full")
+        .select(
+            "item",
+            (
+                F.coalesce(F.col("n_item"), F.lit(0))
+                + F.coalesce(F.col("d_item"), F.lit(0))
+            ).cast("bigint").alias("n_item"),
+        )
+        .withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
+    )
+    (
+        upd_items.repartition(max(1, len(ch_items)), "item_bucket")
+        .write.mode("overwrite")
+        .partitionBy("item_bucket")
+        .parquet(f"{out_path}/items")
+    )
+    if layout == "manifest":
+        cow.promote_via_manifest(
+            spark, base_path, out_path, "items", "item_bucket", ch_items
+        )
+    else:
+        cow.promote_unchanged_partitions(
+            spark, f"{base_path}/items", f"{out_path}/items",
+            "item_bucket", ch_items,
+        )
+
+    # --- baskets ledger ------------------------------------------------
+    upd_baskets = (
+        _ri_read(spark, base_path, "baskets", meta)
+        .where(bfilter)
+        .select("basket")
+        .unionByName(new_basket_ids)
+        .withColumn("basket_bucket", _ri_bucket(["basket"], n_buckets))
+    )
+    (
+        upd_baskets.repartition(max(1, len(ch_baskets)), "basket_bucket")
+        .write.mode("overwrite")
+        .partitionBy("basket_bucket")
+        .parquet(f"{out_path}/baskets")
+    )
+    if layout == "manifest":
+        cow.promote_via_manifest(
+            spark, base_path, out_path, "baskets", "basket_bucket", ch_baskets
+        )
+    else:
+        cow.promote_unchanged_partitions(
+            spark, f"{base_path}/baskets", f"{out_path}/baskets",
+            "basket_bucket", ch_baskets,
+        )
+
+    # --- topk: recompute affected items only ---------------------------
+    batch_items = nb.select("item").distinct()
+    pairs_all = _ri_read(spark, out_path, "pairs", meta).select("a", "b")
+    partners = (
+        pairs_all.join(
+            F.broadcast(batch_items.withColumnRenamed("item", "a")), "a"
+        )
+        .select(F.col("b").alias("item"))
+        .unionByName(
+            pairs_all.join(
+                F.broadcast(batch_items.withColumnRenamed("item", "b")), "b"
+            ).select(F.col("a").alias("item"))
+        )
+    )
+    affected = (
+        batch_items.unionByName(partners).distinct().localCheckpoint()
+    )
+    ch_topk = sorted(
+        r["b"]
+        for r in affected.select(
+            _ri_bucket(["item"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    fresh = _related_topk(
+        _ri_read(spark, out_path, "pairs", meta).select("a", "b", "n_ab"),
+        _ri_read(spark, out_path, "items", meta).select("item", "n_item"),
+        k,
+        min_count,
+        restrict=affected,
+    )
+    tfilter = (
+        F.col("item_bucket").isin(ch_topk) if ch_topk else F.lit(False)
+    )
+    carried_topk = (
+        _ri_read(spark, base_path, "topk", meta)
+        .where(tfilter)
+        .select("item", "other", "n_ab", "score", "rank")
+        .join(affected, "item", "left_anti")
+    )
+    (
+        carried_topk.unionByName(fresh)
+        .withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
+        .repartition(max(1, len(ch_topk)), "item_bucket")
+        .write.mode("overwrite")
+        .partitionBy("item_bucket")
+        .parquet(f"{out_path}/topk")
+    )
+    if layout == "manifest":
+        cow.promote_via_manifest(
+            spark, base_path, out_path, "topk", "item_bucket", ch_topk
+        )
+    else:
+        cow.promote_unchanged_partitions(
+            spark, f"{base_path}/topk", f"{out_path}/topk",
+            "item_bucket", ch_topk,
+        )
+    cow.write_json(spark, _ri_meta_uri(out_path), meta)
+    stats = dict(stats)
+    stats["affected_items"] = affected.count()
+    stats["changed_topk_partitions"] = ch_topk
+    return stats

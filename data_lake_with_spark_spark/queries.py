@@ -6787,6 +6787,59 @@ def q198_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q199_related_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the related-items SERVING table
+    (graph.build_related_items_state / merge_related_items_state —
+    r10 verdict item #4: the one registered serving table still
+    rebuilt from scratch): build the state over the basket history
+    minus a 12.5% order stripe (l_orderkey % 8 = 0 — whole NEW
+    baskets, the nightly order feed), MERGE the stripe as a delta
+    batch (pair/item supports sum into exactly the batch's hash
+    buckets; top-k recomputes for affected items only), and serve the
+    top-k table. The oracle is O_Q188 VERBATIM, so the driver
+    hash-verifies that delta-maintained serving equals the
+    from-scratch q188 rebuild over the full history — floor crossings
+    included (the state stores UNFLOORED pair supports; min_count
+    applies at derivation)."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.graph import (
+        build_related_items_state,
+        merge_related_items_state,
+        related_items_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    is_batch = F.col("l_orderkey") % 8 == 0
+    base_p = tempfile.mkdtemp(prefix="dlws_ri_base_")
+    out_p = tempfile.mkdtemp(prefix="dlws_ri_merged_")
+    try:
+        build_related_items_state(
+            li.where(~is_batch),
+            base_p,
+            basket_col="l_orderkey",
+            item_col="l_partkey",
+            k=5,
+            min_count=2,
+            n_buckets=32,
+        )
+        merge_related_items_state(
+            spark,
+            base_p,
+            li.where(is_batch),
+            out_p,
+            basket_col="l_orderkey",
+            item_col="l_partkey",
+        )
+        out = related_items_topk(spark, out_p)
+        # pin before the state dirs vanish (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_p, ignore_errors=True)
+        shutil.rmtree(out_p, ignore_errors=True)
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -7997,6 +8050,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the current-pointer lifecycle, serving must remain a from-scratch
     # rebuild bit-for-bit.
     "q198_index_lifecycle": (q198_index_lifecycle, O_Q113),
+    # Same oracle as q188: the delta-maintained serving table must
+    # equal the from-scratch rebuild over the full basket history.
+    "q199_related_items_incremental": (
+        q199_related_items_incremental,
+        O_Q188,
+    ),
 }
 
 
