@@ -8296,6 +8296,20 @@ _ROTATED_IN = (
     # property-tested identical to q181). Promoted same-round after a
     # 3-SF oracle sweep + driver_sim replay.
     "q194_hits_weighted",
+    # round 11: the five new lifecycle/maintenance classes, promoted
+    # same-round after 3-SF oracle sweeps + a full driver_sim replay —
+    # the persisted PQ index trio (serving/merge/GDPR-delete, all
+    # pinned to O_Q118-derived rebuild oracles), the end-to-end epoch
+    # lifecycle composition (merge→merge→compact→vacuum under the
+    # current-pointer, O_Q113 pin), and the incrementally-maintained
+    # related-items serving table (O_Q188 pin; its from-scratch twin
+    # q188 stays in-window to re-verify the shared _related_topk
+    # scoring tail).
+    "q195_pq_indexed",
+    "q196_pq_merge",
+    "q197_pq_delete",
+    "q198_index_lifecycle",
+    "q199_related_items_incremental",
 )
 _ROTATED_OUT = (
     # round 4
@@ -8585,6 +8599,19 @@ _ROTATED_OUT = (
     # the approx-vs-exact envelope stays pinned in pytest + the
     # local sweep (q162-style verify mode already lives there).
     "q179_key_uniqueness_sketch",
+    # round 11 demotions — all five driver-hard verified in r10's
+    # window (CORRECTNESS_r10 50/50), untouched in r11. Hybrid RRF
+    # q145 and rank-overlap q151 out (retrieval keeps
+    # q140/q161/q171/q178/q193 + incoming q195–q197 serving pins);
+    # percentile-clip q135 out (text quality keeps q126/q130/q131/
+    # q137/q139/q141-q143/q156); classifier-eval q147 out (profiling
+    # keeps q154/q158/q182); mixture-repeats q132 out (sampling keeps
+    # q127/q130/q170).
+    "q145_hybrid_retrieval_rrf",
+    "q151_rank_overlap",
+    "q135_percentile_clip",
+    "q147_classifier_eval",
+    "q132_mixture_repeats",
 )
 
 

@@ -64,6 +64,15 @@ def main() -> int:
 
     argv = list(sys.argv[1:])
     json_out = None
+    ansi = False
+    if "--ansi" in argv:
+        # the r10 verdict's #3: sweep the registry with ANSI mode ON —
+        # non-ANSI Spark silently NULLs on overflow/invalid-cast (the
+        # HITS DECIMAL(38,0) class), so a one-off ANSI pass either
+        # proves no operator leans on silent-NULL arithmetic or names
+        # the ones that do
+        ansi = True
+        argv.remove("--ansi")
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
@@ -83,6 +92,9 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
+    if ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("ANSI mode: spark.sql.ansi.enabled=true")
 
     con = duckdb.connect()
     for t in TABLES:
