@@ -926,7 +926,14 @@ def build_related_items_state(
     so a batch's changed-partition set is computable without scanning
     the state. ``k``/``min_count``/``n_buckets`` freeze into the meta
     sidecar; maintenance reads them back rather than trusting callers
-    to repeat them."""
+    to repeat them.
+
+    Sizing ``n_buckets``: scale it with the catalog (a fixed
+    per-bucket row budget — the :func:`similarity.build_pq_index`
+    rule): a batch touching D distinct pair keys rewrites
+    ~min(D, n_buckets) buckets of state_bytes/n_buckets each, so
+    written bytes stay batch-proportional only when bucket count
+    grows with the state."""
     from data_lake_with_spark_spark.sources import cow
 
     if k < 1 or min_count < 1 or n_buckets < 1:
@@ -1255,9 +1262,47 @@ def merge_related_items_state(
         .distinct()
         .collect()
     )
+    # pre-filter the pair state to the affected NEIGHBORHOOD before
+    # the scoring tail (a broadcast membership probe on both
+    # endpoints): the recompute's join/window input is then
+    # neighborhood-sized, not state-sized — the full (a, b) scan
+    # above is the only state-wide pass this op makes
+    aff_a = F.broadcast(
+        affected.select(F.col("item").alias("a")).withColumn(
+            "_fa", F.lit(1)
+        )
+    )
+    aff_b = F.broadcast(
+        affected.select(F.col("item").alias("b")).withColumn(
+            "_fb", F.lit(1)
+        )
+    )
+    pairs_near = (
+        _ri_read(spark, out_path, "pairs", meta)
+        .select("a", "b", "n_ab")
+        .join(aff_a, "a", "left")
+        .join(aff_b, "b", "left")
+        .where(F.col("_fa").isNotNull() | F.col("_fb").isNotNull())
+        .select("a", "b", "n_ab")
+    )
+    # the scoring tail joins item counts on BOTH endpoints; every
+    # endpoint it can reference is an endpoint of pairs_near, so the
+    # items side semi-joins down to the neighborhood too — without
+    # this the recompute shuffles the full |catalog| counts table
+    # against a neighborhood-sized frame every nightly batch
+    endpoints = (
+        pairs_near.select(F.col("a").alias("item"))
+        .unionByName(pairs_near.select(F.col("b").alias("item")))
+        .distinct()
+    )
+    items_near = (
+        _ri_read(spark, out_path, "items", meta)
+        .select("item", "n_item")
+        .join(endpoints, "item", "left_semi")
+    )
     fresh = _related_topk(
-        _ri_read(spark, out_path, "pairs", meta).select("a", "b", "n_ab"),
-        _ri_read(spark, out_path, "items", meta).select("item", "n_item"),
+        pairs_near,
+        items_near,
         k,
         min_count,
         restrict=affected,

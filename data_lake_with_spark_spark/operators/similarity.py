@@ -1733,7 +1733,17 @@ def build_pq_index(
     id, so an upsert's new and replaced rows land in the SAME
     partition. ``target_codes`` fixes the codebook budget independent
     of corpus size (the q113 fixed-budget arithmetic — codebooks must
-    not grow with the corpus)."""
+    not grow with the corpus).
+
+    Sizing ``n_buckets``: scale it WITH the corpus (a fixed per-bucket
+    row budget, e.g. ``n // 40`` like the IVF centroid budget), never
+    a fixed count — a batch of B ids touches ~min(B, n_buckets)
+    buckets, so written bytes per maintenance call are
+    ~ B * (corpus_bytes / n_buckets): with bucket count proportional
+    to the corpus that is batch-proportional and corpus-independent;
+    with a FIXED count it grows linearly with the corpus (measured
+    both ways in MEASUREMENTS_r11.md — 256 buckets at 100k rows put a
+    0.33% batch in 73% of the index; n//40 buckets put it at ~13%)."""
     spark = corpus.sparkSession
     if target_codes is not None:
         n = corpus.count()

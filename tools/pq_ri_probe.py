@@ -79,7 +79,7 @@ def main() -> int:
             ).alias("embedding"),
         ).localCheckpoint()
 
-    for n in ([10_000] if quick else [10_000, 100_000]):
+    for n in ([] if "--ri-only" in sys.argv else ([10_000] if quick else [10_000, 100_000])):
         emb = mk_emb(n)
         base_idx = tempfile.mkdtemp(prefix="pqp_base_")
         merged_idx = tempfile.mkdtemp(prefix="pqp_merged_")
@@ -92,7 +92,12 @@ def main() -> int:
                 dim=dim,
                 m=m,
                 target_codes=256,
-                n_buckets=256,
+                # production sizing: bucket count scales with the
+                # corpus (fixed per-bucket row budget, the IVF
+                # centroid-budget rule) so written bytes stay
+                # batch-proportional — the fixed-256 A/B row in
+                # MEASUREMENTS_r11.md shows why
+                n_buckets=max(64, n // 40),
             )
             build_s = round(time.time() - t0, 2)
             base_bytes = _dir_bytes(f"{base_idx}/codes")
@@ -159,10 +164,13 @@ def main() -> int:
     # ------------------------------------------------------------------
     # 2) related-items incremental vs rebuild, two decades
     # ------------------------------------------------------------------
-    def mk_baskets(n_baskets, n_items, start=0):
-        # ~4 items per basket; item popularity skewed by squaring the
-        # hash fraction (popular head, long tail — the Zipf-ish shape
-        # a catalog actually has)
+    def mk_baskets(n_baskets, n_items, start=0, skew=False):
+        # ~4 items per basket. skew=False draws items UNIFORMLY (the
+        # q199 workload shape — TPC-H parts in lineitem); skew=True
+        # squares the hash fraction (sqrt-density head: item 0 alone
+        # lands in ~1/sqrt(n_items) of draws — the hub caveat shape)
+        u = (F.abs(F.xxhash64("basket", "slot")) % 10_000_000) / F.lit(10_000_000.0)
+        frac = F.pow(u, F.lit(2.0)) if skew else u
         return (
             spark.range(start, start + n_baskets)
             .select(
@@ -171,35 +179,46 @@ def main() -> int:
             )
             .select(
                 "basket",
-                (
-                    F.pow(
-                        (F.abs(F.xxhash64("basket", "slot")) % 10_000)
-                        / F.lit(10_000.0),
-                        F.lit(2.0),
-                    )
-                    * F.lit(n_items)
-                )
-                .cast("bigint")
-                .alias("item"),
+                (frac * F.lit(n_items)).cast("bigint").alias("item"),
             )
             .localCheckpoint()
         )
 
-    for n_b in ([30_000] if quick else [30_000, 300_000]):
-        n_items = max(2_000, n_b // 15)
-        hist = mk_baskets(n_b, n_items)
-        batch = mk_baskets(max(1, n_b // 200), n_items, start=10_000_000)
+    # two fixture shapes per rung: SPARSE (items ~ baskets — the
+    # catalog norm: an item sits in a handful of baskets, so a batch's
+    # one-hop neighborhood is small) and DENSE/skewed (items = n/15 —
+    # every item within one hop of any batch: the honest hub caveat,
+    # where affected-items recompute approaches the full rebuild)
+    # The claim under test: merge wall tracks the BATCH's graph
+    # neighborhood, not history length — so the batch is FIXED (30
+    # baskets, a nightly micro-feed) while history grows a decade;
+    # rebuild must grow with history while merge stays ~flat. The
+    # dense/skewed row is the honest hub caveat (sqrt-density head:
+    # any batch hits mega-hubs, whose partner sets approach the
+    # catalog, and the affected-item recompute degenerates toward the
+    # rebuild).
+    shapes = [("sparse", 1), ("dense", 15)]
+    for n_b in ([30_000] if quick else [30_000, 300_000, 3_000_000]):
+      for shape, div in shapes:
+        if shape == "dense" and n_b > 30_000:
+            continue  # one caveat rung is enough
+        n_items = max(2_000, n_b // div)
+        skew = shape == "dense"
+        hist = mk_baskets(n_b, n_items, skew=skew)
+        batch = mk_baskets(30, n_items, start=10_000_000, skew=skew)
         base_p = tempfile.mkdtemp(prefix="rip_base_")
         out_p = tempfile.mkdtemp(prefix="rip_out_")
         try:
             t0 = time.time()
+            # bucket budget ~150 pair-keys per bucket at probe
+            # scale (at 100 TB buckets are GB-sized; 40-row dirs at
+            # toy scale would measure filesystem overhead instead)
+            nb_buckets = max(256, n_b // 150)
             graph.build_related_items_state(
-                hist, base_p, k=10, min_count=2, n_buckets=256
+                hist, base_p, k=10, min_count=2, n_buckets=nb_buckets
             )
             build_s = round(time.time() - t0, 2)
-            base_bytes = _dir_bytes(f"{base_p}/pairs") + _dir_bytes(
-                f"{base_p}/topk"
-            )
+
 
             def do_merge():
                 shutil.rmtree(out_p, ignore_errors=True)
@@ -208,9 +227,8 @@ def main() -> int:
                 )
 
             merge_s, st = _min2(do_merge)
-            w = cow.written_bytes(f"{out_p}/pairs") + cow.written_bytes(
-                f"{out_p}/topk"
-            )
+            w_pairs = cow.written_bytes(f"{out_p}/pairs")
+            w_topk = cow.written_bytes(f"{out_p}/topk")
 
             def do_rebuild():
                 p = tempfile.mkdtemp(prefix="rip_scratch_")
@@ -220,15 +238,17 @@ def main() -> int:
                         p,
                         k=10,
                         min_count=2,
-                        n_buckets=256,
+                        n_buckets=nb_buckets,
                     )
                 finally:
                     shutil.rmtree(p, ignore_errors=True)
 
             rebuild_s, _ = _min2(do_rebuild)
-            out[f"ri_b{n_b}"] = {
+            out[f"ri_{shape}_b{n_b}"] = {
                 "n_hist_baskets": n_b,
-                "n_batch_baskets": max(1, n_b // 200),
+                "shape": shape,
+                "n_items": n_items,
+                "n_batch_baskets": 30,
                 "state_build_s": build_s,
                 "merge_s": merge_s,
                 "rebuild_s": rebuild_s,
@@ -238,9 +258,14 @@ def main() -> int:
                 "changed_topk_partitions": len(
                     st["changed_topk_partitions"]
                 ),
-                "written_fraction": round(w / max(1, base_bytes), 4),
+                "pairs_written_fraction": round(
+                    w_pairs / max(1, _dir_bytes(f"{base_p}/pairs")), 4
+                ),
+                "topk_written_fraction": round(
+                    w_topk / max(1, _dir_bytes(f"{base_p}/topk")), 4
+                ),
             }
-            print(json.dumps({f"ri_b{n_b}": out[f"ri_b{n_b}"]}))
+            print(json.dumps({f"ri_{shape}_b{n_b}": out[f"ri_{shape}_b{n_b}"]}))
         finally:
             for p in (base_p, out_p):
                 shutil.rmtree(p, ignore_errors=True)
