@@ -2061,6 +2061,590 @@ def compact_pq_index(spark, index_path: str, out_path: str) -> dict:
     return stats
 
 
+def _ivfpq_meta_uri(path: str) -> str:
+    return f"{path}/ivfpq_meta.json"
+
+
+def _resid_col(vec_col: str, cent_col: str) -> Column:
+    """Residual vector ``vec - cent`` as array<double> — element-wise
+    double subtraction is exactly rounded in IEEE-754, so both engines
+    produce bit-identical residuals from identical inputs (the oracle
+    mirrors with ``CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)``)."""
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col(cent_col).cast("array<double>"),
+        lambda a, b: a - b,
+    )
+
+
+def _ivfpq_assign_resid(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    vec_dim: int | None,
+) -> DataFrame:
+    """Owning cell + residual per vector: nearest centroid by 6-dp
+    cosine (cent_id-asc tiebreak — the IVF assignment kernel), then
+    ``rv = vec - cent_v``. Returns ``(cent_id, id, rv)``. Centroids
+    broadcast; the corpus never shuffles by value: the argmax is a
+    ``min_by`` over a deterministic (−cos, cent_id) order key, which
+    partial-aggregates MAP-SIDE (every candidate row for an id sits
+    in the id's scan partition after the broadcast cross join), so
+    the shuffle carries one row per vector — a window row_number
+    would sort-shuffle the full corpus × n_cells frame instead. NULL
+    cosines (zero-norm vectors) order WORST (−∞ key), matching the
+    window's DESC-nulls-last semantics and the oracle's."""
+    if vec_dim is None:
+        scored = (
+            df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v"), 6))
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("cent_id"),
+                        F.col("cent_v"),
+                        F.col(vec_col).alias("_v"),
+                    ),
+                    F.struct(
+                        (
+                            -F.coalesce(
+                                F.col("cos_c"), F.lit(float("-inf"))
+                            )
+                        ).alias("neg_cos"),
+                        F.col("cent_id"),
+                    ),
+                ).alias("_b")
+            )
+            .select(
+                F.col("_b.cent_id").alias("cent_id"),
+                id_col,
+                F.col("_b._v").alias(vec_col),
+                F.col("_b.cent_v").alias("cent_v"),
+            )
+        )
+    else:
+        assigned = _assign_argmax_arrow(
+            df.select(id_col, vec_col), cents, vec_col, vec_dim
+        ).select("cent_id", id_col, vec_col).join(
+            F.broadcast(cents), on="cent_id"
+        )
+    return assigned.select(
+        "cent_id", id_col, _resid_col(vec_col, "cent_v").alias("rv")
+    )
+
+
+def _ivfpq_encode(
+    assigned_rv: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str,
+) -> DataFrame:
+    """PQ-encode residuals against frozen codebooks, carrying the
+    owning ``cent_id`` through (the :func:`pq_encode` argmin
+    semantics — 6-dp-rounded squared L2, code-asc tiebreak — over
+    residual sub-vectors). Returns ``(cent_id, id, subspace, code)``.
+    The argmin is ``min(struct(_d, code))`` (struct ordering is
+    field-wise, so the code field IS the tiebreak), which
+    partial-aggregates map-side after the broadcast codebook join —
+    the shuffle carries m rows per vector, never the
+    corpus × |codes| candidate frame a window would sort."""
+    w = dim // m
+    slices = F.array(*[F.slice(F.col("rv"), s * w + 1, w) for s in range(m)])
+    sub_rows = assigned_rv.select(
+        "cent_id", id_col, F.posexplode(slices)
+    ).select(
+        "cent_id",
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_sub_v"),
+    )
+    return (
+        sub_rows.join(F.broadcast(codebooks), on="subspace")
+        .withColumn("_d", F.round(l2sq_expr("_sub_v", "cent_sub"), 6))
+        .groupBy("cent_id", id_col, "subspace")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b"))
+        .select("cent_id", id_col, "subspace", F.col("_b.code").alias("code"))
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    target_centroids: int | None = None,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> None:
+    """Materialize the IVF+PQ composite index — the FAISS
+    ``IndexIVFPQ`` shape, the production serving layout at 100 TB:
+    :func:`build_pq_index` compresses the corpus 32× but its ADC
+    serve still SCANS every code partition (the compressed-full-scan
+    model); :func:`build_ivf_index` prunes the scan to nprobe cells
+    but stores full float vectors. This index does both: vectors are
+    assigned to a frozen coarse centroid (the IVF cell), their
+    RESIDUALS ``vec - cent_v`` are PQ-encoded (Jégou et al. 2011 §IV
+    — residual quantization re-centers every cell's distribution at
+    the origin, so one shared codebook set covers all cells), and the
+    codes layout exposes the cell for pruning. Serving reads 8 small
+    ints per vector from nprobe/n_cells of the corpus — pruning ×
+    compression.
+
+    Layout: ``path/centroids`` (cent_id, cent_v — the frozen coarse
+    quantizer), ``path/codebooks`` ((subspace, code, cent_sub) over
+    RESIDUAL sub-vectors, broadcast-sized, frozen), ``path/codes``
+    ((id, subspace, code) partitioned by ``(id_bucket, cent_id)``),
+    ``path/ivfpq_meta.json`` ({dim, m, n_buckets}).
+
+    Why TWO partition levels — the maintenance unit and the pruning
+    structure are DIFFERENT columns, deliberately decoupled. If the
+    cell were also the maintenance unit (one-level ``cent_id=``
+    layout), write granularity would be chained to n_cells — but
+    n_cells is capped by coarse-assignment cost (every build/merge
+    pays n × n_cells distance evaluations), so maintenance I/O could
+    never be made batch-proportional without making assignment
+    quadratic. Splitting them frees both knobs: the TOP level is
+    ``id_bucket = pmod(xxhash64(id), n_buckets)`` — the CoW
+    promotion/manifest unit, count free (size with the corpus, the
+    :func:`build_pq_index` ``n // 40`` rule), so a batch of B ids
+    rewrites exactly its ≤ min(B, n_buckets) hash buckets and an
+    upsert's new and replaced rows land in the SAME partition with no
+    base scan to locate them. The NESTED level is ``cent_id`` — a
+    serve-time ``WHERE cent_id IN (probes)`` prunes leaf directories
+    under every bucket (Spark partition pruning applies per column
+    regardless of nesting order), reading nprobe/n_cells of the
+    bytes. Listing caveat: leaf-dir count is n_buckets × n_cells;
+    size the product to what the store's directory listing tolerates
+    (the manifest layout lists only the top level).
+
+    Determinism: centroid seeds are the ``id % centroid_mod == 0``
+    stripe; codebook seeds are the OFFSET stripe ``id % centroid_mod
+    == 1`` of residuals (offset so codebook entries are never the
+    all-zero residuals the centroid-source rows have — a shared
+    stripe would train degenerate codebooks). ``target_centroids``
+    fixes the budget independent of corpus size (the q113 rule; it
+    sizes BOTH seed stripes through the one mod)."""
+    spark = corpus.sparkSession
+    if target_centroids is not None:
+        n = corpus.count()
+        centroid_mod = max(1, n // max(1, target_centroids))
+    cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _ivfpq_assign_resid(
+        corpus, cents, id_col, vec_col, vec_dim
+    ).localCheckpoint()
+    w = dim // m
+    slices = F.array(*[F.slice(F.col("rv"), s * w + 1, w) for s in range(m)])
+    cb = (
+        assigned.where((F.col(id_col) % centroid_mod) == 1)
+        .select(F.col(id_col).alias("code"), F.posexplode(slices))
+        .select(
+            F.col("pos").cast("bigint").alias("subspace"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("col").alias("cent_sub"),
+        )
+        .localCheckpoint()
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
+        "id_bucket", _pq_bucket(id_col, n_buckets)
+    )
+    # one task per bucket: each writes only its own bucket dir's
+    # nested cell dirs (avoids the input_partitions × leaf_dirs file
+    # explosion an unrepartitioned partitioned write produces)
+    (
+        codes.repartition(n_buckets, "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket", "cent_id")
+        .parquet(f"{path}/codes")
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.write_json(
+        spark,
+        _ivfpq_meta_uri(path),
+        {"dim": int(dim), "m": int(m), "n_buckets": int(n_buckets)},
+    )
+
+
+def _ivfpq_index_parts(spark, path: str):
+    from data_lake_with_spark_spark.sources import cow
+
+    meta = cow.read_json(spark, _ivfpq_meta_uri(path))
+    if meta is None:
+        raise FileNotFoundError(f"no ivfpq_meta.json under {path!r}")
+    cents = cow.read_component(spark, path, "centroids")
+    cb = cow.read_component(spark, path, "codebooks")
+    codes = cow.read_component(spark, path, "codes")
+    return meta, cents, cb, codes
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN serving from a :func:`build_ivfpq_index` layout — the scan
+    touches 8 small ints per vector (PQ) in ONLY the probed cells
+    (IVF): each query's nprobe nearest centroids (6-dp cosine,
+    cent_id-asc — the :func:`ivf_topk_indexed` probe kernel) are
+    collected as a bounded ``n_queries × nprobe`` id list and pushed
+    into the codes scan as a partition filter. Per probed cell the
+    query's RESIDUAL ``q - cent_v`` builds the ADC distance table
+    (q-residual sub-vector vs every codebook entry — ``n_queries ×
+    nprobe × m × |codes|`` rows, broadcast-sized for serving batches),
+    and each candidate's distance is the DECIMAL(18,6) sum of its m
+    table entries, matched on the candidate's OWN cell — residual ADC
+    is only meaningful between a query and a vector re-centered on
+    the SAME centroid (Jégou et al. 2011 eq. 13). Returns (query_id,
+    neighbor_id, adc_dist, rank), self-matches excluded."""
+    meta, cents, cb, codes = _ivfpq_index_parts(spark, path)
+    dim, m = meta["dim"], meta["m"]
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v"), 6))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= nprobe)
+        .select(
+            "cent_id", "query_id", _resid_col("qv", "cent_v").alias("qrv")
+        )
+        # consumed twice (partition-filter collect + the table join);
+        # bounded: n_queries × nprobe rows
+        .localCheckpoint()
+    )
+    probe_ids = [
+        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
+    ]
+    probe_filter = (
+        F.col("cent_id").isin(probe_ids) if probe_ids else F.lit(False)
+    )
+    w = dim // m
+    slices = F.array(*[F.slice(F.col("qrv"), s * w + 1, w) for s in range(m)])
+    q_subs = probes.select("query_id", "cent_id", F.posexplode(slices)).select(
+        "query_id",
+        "cent_id",
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_q_sub"),
+    )
+    table = q_subs.join(F.broadcast(cb), on="subspace").select(
+        "query_id",
+        "cent_id",
+        "subspace",
+        "code",
+        F.round(l2sq_expr("_q_sub", "cent_sub"), 6)
+        .cast("decimal(18,6)")
+        .alias("_dsub"),
+    )
+    scored = (
+        codes.where(probe_filter)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(table), on=["cent_id", "subspace", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_dsub").cast("double").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk_rerank_indexed(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ serving as deployed (FAISS ``IndexIVFPQ`` +
+    ``IndexRefine``): residual-ADC shortlist from the probed cells'
+    codes, exact squared-L2 re-rank of only the shortlisted vectors
+    fetched from ``corpus`` — at 100 TB an ``n_queries × shortlist``
+    point-lookup semi-join after a scan that read nprobe/n_cells of
+    the corpus at 8 ints per vector. Returns (query_id, neighbor_id,
+    l2_dist, rank)."""
+    short = ivfpq_topk_indexed(
+        spark, path, queries, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        short.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2sq_expr("_cv", "_qv"), 6).alias("l2_dist"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
+    )
+
+
+def merge_ivfpq_index(
+    spark,
+    base_path: str,
+    new_vecs: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+    validate_frozen: bool = True,
+    layout: str = "links",
+) -> dict:
+    """Incremental IVFPQ maintenance — the fourth index family's
+    lifecycle, under a DOUBLY-frozen quantizer contract: both the
+    coarse centroids AND the residual codebooks are carried verbatim
+    (FAISS ``IndexIVFPQ.add`` retrains neither); the batch assigns and
+    encodes through the SAME kernels as the builder, so the merged
+    index is bit-identical to a from-scratch build over the merged
+    corpus with the same seed sets (the q176/q196 gate, composed).
+    UPSERT semantics: batch ids replace their old codes — including
+    when the re-ingested vector MOVED CELLS (old and new code rows
+    share the id's hash bucket, so the swap is local to one
+    maintenance partition). ``validate_frozen=True`` raises if the
+    batch replaces a centroid-source or codebook-source vector
+    (either frozen artifact would go stale relative to a retrain).
+
+    Cost: one assignment+encode pass over the BATCH, then a
+    partitioned write of only the changed ``id_bucket=`` partitions —
+    the bucket is a pure function of the id (no base scan locates
+    replaced rows; they share the new rows' buckets by construction),
+    so the changed set is EXACTLY the batch ids' ≤ min(|batch|,
+    n_buckets) hash buckets and written bytes are batch-proportional
+    (see :func:`build_ivfpq_index` on why the maintenance unit is
+    the bucket, not the cell). Unchanged buckets promote by hard
+    link (``layout="links"``) or manifest entry
+    (``layout="manifest"`` — the object-store path); both frozen
+    components promote whole. ``out_path`` must be FRESH
+    (normalized-URI enforced). Returns the promotion stats dict."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out("merge_ivfpq_index", base_path, out_path)
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "codes"):
+        raise ValueError(
+            "merge_ivfpq_index: base index uses a manifest layout — its "
+            "partitions live across epochs, so there is no complete "
+            "directory to link from; pass layout='manifest'"
+        )
+    meta = cow.read_json(spark, _ivfpq_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no ivfpq_meta.json under {base_path!r}")
+    dim, m, n_buckets = meta["dim"], meta["m"], meta["n_buckets"]
+    cents = cow.read_component(spark, base_path, "centroids")
+    cb = cow.read_component(spark, base_path, "codebooks")
+    new_ids = new_vecs.select(F.col(id_col)).distinct()
+    if validate_frozen:
+        frozen_src = (
+            cents.select(F.col("cent_id").alias(id_col))
+            .unionByName(cb.select(F.col("code").alias(id_col)))
+            .distinct()
+        )
+        stale = new_ids.join(F.broadcast(frozen_src), id_col)
+        if stale.limit(1).count() > 0:
+            raise ValueError(
+                "merge_ivfpq_index: batch replaces a centroid-source or "
+                "codebook-source vector; the frozen quantizers would go "
+                "stale relative to a retrain — rebuild with "
+                "build_ivfpq_index instead (or pass validate_frozen="
+                "False to accept doubly-frozen semantics explicitly)"
+            )
+    assigned = _ivfpq_assign_resid(
+        new_vecs.select(id_col, vec_col), cents, id_col, vec_col, vec_dim
+    )
+    batch_codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
+        "id_bucket", _pq_bucket(id_col, n_buckets)
+    )
+    # changed buckets: a pure function of the batch ids — replaced
+    # rows share them by construction (no base scan); size-gated
+    # collect (distinct buckets ≤ n_buckets rows)
+    changed = sorted(
+        r["id_bucket"]
+        for r in new_ids.select(
+            _pq_bucket(id_col, n_buckets).alias("id_bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    part_filter = (
+        F.col("id_bucket").isin(changed) if changed else F.lit(False)
+    )
+    base_keep = (
+        cow.read_component(spark, base_path, "codes")
+        .where(part_filter)
+        .select("id_bucket", "cent_id", id_col, "subspace", "code")
+        .join(new_ids, id_col, "left_anti")
+    )
+    merged = base_keep.unionByName(
+        batch_codes.select("id_bucket", "cent_id", id_col, "subspace", "code")
+    )
+    (
+        merged.repartition(max(1, len(changed)), "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket", "cent_id")
+        .parquet(f"{out_path}/codes")
+    )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "codes", "id_bucket", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "centroids")
+        cow.promote_whole_ref(spark, base_path, out_path, "codebooks")
+    else:
+        stats = cow.promote_unchanged_partitions(
+            spark, f"{base_path}/codes", f"{out_path}/codes",
+            "id_bucket", changed,
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/centroids", f"{out_path}/centroids"
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/codebooks", f"{out_path}/codebooks"
+        )
+    cow.write_json(spark, _ivfpq_meta_uri(out_path), meta)
+    return stats
+
+
+def delete_from_ivfpq_index(
+    spark,
+    base_path: str,
+    delete_ids: DataFrame,
+    out_path: str,
+    id_col: str = "vec_id",
+    layout: str = "links",
+) -> dict:
+    """Erasure reaching the IVFPQ serving index: drop the ids' code
+    rows from a :func:`build_ivfpq_index` layout. Both frozen
+    components stay (removing a centroid- or codebook-SOURCE vector
+    removes it from every result set but keeps the geometric anchor —
+    the FAISS ``remove_ids`` contract; retrain to move quantizers).
+    Serve-after-delete is gated identical to a rebuild without the
+    ids over the same seed sets. Cost: a column-pruned ``(id_bucket,
+    id)`` scan confirms which of the ids' hash buckets actually hold
+    rows (an absent id's bucket is NOT rewritten); only those are
+    anti-joined and rewritten; the rest promote by link or manifest
+    entry. GDPR retention caveat (manifest layout): erasure is
+    pointer-level until ``compact_ivfpq_index`` + ``cow.vacuum_index``
+    — see :func:`delete_from_ivf_index`."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out("delete_from_ivfpq_index", base_path, out_path)
+    if layout not in ("links", "manifest"):
+        raise ValueError(f"layout must be 'links' or 'manifest', got {layout!r}")
+    if layout == "links" and cow.read_manifest(spark, base_path, "codes"):
+        raise ValueError(
+            "delete_from_ivfpq_index: base index uses a manifest layout "
+            "— pass layout='manifest' (nothing complete to link from)"
+        )
+    meta = cow.read_json(spark, _ivfpq_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no ivfpq_meta.json under {base_path!r}")
+    ids = delete_ids.select(F.col(id_col)).distinct()
+    changed = sorted(
+        r["id_bucket"]
+        for r in cow.read_component(spark, base_path, "codes")
+        .select("id_bucket", id_col)
+        .join(ids, id_col, "left_semi")
+        .select("id_bucket")
+        .distinct()
+        .collect()
+    )
+    part_filter = (
+        F.col("id_bucket").isin(changed) if changed else F.lit(False)
+    )
+    kept = (
+        cow.read_component(spark, base_path, "codes")
+        .where(part_filter)
+        .join(ids, id_col, "left_anti")
+    )
+    (
+        kept.repartition(max(1, len(changed)), "id_bucket")
+        .write.mode("overwrite")
+        .partitionBy("id_bucket", "cent_id")
+        .parquet(f"{out_path}/codes")
+    )
+    if layout == "manifest":
+        stats = cow.promote_via_manifest(
+            spark, base_path, out_path, "codes", "id_bucket", changed
+        )
+        cow.promote_whole_ref(spark, base_path, out_path, "centroids")
+        cow.promote_whole_ref(spark, base_path, out_path, "codebooks")
+    else:
+        stats = cow.promote_unchanged_partitions(
+            spark, f"{base_path}/codes", f"{out_path}/codes",
+            "id_bucket", changed,
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/centroids", f"{out_path}/centroids"
+        )
+        cow.promote_dir(
+            spark, f"{base_path}/codebooks", f"{out_path}/codebooks"
+        )
+    cow.write_json(spark, _ivfpq_meta_uri(out_path), meta)
+    return stats
+
+
+def compact_ivfpq_index(spark, index_path: str, out_path: str) -> dict:
+    """Collapse an IVFPQ index (plain, link-promoted, or a MANIFEST
+    epoch chain) into one self-contained plain layout — the
+    vacuum/OPTIMIZE step (see :func:`compact_ivf_index`); pair with
+    ``cow.vacuum_index`` to retire the old epochs. The nested
+    ``(id_bucket, cent_id)`` codes layout is preserved."""
+    from data_lake_with_spark_spark.sources import cow
+
+    stats = cow.compact_index_component(
+        spark, index_path, out_path, "codes", ["id_bucket", "cent_id"]
+    )
+    cow.compact_index_component(
+        spark, index_path, out_path, "centroids", None
+    )
+    cow.compact_index_component(
+        spark, index_path, out_path, "codebooks", None
+    )
+    meta = cow.read_json(spark, _ivfpq_meta_uri(index_path))
+    if meta is not None:
+        cow.write_json(spark, _ivfpq_meta_uri(out_path), meta)
+    return stats
+
+
 def truncated_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

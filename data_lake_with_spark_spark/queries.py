@@ -6840,6 +6840,239 @@ def q199_related_items_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(out_p, ignore_errors=True)
 
 
+# --- IVFPQ: the composite index family (round 11b) -----------------
+# DuckDB residual helper: (a - b) element-wise as a DOUBLE list —
+# IEEE subtraction is exactly rounded, so both engines produce
+# bit-identical residuals from identical inputs (the Spark twin is
+# similarity._resid_col's zip_with).
+_O_RESID = (
+    "list_transform(generate_series(1, {dim}), i -> "
+    "CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+)
+
+# Full SQL rebuild of the IVFPQ pipeline (coarse assign → residuals →
+# frozen codebooks from the offset-1 stripe → encode → probe →
+# residual ADC): the oracle for every q200-family entry — persisted,
+# merged, and deleted layouts must serve bit-identical to this
+# from-scratch derivation.
+O_Q200 = f"""
+WITH m AS (
+  SELECT GREATEST(1, COUNT(*) // 40) AS md FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings, m
+  WHERE vec_id % m.md = 0),
+asg AS (
+  SELECT cent_id, vec_id, rv FROM (
+    SELECT c.cent_id, e.vec_id,
+           {_O_RESID.format(dim=_PQ_DIM, a='e.embedding', b='c.cv')} AS rv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1),
+subs AS (SELECT CAST(s AS BIGINT) AS subspace
+         FROM UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)),
+cb AS (
+  SELECT subspace, CAST(vec_id AS BIGINT) AS code,
+         rv[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS cent_sub
+  FROM asg, subs, m WHERE vec_id % m.md = 1),
+ev AS (
+  SELECT cent_id, vec_id, subspace,
+         rv[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS sub_v
+  FROM asg, subs),
+enc AS (
+  SELECT cent_id, vec_id, subspace, code FROM (
+    SELECT ev.cent_id, ev.vec_id, ev.subspace, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY ev.vec_id, ev.subspace
+             ORDER BY ROUND({_O_L2SQ.format(a='ev.sub_v', b='cb.cent_sub')},
+                            6) ASC, cb.code ASC) AS rn
+    FROM ev JOIN cb USING (subspace)) WHERE rn = 1),
+probes AS (
+  SELECT cent_id, query_id, qrv FROM (
+    SELECT c.cent_id, e.vec_id AS query_id,
+           {_O_RESID.format(dim=_PQ_DIM, a='e.embedding', b='c.cv')} AS qrv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_O_COS_EC} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= 4),
+qv AS (
+  SELECT query_id, cent_id, subspace,
+         qrv[(subspace*{_PQ_W}+1):(subspace*{_PQ_W}+{_PQ_W})] AS q_sub
+  FROM probes, subs),
+dtable AS (
+  SELECT query_id, cent_id, subspace, code,
+         CAST(ROUND({_O_L2SQ.format(a='qv.q_sub', b='cb.cent_sub')}, 6)
+              AS DECIMAL(18,6)) AS dsub
+  FROM qv JOIN cb USING (subspace)),
+scored AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(dsub) AS DOUBLE) AS adc_dist
+  FROM enc e JOIN dtable t
+    ON e.cent_id = t.cent_id AND e.subspace = t.subspace
+   AND e.code = t.code
+  WHERE t.query_id != e.vec_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+_IVFPQ_IDX_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Process-cached full-corpus persisted IVFPQ index (budget-40
+    coarse centroids, m=8 residual codebooks from the offset-1
+    stripe) — the build-once-serve-many shape q200/q202 exercise,
+    mirroring the shared q140/q195 indexes."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    cached = _IVFPQ_IDX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(f"{cached}/codes"):
+        return cached
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="dlws_ivfpq_full_")
+    # n_buckets=8 is oracle-fixture sizing: leaf-dir count is
+    # n_buckets × n_cells (~8×40 here); production sizes buckets with
+    # the corpus (build_ivfpq_index docstring) — the bucket count
+    # never affects results, only maintenance granularity
+    build_ivfpq_index(
+        emb, path, dim=_PQ_DIM, m=_PQ_M, target_centroids=40, n_buckets=8
+    )
+    _IVFPQ_IDX_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q200_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-ADC top-k from the persisted IVFPQ index
+    (similarity.build_ivfpq_index / ivfpq_topk_indexed — the FAISS
+    IndexIVFPQ shape, pruning × compression): the q113 IVF family
+    prunes the scan to nprobe cells but reads full float vectors; the
+    q195 PQ family reads 8 ints per vector but scans EVERY code
+    partition; this index does both — coarse cells partition the
+    codes, residuals (vec - cent_v) are PQ-encoded against frozen
+    codebooks, and serving reads 8 ints per vector from nprobe/n_cells
+    of the corpus. The oracle is a full SQL rebuild of the pipeline,
+    so the driver hash-verifies the persisted layout end-to-end."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_indexed(
+        spark,
+        _ivfpq_index(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=4,
+    )
+
+
+def q201_ivfpq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ maintenance (similarity.merge_ivfpq_index):
+    the q176/q196 upsert contract under the DOUBLY-frozen quantizer
+    contract — build the index over the corpus minus a 20% delta,
+    MERGE the delta against the carried (frozen) centroids AND
+    codebooks, serve q200's config from the merged index. The oracle
+    is O_Q200 VERBATIM: the merged cell/code layout must be
+    indistinguishable from a from-scratch build over the full corpus
+    with the same seed stripes. The delta excludes BOTH frozen-source
+    stripes (merge_ivfpq_index raises on replacing either), so the
+    carried quantizers equal the full-corpus seed sets the oracle
+    derives."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        merge_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    is_delta = (
+        (F.col("vec_id") % md != 0)
+        & (F.col("vec_id") % md != 1)
+        & (F.col("vec_id") % 5 == 0)
+    )
+    base_idx = tempfile.mkdtemp(prefix="dlws_ivfpq_base_")
+    out_idx = tempfile.mkdtemp(prefix="dlws_ivfpq_merged_")
+    try:
+        build_ivfpq_index(
+            emb.where(~is_delta), base_idx,
+            dim=_PQ_DIM, m=_PQ_M, centroid_mod=md, n_buckets=8,
+        )
+        merge_ivfpq_index(spark, base_idx, emb.where(is_delta), out_idx)
+        out = ivfpq_topk_indexed(
+            spark, out_idx, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+        )
+        # pin before the index dirs vanish (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_idx, ignore_errors=True)
+        shutil.rmtree(out_idx, ignore_errors=True)
+
+
+def q202_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure reaching the IVFPQ serving index
+    (similarity.delete_from_ivfpq_index): drop the q177/q197 GDPR
+    stripe (vec_id % 9 = 4) from the shared persisted IVFPQ index and
+    serve q200's config from the post-delete layout. Both frozen
+    components stay (the FAISS remove_ids contract), which the oracle
+    mirrors exactly: O_Q200 with the encode CTE restricted to
+    surviving vectors while the centroid and codebook CTEs stay
+    unfiltered — serve-after-delete is hash-gated identical to a
+    rebuild without the ids over the same seed sets."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    del_idx = tempfile.mkdtemp(prefix="dlws_ivfpq_deleted_")
+    try:
+        delete_from_ivfpq_index(
+            spark,
+            _ivfpq_index(spark, sf_dir),
+            emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
+            del_idx,
+        )
+        out = ivfpq_topk_indexed(
+            spark, del_idx, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(del_idx, ignore_errors=True)
+
+
+# O_Q202: O_Q200 with the ENCODE restricted to surviving vectors while
+# the centroid/codebook CTEs stay unfiltered — the SQL mirror of
+# doubly-frozen deletion (the O_Q197 derivation, IVFPQ side). The
+# guard catches a silent no-op anchor miss (the q70-typo lesson).
+O_Q202 = O_Q200.replace(
+    "FROM ev JOIN cb USING (subspace)) WHERE rn = 1)",
+    "FROM ev JOIN cb USING (subspace)) WHERE rn = 1 AND vec_id % 9 <> 4)",
+)
+if O_Q202 == O_Q200:  # pragma: no cover
+    raise AssertionError("O_Q202 anchor text missing from O_Q200")
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -8056,6 +8289,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q199_related_items_incremental,
         O_Q188,
     ),
+    # IVFPQ — the composite (pruning × compression) index family: the
+    # persisted/merged layouts pin to the full-pipeline SQL rebuild;
+    # the deleted layout to its survivor-filtered derivation.
+    "q200_ivfpq_indexed": (q200_ivfpq_indexed, O_Q200),
+    "q201_ivfpq_merge": (q201_ivfpq_merge, O_Q200),
+    "q202_ivfpq_delete": (q202_ivfpq_delete, O_Q202),
 }
 
 
@@ -8310,6 +8549,14 @@ _ROTATED_IN = (
     "q197_pq_delete",
     "q198_index_lifecycle",
     "q199_related_items_incremental",
+    # round 11b: the IVFPQ trio — the composite pruning×compression
+    # index family (persisted serve / doubly-frozen merge / GDPR
+    # delete), pinned to the full-pipeline SQL rebuild O_Q200 and its
+    # survivor-filtered derivation. Promoted same-round after 3-SF
+    # oracle sweeps + a full driver_sim replay.
+    "q200_ivfpq_indexed",
+    "q201_ivfpq_merge",
+    "q202_ivfpq_delete",
 )
 _ROTATED_OUT = (
     # round 4
@@ -8612,6 +8859,18 @@ _ROTATED_OUT = (
     "q135_percentile_clip",
     "q147_classifier_eval",
     "q132_mixture_repeats",
+    # round 11b demotions — all three driver-hard verified in r10's
+    # window (CORRECTNESS_r10 50/50), untouched in r11. Unweighted
+    # HITS q181 out (the authority family keeps q194 weighted HITS —
+    # whose w=1 path is property-tested identical to q181 — plus
+    # q175/q180/q190 PageRank in-window); compaction-planner q166 out
+    # (the lakehouse-maintenance family keeps q198's
+    # compact-and-vacuum lifecycle in-window; the row-accurate
+    # binning stays value-verified in the local sweep + pytest);
+    # shard-assignment q127 out (sampling keeps q130/q170 in-window).
+    "q181_hits_copurchase",
+    "q166_compaction_plan",
+    "q127_shard_assignment",
 )
 
 

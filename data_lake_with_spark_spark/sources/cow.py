@@ -460,7 +460,7 @@ def compact_index_component(
     index_path: str,
     out_path: str,
     component: str,
-    partition_col: str | None,
+    partition_col: "str | list[str] | None",
     sort_col: str | None = None,
 ) -> dict:
     """Collapse a manifest epoch CHAIN back into one self-contained
@@ -513,14 +513,19 @@ def compact_index_component(
     if partition_col is None:
         df.write.mode("overwrite").parquet(f"{out_path}/{component}")
         return {"partitions": 0}
-    out = df.repartition(F.col(partition_col))
+    # a nested layout (e.g. IVFPQ's (id_bucket, cent_id)) passes the
+    # column list; the FIRST column is the promotion/manifest unit
+    cols = [partition_col] if isinstance(partition_col, str) else list(
+        partition_col
+    )
+    out = df.repartition(*[F.col(c) for c in cols])
     if sort_col is not None:
         out = out.sortWithinPartitions(sort_col)
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(
+    out.write.mode("overwrite").partitionBy(*cols).parquet(
         f"{out_path}/{component}"
     )
     n = len(
-        base_partition_owners(spark, out_path, component, partition_col)
+        base_partition_owners(spark, out_path, component, cols[0])
     )
     return {"partitions": n}
 

@@ -162,6 +162,99 @@ def main() -> int:
                 shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------
+    # 1b) IVFPQ lifecycle: two-level (id_bucket, cent_id) layout —
+    # written fractions stay batch-proportional through the free-count
+    # bucket level while serving prunes nprobe/n_cells through the
+    # nested cell level; the serve row measures the pruning win vs
+    # the flat PQ family's compressed FULL scan at the same corpus.
+    # ------------------------------------------------------------------
+    run_ivfpq = "--ri-only" not in sys.argv
+    for n in ([10_000] if quick else [10_000, 100_000]) if run_ivfpq else []:
+        emb = mk_emb(n)
+        base_idx = tempfile.mkdtemp(prefix="ivfpqp_base_")
+        merged_idx = tempfile.mkdtemp(prefix="ivfpqp_merged_")
+        del_idx = tempfile.mkdtemp(prefix="ivfpqp_del_")
+        flatpq_idx = tempfile.mkdtemp(prefix="ivfpqp_flat_")
+        try:
+            t0 = time.time()
+            similarity.build_ivfpq_index(
+                emb.where(F.col("vec_id") % 300 != 7),
+                base_idx,
+                dim=dim,
+                m=m,
+                # cell budget: 256 cells — bounded by assignment cost
+                # (n × n_cells distances per pass), NOT by maintenance
+                # granularity, which the bucket level carries
+                target_centroids=256,
+                n_buckets=max(64, n // 40),
+                vec_dim=dim,
+            )
+            build_s = round(time.time() - t0, 2)
+            base_bytes = _dir_bytes(f"{base_idx}/codes")
+            batch = emb.where(F.col("vec_id") % 300 == 7).localCheckpoint()
+
+            def do_merge():
+                shutil.rmtree(merged_idx, ignore_errors=True)
+                return similarity.merge_ivfpq_index(
+                    spark, base_idx, batch, merged_idx, vec_dim=dim
+                )
+
+            merge_s, st = _min2(do_merge)
+            w = cow.written_bytes(f"{merged_idx}/codes")
+            dead = emb.where(F.col("vec_id") % 300 == 11).select(
+                "vec_id"
+            ).localCheckpoint()
+
+            def do_delete():
+                shutil.rmtree(del_idx, ignore_errors=True)
+                return similarity.delete_from_ivfpq_index(
+                    spark, base_idx, dead, del_idx
+                )
+
+            del_s, st_d = _min2(do_delete)
+            w_d = cow.written_bytes(f"{del_idx}/codes")
+            qs = emb.where(F.col("vec_id") < 8)
+
+            def serve_pruned():
+                return similarity.ivfpq_topk_indexed(
+                    spark, merged_idx, qs, k=5, nprobe=4
+                ).collect()
+
+            serve_s, _ = _min2(serve_pruned)
+            # flat-PQ comparator: same corpus, same codebook budget,
+            # compressed FULL scan (no cell pruning)
+            similarity.build_pq_index(
+                emb, flatpq_idx, dim=dim, m=m, target_codes=256,
+                n_buckets=max(64, n // 40),
+            )
+
+            def serve_flat():
+                return similarity.pq_topk_indexed(
+                    spark, flatpq_idx, qs, k=5
+                ).collect()
+
+            serve_flat_s, _ = _min2(serve_flat)
+            out[f"ivfpq_n{n}"] = {
+                "n_corpus": n,
+                "batch_rows": batch.count(),
+                "build_s": build_s,
+                "merge_s": merge_s,
+                "merge_changed_buckets": len(st["changed_partitions"]),
+                "merge_written_fraction": round(w / max(1, base_bytes), 4),
+                "delete_s": del_s,
+                "delete_changed_buckets": len(st_d["changed_partitions"]),
+                "delete_written_fraction": round(
+                    w_d / max(1, base_bytes), 4
+                ),
+                "serve_pruned_s": serve_s,
+                "serve_flat_pq_s": serve_flat_s,
+            }
+            print(json.dumps({f"ivfpq_n{n}": out[f"ivfpq_n{n}"]}))
+        finally:
+            for p in (base_idx, merged_idx, del_idx, flatpq_idx):
+                shutil.rmtree(p, ignore_errors=True)
+
+    # ------------------------------------------------------------------
     # 2) related-items incremental vs rebuild, two decades
     # ------------------------------------------------------------------
     def mk_baskets(n_baskets, n_items, start=0, skew=False):
