@@ -7061,6 +7061,125 @@ def q202_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(del_idx, ignore_errors=True)
 
 
+def q203_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ serving as deployed (similarity.ivfpq_topk_rerank_indexed
+    — FAISS IndexIVFPQ + IndexRefine): residual-ADC shortlist of 50
+    from the probed cells' persisted codes, exact squared-L2 re-rank
+    of only the shortlisted vectors fetched from the source table —
+    the full production read path (pruned scan of 8 ints per vector →
+    n_queries×50 point lookups), the q119 pattern composed onto the
+    composite index. The oracle extends O_Q200's scored CTE with the
+    shortlist + exact re-rank tail (the O_Q119 derivation)."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        ivfpq_topk_rerank_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_rerank_indexed(
+        spark,
+        _ivfpq_index(spark, sf_dir),
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        shortlist=50,
+        nprobe=4,
+    )
+
+
+# O_Q203: O_Q200's pipeline through `scored`, then the O_Q119 tail —
+# ADC shortlist of 50, exact squared-L2 re-rank to top-5.
+O_Q203 = O_Q200.replace(
+    """SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5""",
+    f"""SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, l2_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND({_O_L2SQ.format(a='c.embedding', b='qe.embedding')}, 6)
+             AS l2_dist
+    FROM (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC)
+                 AS rn
+        FROM scored)
+      WHERE rn <= 50) s
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+    JOIN embeddings qe ON qe.vec_id = s.query_id))
+WHERE rank <= 5""",
+)
+if O_Q203 == O_Q200:  # pragma: no cover
+    raise AssertionError("O_Q203 anchor text missing from O_Q200")
+
+
+def q204_streaming_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming serving-index maintenance
+    (streaming/events.index_maintenance_ingest): the documents corpus
+    arrives as THREE file-source micro-batches
+    (maxFilesPerTrigger=1); each batch becomes one manifest epoch of
+    the BM25 index under a stable lifecycle root — batch 0 builds,
+    batches 1–2 manifest-merge against cow.get_current, set_current
+    re-points LAST. After the stream drains, q140's query config is
+    served from the pointer THROUGH the two-epoch manifest chain. The
+    oracle is O_Q140 VERBATIM: a corpus streamed in as incremental
+    epochs must serve bit-identically to the from-scratch batch index
+    (batch-split invariance — the q171 upsert contract composed with
+    the streaming trigger and the epoch lifecycle). Replay safety:
+    foreachBatch is at-least-once, and upsert-merge makes a replayed
+    batch a no-op on the resolved view."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 200 != 0).select(
+        "doc_id", "text", "lang", "source"
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_idx_stage_")
+    root = tempfile.mkdtemp(prefix="dlws_stream_idx_root_")
+    cp = tempfile.mkdtemp(prefix="dlws_stream_idx_cp_")
+    try:
+        # three deterministic batch files: one file per doc_id stripe
+        # (disjoint stripes — final index is order-invariant)
+        for part in range(3):
+            corpus.where(F.col("doc_id") % 3 == part).coalesce(
+                1
+            ).write.mode("append").json(stage)
+        stream = (
+            spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(stage)
+        )
+        q = index_maintenance_ingest(stream, root, checkpoint_dir=cp)
+        q.awaitTermination()
+        qs = d.where(F.col("doc_id") % 200 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        out = text.bm25_topk_indexed(
+            spark, cow.get_current(spark, root), qs, k=5
+        )
+        # pin before the index root vanishes (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 # O_Q202: O_Q200 with the ENCODE restricted to surviving vectors while
 # the centroid/codebook CTEs stay unfiltered — the SQL mirror of
 # doubly-frozen deletion (the O_Q197 derivation, IVFPQ side). The
@@ -8295,6 +8414,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q200_ivfpq_indexed": (q200_ivfpq_indexed, O_Q200),
     "q201_ivfpq_merge": (q201_ivfpq_merge, O_Q200),
     "q202_ivfpq_delete": (q202_ivfpq_delete, O_Q202),
+    "q203_ivfpq_rerank": (q203_ivfpq_rerank, O_Q203),
+    # Same oracle as q140/q161/q171: an index maintained as streaming
+    # manifest epochs must serve the batch build's exact scores.
+    "q204_streaming_index_maintenance": (
+        q204_streaming_index_maintenance,
+        O_Q140,
+    ),
 }
 
 

@@ -454,6 +454,69 @@ def fuzzy_dedup_ingest(
     )
 
 
+def index_maintenance_ingest(
+    stream_docs: DataFrame,
+    root: str,
+    n_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> "object":
+    """Continuous SERVING-INDEX maintenance — the streaming half of
+    the index lifecycle (``sources/cow.py``): each document
+    micro-batch becomes one manifest epoch of the BM25 index under a
+    stable root. The first batch builds epoch 0; every later batch
+    manifest-MERGES against ``cow.get_current`` (writing only its
+    changed ``tok_bucket=`` partitions plus a small JSON) and
+    ``cow.set_current`` re-points the pointer LAST — so a serving
+    fleet resolving ``get_current`` mid-stream always reads a
+    complete epoch, and the index trails the stream by at most one
+    trigger.
+
+    Delivery semantics: foreachBatch is at-least-once under task
+    retries, and that is SAFE here because ``merge_bm25_index`` is an
+    UPSERT — a replayed batch re-merges the same doc ids onto
+    themselves and the resolved view is unchanged; the only residue
+    is an extra epoch directory, which ``compact_bm25_index`` +
+    ``cow.vacuum_index`` retire on the normal cadence (epochs grow
+    with trigger count — compaction cadence is the
+    MEASUREMENTS_r10 §1c read-amplification arithmetic).
+
+    ``n_buckets`` sizes the FIRST build only (later merges inherit
+    the layout); None takes the builder default. Returns the started
+    streaming query (``availableNow`` trigger — drain-and-stop)."""
+    import os
+    import tempfile
+
+    from data_lake_with_spark_spark.operators import text as _text
+    from data_lake_with_spark_spark.sources import cow
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # the stream delivers only (doc_id, text) to the index
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        epoch = cow.new_epoch_path(spark, root, label=f"b{batch_id}")
+        try:
+            cur = cow.get_current(spark, root)
+        except FileNotFoundError:
+            kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+            _text.build_bm25_index(batch, epoch, **kw)
+        else:
+            _text.merge_bm25_index(spark, cur, batch, epoch, layout="manifest")
+        cow.set_current(spark, root, epoch)
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(tempfile.mkdtemp(prefix="idx_ingest_"), "cp"),
+        )
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -1,10 +1,10 @@
 """End-to-end GDPR erasure composition — the deployment story the
-individually-gated parts (q177 IVF delete, q178 BM25 delete,
-lakehouse delete_keys) add up to: ONE tombstone batch erases a key
-set from the versioned TABLE and from BOTH serving indexes, and
-afterwards the three surfaces AGREE on the surviving id universe
-while no deleted id can surface from any top-k. README's lifecycle
-section points here."""
+individually-gated parts (q177 IVF delete, q178 BM25 delete, q197 PQ
+delete, q202 IVFPQ delete, lakehouse delete_keys) add up to: ONE
+tombstone batch erases a key set from the versioned TABLE and from
+ALL FOUR serving indexes, and afterwards the five surfaces AGREE on
+the surviving id universe while no deleted id can surface from any
+top-k. README's lifecycle section points here."""
 
 from __future__ import annotations
 
@@ -41,11 +41,22 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     table = str(tmp_path / "table")
     bm25_full, bm25_del = str(tmp_path / "bm"), str(tmp_path / "bm_del")
     ivf_full, ivf_del = str(tmp_path / "ivf"), str(tmp_path / "ivf_del")
+    pq_full, pq_del = str(tmp_path / "pq"), str(tmp_path / "pq_del")
+    ivfpq_full, ivfpq_del = (
+        str(tmp_path / "ivfpq"),
+        str(tmp_path / "ivfpq_del"),
+    )
 
-    # v0 snapshot + both serving indexes over the full corpus
+    # v0 snapshot + all four serving indexes over the full corpus
     VersionedParquetFormat.merge_upsert(spark, table, docs, ["doc_id"], 0)
     text.build_bm25_index(docs, bm25_full, n_buckets=16)
     similarity.build_ivf_index(vecs, ivf_full, centroid_mod=20)
+    similarity.build_pq_index(
+        vecs, pq_full, dim=8, m=4, centroid_mod=20, n_buckets=16
+    )
+    similarity.build_ivfpq_index(
+        vecs, ivfpq_full, dim=8, m=4, centroid_mod=20, n_buckets=16
+    )
 
     # the tombstone batch: one GDPR request, one key frame, threaded
     # to all three surfaces (non-centroid ids: the FAISS remove_ids
@@ -63,6 +74,20 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
         ivf_full,
         tomb.withColumnRenamed("doc_id", "vec_id"),
         ivf_del,
+        layout=layout,
+    )
+    similarity.delete_from_pq_index(
+        spark,
+        pq_full,
+        tomb.withColumnRenamed("doc_id", "vec_id"),
+        pq_del,
+        layout=layout,
+    )
+    similarity.delete_from_ivfpq_index(
+        spark,
+        ivfpq_full,
+        tomb.withColumnRenamed("doc_id", "vec_id"),
+        ivfpq_del,
         layout=layout,
     )
 
@@ -89,8 +114,21 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
         .select("vec_id")
         .collect()
     }
+    pq_ids = {
+        r["vec_id"]
+        for r in cow.read_component(spark, pq_del, "codes")
+        .select("vec_id")
+        .collect()
+    }
+    ivfpq_ids = {
+        r["vec_id"]
+        for r in cow.read_component(spark, ivfpq_del, "codes")
+        .select("vec_id")
+        .collect()
+    }
     expected = set(range(n)) - set(doomed)
     assert snap_ids == dl_ids == ivf_ids == expected
+    assert pq_ids == ivfpq_ids == expected
 
     # 2) no deleted id surfaces from either serving top-k — queried
     # with the deleted docs' OWN content, the adversarial probe
@@ -113,6 +151,18 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     assert (
         ivf_hits.where(F.col("neighbor_id").isin(doomed)).count() == 0
     ), "deleted vector served from IVF top-k"
+    pq_hits = similarity.pq_topk_indexed(spark, pq_del, probe_v, k=10)
+    assert pq_hits.count() > 0
+    assert (
+        pq_hits.where(F.col("neighbor_id").isin(doomed)).count() == 0
+    ), "deleted vector served from PQ top-k"
+    ivfpq_hits = similarity.ivfpq_topk_indexed(
+        spark, ivfpq_del, probe_v, k=10, nprobe=3
+    )
+    assert ivfpq_hits.count() > 0
+    assert (
+        ivfpq_hits.where(F.col("neighbor_id").isin(doomed)).count() == 0
+    ), "deleted vector served from IVFPQ top-k"
 
     # 3) plan budgets on the post-delete serves: the partition-pruned
     # index layouts survive the copy-on-write delete — BM25 serve

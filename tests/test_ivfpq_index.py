@@ -144,6 +144,69 @@ def test_ivfpq_arrow_assignment_parity(spark, tmp_path):
     assert _serve(spark, sql_idx, qs) == _serve(spark, arrow_idx, qs)
 
 
+def test_ivfpq_rerank_recall_vs_exact(spark, sf_dir, tmp_path):
+    """Approximation QUALITY pin (the test_similarity recall
+    discipline applied to the composite index): recall@5 of the
+    deployed serve path (ADC shortlist-50 + exact re-rank) against
+    the exact brute-force L2 baseline on the 500-vector fixture
+    corpus, as a function of nprobe. Recall must be monotone in
+    nprobe (probe sets are nested) and the shipped q203 config
+    (budget-40 cells, nprobe=4) must hold its measured floor — a
+    refactor can't silently degrade serving quality."""
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F2.col("vec_id") < 10)
+    # exact squared-L2 top-5 baseline (rerank scores L2, not cosine)
+    cv = emb.select(
+        F2.col("vec_id").alias("neighbor_id"),
+        F2.col("embedding").alias("_cv"),
+    )
+    qv = q.select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("_qv")
+    )
+    from pyspark.sql import Window as W2
+
+    w_rank = W2.partitionBy("query_id").orderBy(
+        F2.col("_d").asc(), F2.col("neighbor_id").asc()
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cv.crossJoin(qv)
+        .where(F2.col("query_id") != F2.col("neighbor_id"))
+        .withColumn(
+            "_d", F2.round(similarity.l2sq_expr("_cv", "_qv"), 6)
+        )
+        .withColumn("_rn", F2.row_number().over(w_rank))
+        .where(F2.col("_rn") <= 5)
+        .collect()
+    }
+    assert len(exact) == 50
+    idx = str(tmp_path / "ivfpq500")
+    similarity.build_ivfpq_index(
+        emb, idx, dim=64, m=8, target_centroids=40, n_buckets=8
+    )
+    n_cells = cow.read_component(spark, idx, "centroids").count()
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivfpq_topk_rerank_indexed(
+                spark, idx, emb, q, k=5, shortlist=50, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    recalls = [recall(n) for n in (2, 4, n_cells)]
+    assert recalls == sorted(recalls)  # monotone in nprobe
+    # floors measured on the pinned isotropic fixture — ANN's worst
+    # case (cf. IVF q13's 0.6 and sign-LSH's 0.02 on the same corpus):
+    # nprobe=4 → 0.40, full probe → 0.66 (the residual-PQ m=8
+    # shortlist-50 quality cap); floors carry regeneration slack
+    assert recalls[1] >= 0.3  # shipped q203 config
+    assert recalls[-1] >= 0.55  # every cell probed
+
+
 def test_ivfpq_merge_links_upsert_cow(spark, tmp_path):
     """Links-layout merge: upsert (one replace + appends) serves
     identically to a from-scratch build over the merged corpus with

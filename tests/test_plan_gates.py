@@ -505,3 +505,22 @@ def test_r10_weighted_hits_shuffle_budget(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange") <= 2, p.count("Exchange")
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_r11_ivfpq_serve_plan_budget(spark, sf_dir):
+    """q200 IVFPQ serving: the codes scan must be PARTITION-PRUNED to
+    the probed cells (PartitionFilters on cent_id — the nested level
+    of the two-level layout) with a 3-int-column ReadSchema (codes
+    only, never residuals), bounded exchanges (the probe window +
+    the (query, neighbor) ADC aggregate + the rank window), and zero
+    Python eval nodes. q203 rerank adds the exact-rerank join on top
+    without widening the scan."""
+    p = _plan(spark, sf_dir, "q200_ivfpq_indexed")
+    assert "PartitionFilters: [cent_id" in p or (
+        "PartitionFilters" in p and "cent_id" in p
+    ), "codes scan not pruned on cent_id"
+    assert p.count("Exchange") <= 4, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    p = _plan(spark, sf_dir, "q203_ivfpq_rerank")
+    assert "cent_id" in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p

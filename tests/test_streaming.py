@@ -470,3 +470,60 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert finalized[0] == 1  # late event 3 did NOT reopen/bump 00:00
     assert finalized[9] == 1  # in-watermark event 4 landed
     assert finalized[10] == 1
+
+
+def test_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
+    """Streaming serving-index maintenance (index_maintenance_ingest):
+    a corpus delivered as three file-source micro-batches (batch 0
+    builds, 1-2 manifest-merge, set_current re-points last) serves
+    IDENTICALLY to a from-scratch batch BM25 index over the union —
+    batch-split invariance composed with the epoch lifecycle — and
+    the root holds exactly three epochs with a resolvable pointer."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import text as T
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 13:02d} beta{i % 7} gamma{i % 3}", "en", "s")
+            for i in range(120)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    for part in range(3):
+        docs.where(F2.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+    )
+    q = index_maintenance_ingest(stream, root, checkpoint_dir=cp)
+    q.awaitTermination(300)
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 3
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[-1]
+    # merge epochs are manifests (only changed buckets + JSON)
+    assert cow.read_manifest(spark, cur, "postings") is not None
+    scratch = str(tmp_path / "scratch")
+    T.build_bm25_index(docs.select("doc_id", "text"), scratch)
+    qs = spark.createDataFrame(
+        [(1, "alpha04 beta1"), (2, "gamma2 alpha12")], ["query_id", "text"]
+    )
+    got = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, cur, qs, k=5).collect())
+    )
+    exp = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0

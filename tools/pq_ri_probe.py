@@ -79,7 +79,12 @@ def main() -> int:
             ).alias("embedding"),
         ).localCheckpoint()
 
-    for n in ([] if "--ri-only" in sys.argv else ([10_000] if quick else [10_000, 100_000])):
+    skip_pq = (
+        "--ri-only" in sys.argv
+        or "--no-pq" in sys.argv
+        or "--ivfpq-only" in sys.argv
+    )
+    for n in ([] if skip_pq else ([10_000] if quick else [10_000, 100_000])):
         emb = mk_emb(n)
         base_idx = tempfile.mkdtemp(prefix="pqp_base_")
         merged_idx = tempfile.mkdtemp(prefix="pqp_merged_")
@@ -162,41 +167,50 @@ def main() -> int:
                 shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------
-    # 1b) IVFPQ lifecycle: two-level (id_bucket, cent_id) layout —
-    # written fractions stay batch-proportional through the free-count
-    # bucket level while serving prunes nprobe/n_cells through the
-    # nested cell level; the serve row measures the pruning win vs
-    # the flat PQ family's compressed FULL scan at the same corpus.
+    # 1b) IVFPQ lifecycle: two-level (id_bucket, cent_id) layout.
+    # The two axes need DIFFERENT toy sizings, so each is measured on
+    # its own layout (at production scale both hold at once, because
+    # leaf-dir count n_buckets × n_cells ≪ n_rows — GB-sized leaves;
+    # at probe scale the maintenance rule n//40 makes the dir product
+    # exceed the row count, and directory/listing overhead — not
+    # bytes — dominates every wall number):
+    #   (a) MAINTENANCE axis: buckets scaled n//40 (the PQ rule) →
+    #       written fraction stays batch-proportional;
+    #   (b) SERVE axis: few buckets (16), 256 cells → nprobe/n_cells
+    #       pruning vs the flat PQ family's compressed FULL scan.
     # ------------------------------------------------------------------
     run_ivfpq = "--ri-only" not in sys.argv
     for n in ([10_000] if quick else [10_000, 100_000]) if run_ivfpq else []:
         emb = mk_emb(n)
-        base_idx = tempfile.mkdtemp(prefix="ivfpqp_base_")
+        maint_idx = tempfile.mkdtemp(prefix="ivfpqp_maint_")
         merged_idx = tempfile.mkdtemp(prefix="ivfpqp_merged_")
         del_idx = tempfile.mkdtemp(prefix="ivfpqp_del_")
+        serve_idx = tempfile.mkdtemp(prefix="ivfpqp_serve_")
         flatpq_idx = tempfile.mkdtemp(prefix="ivfpqp_flat_")
         try:
+            # --- (a) maintenance sizing ---
             t0 = time.time()
             similarity.build_ivfpq_index(
                 emb.where(F.col("vec_id") % 300 != 7),
-                base_idx,
+                maint_idx,
                 dim=dim,
                 m=m,
-                # cell budget: 256 cells — bounded by assignment cost
-                # (n × n_cells distances per pass), NOT by maintenance
-                # granularity, which the bucket level carries
-                target_centroids=256,
+                # cell budget bounded by assignment cost; maintenance
+                # granularity rides the bucket level, NOT the cells —
+                # kept small here so leaf-dir count (buckets × cells)
+                # doesn't dominate the toy-scale write wall
+                target_centroids=16,
                 n_buckets=max(64, n // 40),
                 vec_dim=dim,
             )
             build_s = round(time.time() - t0, 2)
-            base_bytes = _dir_bytes(f"{base_idx}/codes")
+            base_bytes = _dir_bytes(f"{maint_idx}/codes")
             batch = emb.where(F.col("vec_id") % 300 == 7).localCheckpoint()
 
             def do_merge():
                 shutil.rmtree(merged_idx, ignore_errors=True)
                 return similarity.merge_ivfpq_index(
-                    spark, base_idx, batch, merged_idx, vec_dim=dim
+                    spark, maint_idx, batch, merged_idx, vec_dim=dim
                 )
 
             merge_s, st = _min2(do_merge)
@@ -208,24 +222,75 @@ def main() -> int:
             def do_delete():
                 shutil.rmtree(del_idx, ignore_errors=True)
                 return similarity.delete_from_ivfpq_index(
-                    spark, base_idx, dead, del_idx
+                    spark, maint_idx, dead, del_idx
                 )
 
             del_s, st_d = _min2(do_delete)
             w_d = cow.written_bytes(f"{del_idx}/codes")
+
+            # --- (b) serve sizing: dirs ≪ rows so the wall measures
+            # scan bytes, not directory overhead ---
+            similarity.build_ivfpq_index(
+                emb, serve_idx, dim=dim, m=m,
+                target_centroids=256, n_buckets=16, vec_dim=dim,
+            )
             qs = emb.where(F.col("vec_id") < 8)
 
             def serve_pruned():
                 return similarity.ivfpq_topk_indexed(
-                    spark, merged_idx, qs, k=5, nprobe=4
+                    spark, serve_idx, qs, k=5, nprobe=4
                 ).collect()
 
             serve_s, _ = _min2(serve_pruned)
+            # structural pruning measurement: fraction of codes BYTES
+            # under the probed cent_id= leaf dirs — the number that
+            # scales (a toy probe cannot show the WALL win: 2-row
+            # leaf files make file-open cost dominate; at production
+            # leaf sizes the byte fraction IS the I/O fraction).
+            # Probe set mirrors ivfpq_topk_indexed's kernel.
+            from pyspark.sql import Window as _W
+
+            cents = spark.read.parquet(f"{serve_idx}/centroids")
+            w_p = _W.partitionBy("query_id").orderBy(
+                F.col("c").desc(), F.col("cent_id").asc()
+            )
+            probed = {
+                r["cent_id"]
+                for r in qs.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+                .crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "c",
+                    F.round(similarity.cosine_expr("qv", "cent_v"), 6),
+                )
+                .withColumn("rn", F.row_number().over(w_p))
+                .where(F.col("rn") <= 4)
+                .select("cent_id")
+                .distinct()
+                .collect()
+            }
+            probed_names = {f"cent_id={c}" for c in probed}
+            probed_bytes = total_bytes = 0
+            for bucket_dir in os.listdir(f"{serve_idx}/codes"):
+                bd = os.path.join(f"{serve_idx}/codes", bucket_dir)
+                if not os.path.isdir(bd):
+                    continue
+                for cell_dir in os.listdir(bd):
+                    cd = os.path.join(bd, cell_dir)
+                    if not os.path.isdir(cd):
+                        continue
+                    b = _dir_bytes(cd)
+                    total_bytes += b
+                    if cell_dir in probed_names:
+                        probed_bytes += b
+            n_cells_total = cents.count()
             # flat-PQ comparator: same corpus, same codebook budget,
             # compressed FULL scan (no cell pruning)
             similarity.build_pq_index(
                 emb, flatpq_idx, dim=dim, m=m, target_codes=256,
-                n_buckets=max(64, n // 40),
+                n_buckets=16,
             )
 
             def serve_flat():
@@ -248,10 +313,17 @@ def main() -> int:
                 ),
                 "serve_pruned_s": serve_s,
                 "serve_flat_pq_s": serve_flat_s,
+                "probed_cells": len(probed),
+                "n_cells": n_cells_total,
+                "scan_bytes_fraction": round(
+                    probed_bytes / max(1, total_bytes), 4
+                ),
             }
             print(json.dumps({f"ivfpq_n{n}": out[f"ivfpq_n{n}"]}))
         finally:
-            for p in (base_idx, merged_idx, del_idx, flatpq_idx):
+            for p in (
+                maint_idx, merged_idx, del_idx, serve_idx, flatpq_idx
+            ):
                 shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------
@@ -291,7 +363,12 @@ def main() -> int:
     # catalog, and the affected-item recompute degenerates toward the
     # rebuild).
     shapes = [("sparse", 1), ("dense", 15)]
-    for n_b in ([30_000] if quick else [30_000, 300_000, 3_000_000]):
+    ri_rungs = (
+        []
+        if "--ivfpq-only" in sys.argv
+        else ([30_000] if quick else [30_000, 300_000, 3_000_000])
+    )
+    for n_b in ri_rungs:
       for shape, div in shapes:
         if shape == "dense" and n_b > 30_000:
             continue  # one caveat rung is enough
