@@ -43,6 +43,12 @@ SKIP = {
     "q70_streaming_enriched",
     "q107_streaming_conversions",
     "q120_streaming_sliding",
+    # staging-heavy streaming index-maintenance demos (write the
+    # corpus out as micro-batch files, run a 3-trigger stream, build
+    # + 2 manifest merges): wall is the staging harness, not a
+    # serving plan — exercised in tests + the oracle gate.
+    "q204_streaming_index_maintenance",
+    "q205_streaming_vector_index",
     # same semantics as q33_dedup_clusters (which IS benched) through
     # the iterative distributed CC branches: on local mode their cost
     # is pure per-round scheduler latency, which measures the

@@ -7180,6 +7180,73 @@ def q204_streaming_index_maintenance(
         shutil.rmtree(cp, ignore_errors=True)
 
 
+def q205_streaming_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR-index maintenance
+    (streaming/events.vector_index_maintenance_ingest — the dense
+    twin of q204): the embedding corpus arrives as three parquet
+    file-source micro-batches; batch 0 is the BOOTSTRAP load carrying
+    the entire ``vec_id % md == 0`` centroid stripe (the production
+    shape: the coarse quantizer trains on the initial load and stays
+    FROZEN — later batches carry only non-stripe ids, and the merge
+    would raise if one replaced a centroid source), batches 1–2
+    manifest-merge under the lifecycle root, set_current re-points
+    last. Serving q113's exact config from the pointer through the
+    two-epoch manifest chain is oracled by O_Q113 VERBATIM: a corpus
+    streamed in as incremental epochs must serve bit-identically to
+    the from-scratch budget-40 IVF build (batch-split invariance,
+    dense side). Staged as PARQUET, not JSON — float values must
+    round-trip bit-exactly or the oracle's cast-to-double cosines
+    diverge in ulps."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        ivf_topk_indexed,
+    )
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        vector_index_maintenance_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    corpus = emb.select("vec_id", "embedding")
+    stage = tempfile.mkdtemp(prefix="dlws_stream_vidx_stage_")
+    root = tempfile.mkdtemp(prefix="dlws_stream_vidx_root_")
+    cp = tempfile.mkdtemp(prefix="dlws_stream_vidx_cp_")
+    try:
+        is_stripe = F.col("vec_id") % md == 0
+        batches = [
+            corpus.where(is_stripe | (F.col("vec_id") % 3 == 0)),
+            corpus.where(~is_stripe & (F.col("vec_id") % 3 == 1)),
+            corpus.where(~is_stripe & (F.col("vec_id") % 3 == 2)),
+        ]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = vector_index_maintenance_ingest(
+            stream, root, centroid_mod=md, vec_dim=64, checkpoint_dir=cp
+        )
+        q.awaitTermination()
+        out = ivf_topk_indexed(
+            spark,
+            cow.get_current(spark, root),
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=4,
+            vec_dim=64,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 # O_Q202: O_Q200 with the ENCODE restricted to surviving vectors while
 # the centroid/codebook CTEs stay unfiltered — the SQL mirror of
 # doubly-frozen deletion (the O_Q197 derivation, IVFPQ side). The
@@ -8421,6 +8488,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q204_streaming_index_maintenance,
         O_Q140,
     ),
+    # Same oracle as q113/q176/q192: the streamed-in IVF epochs must
+    # serve the from-scratch budget-40 build bit-for-bit.
+    "q205_streaming_vector_index": (q205_streaming_vector_index, O_Q113),
 }
 
 

@@ -517,6 +517,75 @@ def index_maintenance_ingest(
     )
 
 
+def vector_index_maintenance_ingest(
+    stream_vecs: DataFrame,
+    root: str,
+    centroid_mod: int,
+    vec_dim: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> "object":
+    """The dense-side twin of :func:`index_maintenance_ingest`:
+    continuous IVF serving-index maintenance from an EMBEDDING
+    stream. Batch 0 bootstraps — it builds epoch 0 and, through the
+    ``id % centroid_mod == 0`` stripe it contains, trains the coarse
+    quantizer that every later epoch carries FROZEN (the
+    merge_ivf_index contract: batches assign against the carried
+    centroids; a batch that would REPLACE a centroid-source vector
+    raises rather than letting the frozen quantizer silently go
+    stale). This is the production bootstrap shape: the quantizer
+    trains on the initial corpus load, and the stream that follows
+    adds vectors, never re-trains — re-training is a rebuild, by
+    design out-of-band (FAISS retrain ≙ build_ivf_index).
+
+    IMPORTANT bootstrap contract: batch 0 must CONTAIN the centroid
+    stripe of the eventual corpus (route the initial/bootstrap load
+    to the first file; the stream after it must not carry ids
+    ``≡ 0 (mod centroid_mod)``) — violating it raises mid-stream
+    rather than serving a drifted index.
+
+    Each later micro-batch becomes one MANIFEST merge epoch (only
+    its changed ``cent_id=`` partitions + a small JSON are written);
+    ``cow.set_current`` re-points LAST, so readers mid-stream always
+    resolve a complete epoch; at-least-once replays are no-ops on
+    the resolved view (upsert merge). Returns the started
+    ``availableNow`` query."""
+    import os
+    import tempfile
+
+    from data_lake_with_spark_spark.operators import similarity as _sim
+    from data_lake_with_spark_spark.sources import cow
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        epoch = cow.new_epoch_path(spark, root, label=f"b{batch_id}")
+        try:
+            cur = cow.get_current(spark, root)
+        except FileNotFoundError:
+            _sim.build_ivf_index(
+                batch, epoch, centroid_mod=centroid_mod, vec_dim=vec_dim
+            )
+        else:
+            _sim.merge_ivf_index(
+                spark, cur, batch, epoch, vec_dim=vec_dim,
+                layout="manifest",
+            )
+        cow.set_current(spark, root, epoch)
+
+    return (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(tempfile.mkdtemp(prefix="vidx_ingest_"), "cp"),
+        )
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -527,3 +527,68 @@ def test_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
         map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
     )
     assert got == exp and len(got) > 0
+
+
+def test_vector_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
+    """Dense-side streaming index maintenance
+    (vector_index_maintenance_ingest): an embedding corpus delivered
+    as bootstrap + two merge micro-batches serves IDENTICALLY to a
+    from-scratch IVF build over the union with the same centroid
+    stripe; the frozen-quantizer contract holds mid-stream (a batch
+    replacing a centroid-source id raises inside foreachBatch)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        vector_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(150)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    md = 20
+    is_stripe = F2.col("vec_id") % md == 0
+    for b in (
+        vecs.where(is_stripe | (F2.col("vec_id") % 3 == 0)),
+        vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 1)),
+        vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 2)),
+    ):
+        b.coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = vector_index_maintenance_ingest(
+        stream, root, centroid_mod=md, checkpoint_dir=cp
+    )
+    q.awaitTermination(300)
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 3
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[-1]
+    assert cow.read_manifest(spark, cur, "lists") is not None
+    # frozen centroids: the served set equals the batch build's
+    scratch = str(tmp_path / "scratch")
+    S.build_ivf_index(vecs, scratch, centroid_mod=md)
+    qs = vecs.where(F2.col("vec_id") < 5)
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(spark, cur, qs, k=5, nprobe=3).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(spark, scratch, qs, k=5, nprobe=3).collect(),
+        )
+    )
+    assert got == exp and len(got) == 5 * 5
