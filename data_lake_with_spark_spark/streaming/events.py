@@ -459,6 +459,7 @@ def index_maintenance_ingest(
     root: str,
     n_buckets: int | None = None,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> "object":
     """Continuous SERVING-INDEX maintenance — the streaming half of
     the index lifecycle (``sources/cow.py``): each document
@@ -475,10 +476,16 @@ def index_maintenance_ingest(
     retries, and that is SAFE here because ``merge_bm25_index`` is an
     UPSERT — a replayed batch re-merges the same doc ids onto
     themselves and the resolved view is unchanged; the only residue
-    is an extra epoch directory, which ``compact_bm25_index`` +
-    ``cow.vacuum_index`` retire on the normal cadence (epochs grow
-    with trigger count — compaction cadence is the
-    MEASUREMENTS_r10 §1c read-amplification arithmetic).
+    is an extra epoch directory.
+
+    ``compact_every=N`` makes the stream SELF-BOUNDING: whenever the
+    live epoch count reaches N, the trigger compacts the manifest
+    chain into a fresh plain epoch, re-points the pointer, and
+    ``cow.vacuum_index`` retires every epoch the compacted view no
+    longer references — read amplification is bounded at N owners
+    and disk at ~2× the index (the MEASUREMENTS_r10 §1c cadence
+    arithmetic, executed in-stream instead of left as an operator
+    chore). None leaves compaction out-of-band.
 
     ``n_buckets`` sizes the FIRST build only (later merges inherit
     the layout); None takes the builder default. Returns the started
@@ -504,6 +511,14 @@ def index_maintenance_ingest(
         else:
             _text.merge_bm25_index(spark, cur, batch, epoch, layout="manifest")
         cow.set_current(spark, root, epoch)
+        if (
+            compact_every is not None
+            and len(cow.list_epochs(spark, root)) >= compact_every
+        ):
+            flat = cow.new_epoch_path(spark, root, label="compact")
+            _text.compact_bm25_index(spark, cow.get_current(spark, root), flat)
+            cow.set_current(spark, root, flat)
+            cow.vacuum_index(spark, root, ["postings"])
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -523,6 +538,7 @@ def vector_index_maintenance_ingest(
     centroid_mod: int,
     vec_dim: int | None = None,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> "object":
     """The dense-side twin of :func:`index_maintenance_ingest`:
     continuous IVF serving-index maintenance from an EMBEDDING
@@ -547,8 +563,10 @@ def vector_index_maintenance_ingest(
     its changed ``cent_id=`` partitions + a small JSON are written);
     ``cow.set_current`` re-points LAST, so readers mid-stream always
     resolve a complete epoch; at-least-once replays are no-ops on
-    the resolved view (upsert merge). Returns the started
-    ``availableNow`` query."""
+    the resolved view (upsert merge). ``compact_every=N`` bounds the
+    chain in-stream exactly as in :func:`index_maintenance_ingest`
+    (compact → re-point → vacuum when the live epoch count reaches
+    N). Returns the started ``availableNow`` query."""
     import os
     import tempfile
 
@@ -573,6 +591,14 @@ def vector_index_maintenance_ingest(
                 layout="manifest",
             )
         cow.set_current(spark, root, epoch)
+        if (
+            compact_every is not None
+            and len(cow.list_epochs(spark, root)) >= compact_every
+        ):
+            flat = cow.new_epoch_path(spark, root, label="compact")
+            _sim.compact_ivf_index(spark, cow.get_current(spark, root), flat)
+            cow.set_current(spark, root, flat)
+            cow.vacuum_index(spark, root, ["lists", "centroids"])
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)

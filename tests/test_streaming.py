@@ -592,3 +592,65 @@ def test_vector_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
         )
     )
     assert got == exp and len(got) == 5 * 5
+
+
+def test_index_ingest_compact_every_bounds_chain(spark, tmp_path):
+    """Self-bounding streaming maintenance (compact_every=3): a
+    five-batch ingest compacts twice in-stream — each time the live
+    epoch count reaches 3, the trigger compacts the chain, re-points
+    the pointer, and vacuums the retired epochs — so the root ends
+    with ONE plain epoch and serving still equals the from-scratch
+    batch build over the union."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import text as T
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 13:02d} beta{i % 7} gamma{i % 3}", "en", "s")
+            for i in range(150)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    for part in range(5):
+        docs.where(F2.col("doc_id") % 5 == part).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+    )
+    q = index_maintenance_ingest(
+        stream, root, checkpoint_dir=cp, compact_every=3
+    )
+    q.awaitTermination(300)
+    # 5 batches, compaction at epoch counts 3 and 3 again: the root
+    # ends bounded at ONE live epoch — the second compaction's output
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 1, epochs
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[0]
+    assert epochs[0].endswith("_compact")
+    # compacted epoch is PLAIN (self-contained, no manifest)
+    assert cow.read_manifest(spark, cur, "postings") is None
+    scratch = str(tmp_path / "scratch")
+    T.build_bm25_index(docs.select("doc_id", "text"), scratch)
+    qs = spark.createDataFrame(
+        [(1, "alpha04 beta1"), (2, "gamma2 alpha12")], ["query_id", "text"]
+    )
+    got = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, cur, qs, k=5).collect())
+    )
+    exp = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0
