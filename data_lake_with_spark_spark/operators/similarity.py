@@ -2237,6 +2237,14 @@ def build_ivfpq_index(
     if target_centroids is not None:
         n = corpus.count()
         centroid_mod = max(1, n // max(1, target_centroids))
+    if centroid_mod < 2:
+        raise ValueError(
+            f"build_ivfpq_index: centroid_mod={centroid_mod} — the "
+            "offset-1 codebook stripe `id % 1 == 1` matches NOTHING, "
+            "so the index would serve zero results; a corpus this "
+            "small (n <= target_centroids) doesn't need IVFPQ — use "
+            "brute_force_topk or build_pq_index"
+        )
     cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
@@ -2256,6 +2264,14 @@ def build_ivfpq_index(
         )
         .localCheckpoint()
     )
+    if not cb.head(1):
+        raise ValueError(
+            "build_ivfpq_index: the codebook seed stripe "
+            f"`{id_col} % {centroid_mod} == 1` selected no corpus "
+            "rows — the codes would be empty and the index would "
+            "silently serve zero results; supply a corpus covering "
+            "the stripe or lower centroid_mod/target_centroids"
+        )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
         "id_bucket", _pq_bucket(id_col, n_buckets)

@@ -7221,8 +7221,20 @@ def q205_streaming_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.where(~is_stripe & (F.col("vec_id") % 3 == 1)),
             corpus.where(~is_stripe & (F.col("vec_id") % 3 == 2)),
         ]
-        for b in batches:
+        # the file source orders batches by mtime, and batch 0 MUST
+        # be the bootstrap (it carries the centroid stripe) — stamp
+        # explicit ascending mtimes so a same-millisecond write can
+        # never deliver a non-stripe batch first (review finding)
+        import os
+
+        stamped: set[str] = set()
+        for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(stage)
+            for name in sorted(os.listdir(stage)):
+                p = os.path.join(stage, name)
+                if name.endswith(".parquet") and p not in stamped:
+                    os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                    stamped.add(p)
         stream = (
             spark.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1)

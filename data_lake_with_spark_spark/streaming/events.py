@@ -460,6 +460,7 @@ def index_maintenance_ingest(
     n_buckets: int | None = None,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    vacuum_on_compact: bool = True,
 ) -> "object":
     """Continuous SERVING-INDEX maintenance — the streaming half of
     the index lifecycle (``sources/cow.py``): each document
@@ -486,6 +487,17 @@ def index_maintenance_ingest(
     and disk at ~2× the index (the MEASUREMENTS_r10 §1c cadence
     arithmetic, executed in-stream instead of left as an operator
     chore). None leaves compaction out-of-band.
+
+    QUIESCE CAVEAT: the in-stream vacuum has no reader-quiesce
+    window — ``vacuum_on_compact=True`` (the default) is correct for
+    the drain-and-stop ``availableNow`` shape this function starts
+    (no concurrent readers while the stream runs) and for fleets
+    that re-resolve ``get_current`` between requests; a CONTINUOUS
+    deployment with long-running readers of older epochs should pass
+    ``vacuum_on_compact=False`` and vacuum out-of-band after
+    quiesce, per ``cow.vacuum_index``'s retire-after-quiesce
+    discipline — compaction still bounds READ amplification either
+    way, deferral only postpones the disk reclaim.
 
     ``n_buckets`` sizes the FIRST build only (later merges inherit
     the layout); None takes the builder default. Returns the started
@@ -518,7 +530,8 @@ def index_maintenance_ingest(
             flat = cow.new_epoch_path(spark, root, label="compact")
             _text.compact_bm25_index(spark, cow.get_current(spark, root), flat)
             cow.set_current(spark, root, flat)
-            cow.vacuum_index(spark, root, ["postings"])
+            if vacuum_on_compact:
+                cow.vacuum_index(spark, root, ["postings"])
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -539,6 +552,7 @@ def vector_index_maintenance_ingest(
     vec_dim: int | None = None,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    vacuum_on_compact: bool = True,
 ) -> "object":
     """The dense-side twin of :func:`index_maintenance_ingest`:
     continuous IVF serving-index maintenance from an EMBEDDING
@@ -555,20 +569,34 @@ def vector_index_maintenance_ingest(
 
     IMPORTANT bootstrap contract: batch 0 must CONTAIN the centroid
     stripe of the eventual corpus (route the initial/bootstrap load
-    to the first file; the stream after it must not carry ids
-    ``≡ 0 (mod centroid_mod)``) — violating it raises mid-stream
-    rather than serving a drifted index.
+    to the first file; the stream after it must not carry NEW ids
+    ``≡ 0 (mod centroid_mod)``). An empty-stripe bootstrap RAISES
+    (it would train zero centroids and every later batch would
+    silently assign into nothing); a PARTIAL stripe is undetectable
+    here — a later batch introducing a fresh stripe id raises in
+    ``merge_ivf_index``'s frozen-quantizer validation.
+
+    Replay safety (at-least-once foreachBatch): ordinary ids
+    re-merge onto themselves (upsert — the resolved view is
+    unchanged). A REPLAYED BOOTSTRAP batch (crash between
+    ``set_current`` and the checkpoint commit) re-delivers the
+    centroid-stripe ids, which the frozen-quantizer validation would
+    reject as replacements — so the merge path first splits out
+    stripe ids whose vectors are BIT-IDENTICAL to the carried
+    centroids (a replay) and drops them as no-ops; a stripe id with
+    a DIFFERENT vector is a genuine retrain attempt and raises.
 
     Each later micro-batch becomes one MANIFEST merge epoch (only
     its changed ``cent_id=`` partitions + a small JSON are written);
     ``cow.set_current`` re-points LAST, so readers mid-stream always
-    resolve a complete epoch; at-least-once replays are no-ops on
-    the resolved view (upsert merge). ``compact_every=N`` bounds the
-    chain in-stream exactly as in :func:`index_maintenance_ingest`
-    (compact → re-point → vacuum when the live epoch count reaches
-    N). Returns the started ``availableNow`` query."""
+    resolve a complete epoch. ``compact_every=N`` bounds the chain
+    in-stream exactly as in :func:`index_maintenance_ingest`,
+    including ``vacuum_on_compact``'s quiesce caveat. Returns the
+    started ``availableNow`` query."""
     import os
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from data_lake_with_spark_spark.operators import similarity as _sim
     from data_lake_with_spark_spark.sources import cow
@@ -582,12 +610,48 @@ def vector_index_maintenance_ingest(
         try:
             cur = cow.get_current(spark, root)
         except FileNotFoundError:
+            stripe_empty = (
+                batch.where(
+                    (F.col("vec_id") % centroid_mod) == 0
+                ).limit(1).count() == 0
+            )
+            if stripe_empty:
+                raise ValueError(
+                    "vector_index_maintenance_ingest: bootstrap batch "
+                    "carries no vec_id % centroid_mod == 0 stripe — it "
+                    "would train ZERO centroids and every later batch "
+                    "would silently assign into nothing; route the "
+                    "initial load (with its centroid stripe) to the "
+                    "first micro-batch"
+                )
             _sim.build_ivf_index(
                 batch, epoch, centroid_mod=centroid_mod, vec_dim=vec_dim
             )
         else:
+            # bootstrap-replay split: stripe ids bit-identical to the
+            # carried centroids are replays (no-ops); different
+            # vectors are genuine retrain attempts and must raise
+            cents = cow.read_component(spark, cur, "centroids")
+            stripe = batch.join(
+                F.broadcast(cents),
+                batch["vec_id"] == cents["cent_id"],
+            )
+            same = F.col("embedding").cast("array<double>").eqNullSafe(
+                F.col("cent_v").cast("array<double>")
+            )
+            if stripe.where(~same).limit(1).count() > 0:
+                raise ValueError(
+                    "vector_index_maintenance_ingest: batch carries a "
+                    "centroid-source id with a DIFFERENT vector — the "
+                    "frozen quantizer would go stale; re-train via an "
+                    "out-of-band build_ivf_index rebuild"
+                )
+            replay_ids = stripe.select("vec_id")
+            fresh = batch.join(replay_ids, "vec_id", "left_anti")
+            if fresh.limit(1).count() == 0:
+                return  # pure bootstrap replay — nothing to merge
             _sim.merge_ivf_index(
-                spark, cur, batch, epoch, vec_dim=vec_dim,
+                spark, cur, fresh, epoch, vec_dim=vec_dim,
                 layout="manifest",
             )
         cow.set_current(spark, root, epoch)
@@ -598,7 +662,8 @@ def vector_index_maintenance_ingest(
             flat = cow.new_epoch_path(spark, root, label="compact")
             _sim.compact_ivf_index(spark, cow.get_current(spark, root), flat)
             cow.set_current(spark, root, flat)
-            cow.vacuum_index(spark, root, ["lists", "centroids"])
+            if vacuum_on_compact:
+                cow.vacuum_index(spark, root, ["lists", "centroids"])
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)

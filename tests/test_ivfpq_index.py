@@ -4,7 +4,8 @@ pruning × residual-PQ compression): maintenance must be
 rebuild-identical under the DOUBLY-frozen quantizer contract (coarse
 centroids AND residual codebooks carried verbatim) and incremental in
 I/O via the same CoW promotion machinery as IVF/BM25/PQ, with the
-coarse cell as both the pruning structure and the maintenance unit."""
+top-level hash bucket as the maintenance unit and the nested coarse
+cell as the pruning structure (the two-level codes layout)."""
 
 from __future__ import annotations
 
@@ -362,3 +363,26 @@ def test_ivfpq_manifest_chain_merge_delete_compact_vacuum(spark, tmp_path):
     )
     assert cow.list_epochs(spark, root) == [os.path.basename(e4)]
     assert _serve(spark, cow.get_current(spark, root), qs) == exp
+
+
+def test_ivfpq_build_degenerate_stripe_raises(spark, tmp_path):
+    """Review-finding guards: centroid_mod=1 (corpus <= centroid
+    budget) would make the offset-1 codebook stripe match NOTHING and
+    the index silently serve zero results — both degenerate shapes
+    raise at build time instead."""
+    rnd = random.Random(3)
+    tiny = spark.createDataFrame(
+        _mk_corpus(rnd, range(20)), ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="centroid_mod=1"):
+        similarity.build_ivfpq_index(
+            tiny, str(tmp_path / "a"), dim=DIM, m=M, target_centroids=40
+        )
+    # stripe exists arithmetically but selects no corpus rows
+    evens = spark.createDataFrame(
+        _mk_corpus(rnd, range(0, 40, 2)), ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="codebook seed stripe"):
+        similarity.build_ivfpq_index(
+            evens, str(tmp_path / "b"), dim=DIM, m=M, centroid_mod=2
+        )

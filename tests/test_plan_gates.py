@@ -515,10 +515,11 @@ def test_r11_ivfpq_serve_plan_budget(spark, sf_dir):
     the (query, neighbor) ADC aggregate + the rank window), and zero
     Python eval nodes. q203 rerank adds the exact-rerank join on top
     without widening the scan."""
+    # strict anchor: the codes scan's PartitionFilters must NAME
+    # cent_id (the or-fallback "cent_id appears somewhere in the
+    # plan" was vacuously true — review finding)
     p = _plan(spark, sf_dir, "q200_ivfpq_indexed")
-    assert "PartitionFilters: [cent_id" in p or (
-        "PartitionFilters" in p and "cent_id" in p
-    ), "codes scan not pruned on cent_id"
+    assert "PartitionFilters: [cent_id" in p, "codes scan not pruned"
     assert p.count("Exchange") <= 4, p.count("Exchange")
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
     p = _plan(spark, sf_dir, "q203_ivfpq_rerank")

@@ -555,12 +555,22 @@ def test_vector_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
     md = 20
     is_stripe = F2.col("vec_id") % md == 0
-    for b in (
-        vecs.where(is_stripe | (F2.col("vec_id") % 3 == 0)),
-        vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 1)),
-        vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 2)),
+    stamped = set()
+    for i, b in enumerate(
+        (
+            vecs.where(is_stripe | (F2.col("vec_id") % 3 == 0)),
+            vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 1)),
+            vecs.where(~is_stripe & (F2.col("vec_id") % 3 == 2)),
+        )
     ):
         b.coalesce(1).write.mode("append").parquet(stage)
+        # explicit ascending mtimes: the bootstrap batch must be
+        # delivered first (mtime ties would randomize the order)
+        for name in sorted(os.listdir(stage)):
+            p = os.path.join(stage, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
     stream = (
         spark.readStream.schema(vecs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -654,3 +664,91 @@ def test_index_ingest_compact_every_bounds_chain(spark, tmp_path):
         map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
     )
     assert got == exp and len(got) > 0
+
+
+def test_vector_index_ingest_bootstrap_replay_and_empty_stripe(
+    spark, tmp_path
+):
+    """Replay + bootstrap-contract hardening (review findings): (1) a
+    FULL re-delivery of every micro-batch (fresh checkpoint, same
+    root — the crash-after-set_current shape, maximized) is a no-op
+    on the resolved view: the replayed bootstrap's centroid-stripe
+    ids are bit-identical to the carried centroids and are dropped,
+    ordinary ids upsert onto themselves; (2) a bootstrap batch with
+    NO centroid stripe fails the stream loudly instead of training
+    zero centroids."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        vector_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    md = 20
+    is_stripe = F2.col("vec_id") % md == 0
+    stamped = set()
+    for i, b in enumerate(
+        (
+            vecs.where(is_stripe | (F2.col("vec_id") % 2 == 0)),
+            vecs.where(~is_stripe & (F2.col("vec_id") % 2 == 1)),
+        )
+    ):
+        b.coalesce(1).write.mode("append").parquet(stage)
+        for name in sorted(os.listdir(stage)):
+            p = os.path.join(stage, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
+
+    def run(cp_name):
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = vector_index_maintenance_ingest(
+            stream, root, centroid_mod=md,
+            checkpoint_dir=str(tmp_path / cp_name),
+        )
+        q.awaitTermination(300)
+
+    run("cp1")
+    qs = vecs.where(F2.col("vec_id") < 5)
+    before = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(
+                spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    # fresh checkpoint => EVERY batch re-delivers against the built root
+    run("cp2")
+    after = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(
+                spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    assert after == before and len(after) == 5 * 5
+
+    # (2) bootstrap with no centroid stripe fails the stream loudly
+    stage2, root2 = str(tmp_path / "stage2"), str(tmp_path / "root2")
+    vecs.where(~is_stripe).coalesce(1).write.parquet(stage2)
+    stream = spark.readStream.schema(vecs.schema).parquet(stage2)
+    q = vector_index_maintenance_ingest(
+        stream, root2, centroid_mod=md,
+        checkpoint_dir=str(tmp_path / "cp3"),
+    )
+    with pytest.raises(Exception, match="no vec_id % centroid_mod"):
+        q.awaitTermination(300)
