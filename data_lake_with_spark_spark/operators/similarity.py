@@ -2061,6 +2061,18 @@ def compact_pq_index(spark, index_path: str, out_path: str) -> dict:
     return stats
 
 
+# Self-enforcing IVFPQ layout rule (MEASUREMENTS_r11 §1b, promoted
+# from an advisory docstring to a build-time contract per the r11
+# verdict): the codes layout creates n_buckets × n_cells leaf
+# directories, and when that product approaches the row count each
+# leaf holds a handful of rows — per-file open cost then dominates
+# and the "pruned" serve is SLOWER than a flat scan (measured: 2–3
+# rows/leaf → 9.2–10.2s pruned vs 1.0–1.3s flat). The build requires
+# an average of at least this many rows per leaf dir; below it the
+# build warns (or raises with strict_layout=True).
+IVFPQ_MIN_ROWS_PER_LEAF = 64
+
+
 def _ivfpq_meta_uri(path: str) -> str:
     return f"{path}/ivfpq_meta.json"
 
@@ -2184,6 +2196,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_dim: int | None = None,
+    strict_layout: bool = False,
 ) -> None:
     """Materialize the IVF+PQ composite index — the FAISS
     ``IndexIVFPQ`` shape, the production serving layout at 100 TB:
@@ -2222,9 +2235,16 @@ def build_ivfpq_index(
     serve-time ``WHERE cent_id IN (probes)`` prunes leaf directories
     under every bucket (Spark partition pruning applies per column
     regardless of nesting order), reading nprobe/n_cells of the
-    bytes. Listing caveat: leaf-dir count is n_buckets × n_cells;
-    size the product to what the store's directory listing tolerates
-    (the manifest layout lists only the top level).
+    bytes. Sizing contract (ENFORCED): leaf-dir count is
+    n_buckets × n_cells, and the build requires an average of at
+    least :data:`IVFPQ_MIN_ROWS_PER_LEAF` rows per leaf —
+    ``n_buckets * n_cells * IVFPQ_MIN_ROWS_PER_LEAF <= n`` — else it
+    warns (``strict_layout=True`` raises). Below that grain the
+    per-file open cost dominates and pruning LOSES to a flat scan
+    (MEASUREMENTS_r11 §1b measured the inversion at 2–3 rows/leaf);
+    the object store's directory-listing tolerance is a second,
+    independent reason to keep the product small (the manifest
+    layout lists only the top level).
 
     Determinism: centroid seeds are the ``id % centroid_mod == 0``
     stripe; codebook seeds are the OFFSET stripe ``id % centroid_mod
@@ -2234,8 +2254,8 @@ def build_ivfpq_index(
     fixes the budget independent of corpus size (the q113 rule; it
     sizes BOTH seed stripes through the one mod)."""
     spark = corpus.sparkSession
+    n = corpus.count()
     if target_centroids is not None:
-        n = corpus.count()
         centroid_mod = max(1, n // max(1, target_centroids))
     if centroid_mod < 2:
         raise ValueError(
@@ -2245,9 +2265,55 @@ def build_ivfpq_index(
             "small (n <= target_centroids) doesn't need IVFPQ — use "
             "brute_force_topk or build_pq_index"
         )
-    cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    cents = (
+        corpus.where((F.col(id_col) % centroid_mod) == 0)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+        )
+        .localCheckpoint()
     )
+    # ALL validation happens BEFORE the first component write (r11
+    # ADVICE: a raise after `centroids` landed left a partial index —
+    # centroids present, no codes/codebooks/meta — that a later
+    # isdir-style existence probe could half-trust).
+    n_cells = cents.count()
+    if n_cells == 0:
+        raise ValueError(
+            "build_ivfpq_index: the centroid seed stripe "
+            f"`{id_col} % {centroid_mod} == 0` selected no corpus "
+            "rows — there would be zero IVF cells and the index "
+            "would serve nothing; supply a corpus covering the "
+            "stripe or lower centroid_mod/target_centroids"
+        )
+    if (
+        corpus.where((F.col(id_col) % centroid_mod) == 1).limit(1).count()
+        == 0
+    ):
+        raise ValueError(
+            "build_ivfpq_index: the codebook seed stripe "
+            f"`{id_col} % {centroid_mod} == 1` selected no corpus "
+            "rows — the codes would be empty and the index would "
+            "silently serve zero results; supply a corpus covering "
+            "the stripe or lower centroid_mod/target_centroids"
+        )
+    leaf_dirs = n_buckets * n_cells
+    if leaf_dirs * IVFPQ_MIN_ROWS_PER_LEAF > n:
+        msg = (
+            f"build_ivfpq_index: layout grain too fine — "
+            f"n_buckets({n_buckets}) × n_cells({n_cells}) = "
+            f"{leaf_dirs} leaf dirs over n={n} rows averages "
+            f"{n / max(1, leaf_dirs):.1f} rows/leaf (< "
+            f"{IVFPQ_MIN_ROWS_PER_LEAF}); at this grain per-file "
+            "open cost makes the pruned serve SLOWER than a flat "
+            "scan (MEASUREMENTS_r11 §1b) — lower n_buckets and/or "
+            "target_centroids so n_buckets*n_cells*"
+            f"{IVFPQ_MIN_ROWS_PER_LEAF} <= n"
+        )
+        if strict_layout:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = _ivfpq_assign_resid(
         corpus, cents, id_col, vec_col, vec_dim
@@ -2264,14 +2330,6 @@ def build_ivfpq_index(
         )
         .localCheckpoint()
     )
-    if not cb.head(1):
-        raise ValueError(
-            "build_ivfpq_index: the codebook seed stripe "
-            f"`{id_col} % {centroid_mod} == 1` selected no corpus "
-            "rows — the codes would be empty and the index would "
-            "silently serve zero results; supply a corpus covering "
-            "the stripe or lower centroid_mod/target_centroids"
-        )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
         "id_bucket", _pq_bucket(id_col, n_buckets)

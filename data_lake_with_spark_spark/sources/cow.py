@@ -710,6 +710,59 @@ def _delete_tree(spark, path: str) -> None:
     fs.delete(p, True)
 
 
+def live_epochs(
+    spark, root: str, components: "list[str]"
+) -> "tuple[set[str], set[str]]":
+    """The epoch-dir names the CURRENT epoch's resolved view depends
+    on — the current epoch itself plus every epoch under
+    ``{root}/epochs`` that owns bytes per the current manifests for
+    the given ``components`` — and the set of owner URIs OUTSIDE the
+    root (links-layout bases elsewhere; reported, never touched).
+
+    This live set is the chain length a reader pays (read
+    amplification = number of distinct owner epochs a resolve spans),
+    which makes it the correct compaction trigger: retired-but-
+    unvacuumed epoch directories do NOT count, so a deployment that
+    defers vacuum (``vacuum_on_compact=False`` in the streaming
+    ingests) still sees the count reset to 1 after each compaction
+    instead of re-compacting every micro-batch (r11 ADVICE).
+    :func:`vacuum_index` deletes exactly the complement of this set."""
+    cur = get_current(spark, root)
+    epochs_prefix = _abs_uri(f"{root}/{_EPOCHS_SUBDIR}")
+    cur_abs = _abs_uri(cur)
+    if not cur_abs.startswith(epochs_prefix + "/"):
+        raise ValueError(
+            f"live_epochs: current epoch {cur!r} is not under "
+            f"{root}/{_EPOCHS_SUBDIR}/ — the lifecycle owns only "
+            "epochs inside the index root"
+        )
+
+    def _epoch_name(owner_uri: str) -> str | None:
+        """Epoch dir name an owner URI lives under, or None when the
+        owner is outside {root}/epochs."""
+        abs_o = _abs_uri(owner_uri)
+        if not abs_o.startswith(epochs_prefix + "/"):
+            return None
+        return abs_o[len(epochs_prefix) + 1:].split("/")[0]
+
+    keep = {_epoch_name(cur_abs + "/x")}  # the current epoch itself
+    external: set[str] = set()
+    for comp in components:
+        m = read_manifest(spark, cur, comp)
+        if m is None:
+            continue  # plain component — bytes live in the current epoch
+        owners = set((m.get("entries") or {}).values())
+        if m.get("whole"):
+            owners.add(m["whole"])
+        for owner in owners:
+            name = _epoch_name(owner)
+            if name is None:
+                external.add(owner)
+            else:
+                keep.add(name)
+    return keep, external
+
+
 def vacuum_index(spark, root: str, components: "list[str]") -> dict:
     """Retire every epoch directory the CURRENT epoch no longer
     references — the missing half of the manifest lifecycle (r10
@@ -736,38 +789,7 @@ def vacuum_index(spark, root: str, components: "list[str]") -> dict:
     Physical GDPR erasure = delete → compact → set_current → vacuum;
     after this returns, no file under the root holds the pre-delete
     bytes (gated in tests/test_gdpr_pipeline.py)."""
-    cur = get_current(spark, root)
-    epochs_prefix = _abs_uri(f"{root}/{_EPOCHS_SUBDIR}")
-    cur_abs = _abs_uri(cur)
-    if not cur_abs.startswith(epochs_prefix + "/"):
-        raise ValueError(
-            f"vacuum_index: current epoch {cur!r} is not under "
-            f"{root}/{_EPOCHS_SUBDIR}/ — nothing safe to vacuum"
-        )
-
-    def _epoch_name(owner_uri: str) -> str | None:
-        """Epoch dir name an owner URI lives under, or None when the
-        owner is outside {root}/epochs."""
-        abs_o = _abs_uri(owner_uri)
-        if not abs_o.startswith(epochs_prefix + "/"):
-            return None
-        return abs_o[len(epochs_prefix) + 1:].split("/")[0]
-
-    keep = {_epoch_name(cur_abs + "/x")}  # the current epoch itself
-    external: set[str] = set()
-    for comp in components:
-        m = read_manifest(spark, cur, comp)
-        if m is None:
-            continue  # plain component — bytes live in the current epoch
-        owners = set((m.get("entries") or {}).values())
-        if m.get("whole"):
-            owners.add(m["whole"])
-        for owner in owners:
-            name = _epoch_name(owner)
-            if name is None:
-                external.add(owner)
-            else:
-                keep.add(name)
+    keep, external = live_epochs(spark, root, components)
     removed, freed = [], 0
     for name in list_epochs(spark, root):
         if name in keep:

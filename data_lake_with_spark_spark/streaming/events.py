@@ -454,6 +454,31 @@ def fuzzy_dedup_ingest(
     )
 
 
+def _epochs_since_compact(spark, root: str) -> int:
+    """Maintenance-chain length for the streaming ingests' compaction
+    gate: the number of epoch directories created AFTER the last
+    ``_compact``-labeled epoch, plus that compact base itself (it is
+    an owner of the chain). Before any compaction this is simply the
+    epoch count. Derived from epoch NAMES (zero-padded, so lexical
+    order is creation order), which makes it restart-safe AND immune
+    to deferred vacuum: retired-but-unvacuumed directories all sort
+    before the compact that superseded them, so they never inflate
+    the count (r11 ADVICE — a raw directory-count gate re-compacted
+    every batch once ``vacuum_on_compact=False`` let them linger).
+    An upper bound on the true manifest-owner chain (a merge that
+    happens to rewrite every partition shortens the real chain but
+    not this count) — the right direction for a cadence bound."""
+    from data_lake_with_spark_spark.sources import cow
+
+    names = cow.list_epochs(spark, root)
+    last = -1
+    for i, n in enumerate(names):
+        if n.endswith("_compact"):
+            last = i
+    after = len(names) - last - 1
+    return after if last < 0 else after + 1
+
+
 def index_maintenance_ingest(
     stream_docs: DataFrame,
     root: str,
@@ -480,7 +505,11 @@ def index_maintenance_ingest(
     is an extra epoch directory.
 
     ``compact_every=N`` makes the stream SELF-BOUNDING: whenever the
-    live epoch count reaches N, the trigger compacts the manifest
+    maintenance-chain length (epochs since the last compaction plus
+    the compact base — :func:`_epochs_since_compact`, an upper bound
+    on the manifest-owner chain a read spans; NOT the raw directory
+    count, which deferred vacuum would leave permanently ≥ N)
+    reaches N, the trigger compacts the manifest
     chain into a fresh plain epoch, re-points the pointer, and
     ``cow.vacuum_index`` retires every epoch the compacted view no
     longer references — read amplification is bounded at N owners
@@ -523,9 +552,16 @@ def index_maintenance_ingest(
         else:
             _text.merge_bm25_index(spark, cur, batch, epoch, layout="manifest")
         cow.set_current(spark, root, epoch)
+        # gate on the CHAIN LENGTH since the last compaction (epoch
+        # names after the last `_compact` dir, plus that compact base)
+        # — NOT the raw directory count: with vacuum_on_compact=False
+        # the retired dirs linger, and a directory-count gate would
+        # re-compact EVERY later batch (r11 ADVICE). The name-derived
+        # count is restart-safe and resets to 1 per compaction
+        # whether or not the reclaim is deferred.
         if (
             compact_every is not None
-            and len(cow.list_epochs(spark, root)) >= compact_every
+            and _epochs_since_compact(spark, root) >= compact_every
         ):
             flat = cow.new_epoch_path(spark, root, label="compact")
             _text.compact_bm25_index(spark, cow.get_current(spark, root), flat)
@@ -572,9 +608,14 @@ def vector_index_maintenance_ingest(
     to the first file; the stream after it must not carry NEW ids
     ``≡ 0 (mod centroid_mod)``). An empty-stripe bootstrap RAISES
     (it would train zero centroids and every later batch would
-    silently assign into nothing); a PARTIAL stripe is undetectable
-    here — a later batch introducing a fresh stripe id raises in
-    ``merge_ivf_index``'s frozen-quantizer validation.
+    silently assign into nothing); a PARTIAL stripe surfaces on the
+    first later batch that carries the missing stripe id — the merge
+    path RAISES on any new id ≡ 0 (mod centroid_mod), enforced HERE
+    in the ingest (``merge_ivf_index`` cannot see it: its
+    frozen-quantizer validation only checks batch ids against
+    EXISTING cent_ids, so without this gate a fresh stripe id would
+    merge silently and the streamed index would diverge from a
+    from-scratch rebuild over the same corpus).
 
     Replay safety (at-least-once foreachBatch): ordinary ids
     re-merge onto themselves (upsert — the resolved view is
@@ -650,14 +691,40 @@ def vector_index_maintenance_ingest(
             fresh = batch.join(replay_ids, "vec_id", "left_anti")
             if fresh.limit(1).count() == 0:
                 return  # pure bootstrap replay — nothing to merge
+            # fresh-stripe enforcement (r11 ADVICE): merge_ivf_index
+            # validates batch ids against EXISTING cent_ids only — a
+            # NEW id ≡ 0 (mod centroid_mod) would merge silently as an
+            # ordinary vector and the streamed index would diverge
+            # from a from-scratch rebuild over the same corpus (whose
+            # build WOULD train on that id). Only the ingest knows
+            # centroid_mod, so the contract is enforced here.
+            if (
+                fresh.where((F.col("vec_id") % centroid_mod) == 0)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "vector_index_maintenance_ingest: batch carries a "
+                    "NEW id ≡ 0 (mod centroid_mod) after bootstrap — "
+                    "a from-scratch build over the same corpus would "
+                    "train this id as a centroid, so merging it as an "
+                    "ordinary vector silently diverges the streamed "
+                    "index from the rebuild; route centroid-stripe "
+                    "ids to the bootstrap batch, or rebuild "
+                    "out-of-band via build_ivf_index"
+                )
             _sim.merge_ivf_index(
                 spark, cur, fresh, epoch, vec_dim=vec_dim,
                 layout="manifest",
             )
         cow.set_current(spark, root, epoch)
+        # chain-since-last-compact gate, not directory count — see
+        # index_maintenance_ingest (r11 ADVICE: deferred vacuum must
+        # not turn every later batch into a full compaction)
         if (
             compact_every is not None
-            and len(cow.list_epochs(spark, root)) >= compact_every
+            and _epochs_since_compact(spark, root) >= compact_every
         ):
             flat = cow.new_epoch_path(spark, root, label="compact")
             _sim.compact_ivf_index(spark, cow.get_current(spark, root), flat)

@@ -386,3 +386,55 @@ def test_ivfpq_build_degenerate_stripe_raises(spark, tmp_path):
         similarity.build_ivfpq_index(
             evens, str(tmp_path / "b"), dim=DIM, m=M, centroid_mod=2
         )
+    # r11 ADVICE: validation precedes every component write, so the
+    # failed build leaves NO partial index (no centroids-only dir a
+    # later isdir probe could half-trust)
+    assert not os.path.exists(str(tmp_path / "b"))
+    # the mirror degenerate shape: a corpus with no centroid stripe
+    odds = spark.createDataFrame(
+        _mk_corpus(rnd, range(1, 41, 2)), ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="centroid seed stripe"):
+        similarity.build_ivfpq_index(
+            odds, str(tmp_path / "c"), dim=DIM, m=M, centroid_mod=2
+        )
+    assert not os.path.exists(str(tmp_path / "c"))
+
+
+def test_ivfpq_build_layout_grain_guard(spark, tmp_path):
+    """The MEASUREMENTS_r11 §1b sizing rule is a build-time contract
+    (r11 verdict #4): when n_buckets × n_cells leaf dirs average
+    fewer than IVFPQ_MIN_ROWS_PER_LEAF rows each, the pruned serve
+    loses to a flat scan on per-file open cost — the build warns by
+    default, raises under strict_layout=True, and stays silent on a
+    well-grained layout."""
+    import warnings
+
+    rnd = random.Random(5)
+    corpus = spark.createDataFrame(
+        _mk_corpus(rnd, range(300)), ["vec_id", "embedding"]
+    )
+    # 300 rows, centroid_mod=10 → 30 cells; 32 buckets → 960 leaf
+    # dirs, 0.3 rows/leaf — deliberately terrible
+    with pytest.raises(ValueError, match="layout grain too fine"):
+        similarity.build_ivfpq_index(
+            corpus, str(tmp_path / "bad"), dim=DIM, m=M,
+            centroid_mod=10, n_buckets=32, strict_layout=True,
+        )
+    assert not os.path.exists(str(tmp_path / "bad"))
+    # default mode warns but still builds (toy/test scale)
+    with pytest.warns(UserWarning, match="layout grain too fine"):
+        similarity.build_ivfpq_index(
+            corpus, str(tmp_path / "warned"), dim=DIM, m=M,
+            centroid_mod=10, n_buckets=32,
+        )
+    assert os.path.isdir(str(tmp_path / "warned"))
+    # well-grained: 300 rows / (1 bucket × 2 cells) = 150 rows/leaf —
+    # no grain warning, and strict mode passes
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        similarity.build_ivfpq_index(
+            corpus, str(tmp_path / "good"), dim=DIM, m=M,
+            centroid_mod=150, n_buckets=1, strict_layout=True,
+        )
+    assert not [w for w in caught if "layout grain" in str(w.message)]

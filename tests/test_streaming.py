@@ -752,3 +752,127 @@ def test_vector_index_ingest_bootstrap_replay_and_empty_stripe(
     )
     with pytest.raises(Exception, match="no vec_id % centroid_mod"):
         q.awaitTermination(300)
+
+
+def test_vector_index_ingest_fresh_stripe_id_raises(spark, tmp_path):
+    """Fresh-stripe enforcement (r11 ADVICE): after bootstrap, a
+    later micro-batch carrying a NEW id ≡ 0 (mod centroid_mod) must
+    fail the stream loudly — merge_ivf_index only validates ids
+    against EXISTING cent_ids, so without the ingest-side gate the
+    id would merge silently as an ordinary vector and the streamed
+    index would diverge from a from-scratch rebuild over the same
+    corpus (whose build WOULD train that id as a centroid)."""
+    import os
+    import random
+
+    from data_lake_with_spark_spark.streaming.events import (
+        vector_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(29)
+    md = 20
+    boot = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+    # id 200 ≡ 0 (mod 20) but was NOT in the bootstrap corpus
+    late = [
+        (101, [rnd.uniform(-1, 1) for _ in range(8)]),
+        (200, [rnd.uniform(-1, 1) for _ in range(8)]),
+    ]
+    vecs = spark.createDataFrame(boot, ["vec_id", "embedding"])
+    late_df = spark.createDataFrame(late, ["vec_id", "embedding"])
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    stamped = set()
+    for i, b in enumerate((vecs, late_df)):
+        b.coalesce(1).write.mode("append").parquet(stage)
+        # explicit ascending mtimes: bootstrap must be delivered first
+        for name in sorted(os.listdir(stage)):
+            p = os.path.join(stage, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = vector_index_maintenance_ingest(
+        stream, root, centroid_mod=md,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    with pytest.raises(Exception, match="NEW id"):
+        q.awaitTermination(300)
+
+
+def test_index_ingest_deferred_vacuum_compacts_on_live_count(
+    spark, tmp_path
+):
+    """Chain-length compaction gate (r11 ADVICE): with
+    vacuum_on_compact=False the retired epoch directories linger, and
+    a raw-directory-count gate would re-compact EVERY batch after the
+    first compaction. The gate instead counts epochs since the last
+    compact (plus the compact base) — so a 5-batch ingest at
+    compact_every=3 compacts exactly TWICE (at chain lengths 3 and 3
+    again), defers the disk reclaim (all 7 epoch dirs still present),
+    and an out-of-band vacuum afterwards retires everything but the
+    final compact."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import text as T
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 13:02d} beta{i % 7} gamma{i % 3}", "en", "s")
+            for i in range(150)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    for part in range(5):
+        docs.where(F2.col("doc_id") % 5 == part).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+    )
+    q = index_maintenance_ingest(
+        stream, root, checkpoint_dir=cp,
+        compact_every=3, vacuum_on_compact=False,
+    )
+    q.awaitTermination(300)
+    epochs = cow.list_epochs(spark, root)
+    compacts = [e for e in epochs if e.endswith("_compact")]
+    # b0,b1,b2 → compact; b3 (live 2), b4 (live 3) → compact.
+    # The buggy directory-count gate compacted after b3 as well (3
+    # compacts); deferral must not inflate the cadence.
+    assert len(compacts) == 2, epochs
+    # deferral kept every directory: 5 batch epochs + 2 compacts
+    assert len(epochs) == 7, epochs
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == compacts[-1]
+    live, _ext = cow.live_epochs(spark, root, ["postings"])
+    assert live == {compacts[-1]}
+    # serving equals the from-scratch build despite deferred vacuum
+    scratch = str(tmp_path / "scratch")
+    T.build_bm25_index(docs.select("doc_id", "text"), scratch)
+    qs = spark.createDataFrame(
+        [(1, "alpha04 beta1"), (2, "gamma2 alpha12")], ["query_id", "text"]
+    )
+    got = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, cur, qs, k=5).collect())
+    )
+    exp = sorted(
+        map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0
+    # out-of-band vacuum (after reader quiesce) reclaims the rest
+    vac = cow.vacuum_index(spark, root, ["postings"])
+    assert len(vac["removed"]) == 6
+    assert cow.list_epochs(spark, root) == [compacts[-1]]
