@@ -913,9 +913,17 @@ def build_related_items_state(
       derive the serving view).
     - ``items`` (item, n_item), partitioned by
       ``item_bucket = pmod(xxhash64(item), n_buckets)``.
-    - ``baskets`` (basket), same hash-bucket scheme — the append-only
-      ledger that lets a merge REJECT a re-delivered basket id
-      (double-counting a basket would silently inflate supports).
+    - ``baskets`` (basket, item) — the full deduped incidence under
+      the same hash-bucket scheme (bucketed by basket): the
+      append-only ledger that (a) lets a merge REJECT a re-delivered
+      basket id (double-counting would silently inflate supports)
+      and (b) holds EXACTLY the rows needed to INVERT any merge —
+      :func:`delete_from_related_items_state` regenerates a
+      tombstoned basket's pair/item deltas from the ledger alone, so
+      GDPR erasure never depends on the raw order feed still
+      existing (under erasure the source rows are typically being
+      deleted too). The incidence costs ledger bytes ≈ input bytes —
+      the price of invertibility, bucketed and append-only.
     - ``topk`` (item, other, n_ab, score, rank ≤ k), partitioned by
       ``item_bucket`` — the serving table itself, derived through the
       SAME expressions as :func:`related_items`
@@ -963,10 +971,8 @@ def build_related_items_state(
     n = n.localCheckpoint()
     pairs_w = pairs.withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
     items_w = n.withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
-    baskets_w = (
-        b.select("basket")
-        .distinct()
-        .withColumn("basket_bucket", _ri_bucket(["basket"], n_buckets))
+    baskets_w = b.withColumn(
+        "basket_bucket", _ri_bucket(["basket"], n_buckets)
     )
     topk_w = _related_topk(pairs, n, k, min_count).withColumn(
         "item_bucket", _ri_bucket(["item"], n_buckets)
@@ -1046,11 +1052,12 @@ def merge_related_items_state(
        promotes by hard link or manifest entry.
     4. The serving ``topk`` recomputes for AFFECTED items only:
        batch items (their n_item changed, rescoring every pair they
-       touch) plus their partners in the updated pair state (a
-       partner's ranking sees the changed score). Partner discovery
-       is one column-pruned (a, b) scan of the pairs state against
-       the broadcast batch-item set — at 100 TB this is the batch's
-       graph neighborhood, not the catalog. Affected items' rows
+       touch) plus their pair partners (a partner's ranking sees the
+       changed score). Partner discovery is one column-pruned (a, b)
+       scan of the BASE pair state against the broadcast batch-item
+       set (sufficient: a brand-new pair's endpoints are both batch
+       items) — at 100 TB this is the batch's graph neighborhood,
+       not the catalog. Affected items' rows
        rewrite within their hash buckets; unaffected items in the
        same buckets carry verbatim; untouched buckets promote.
 
@@ -1110,6 +1117,138 @@ def merge_related_items_state(
             "pairs; deliver only new baskets (or rebuild)"
         )
 
+    return _apply_ri_state_delta(
+        spark, base_path, nb, out_path, layout, meta, sign=1
+    )
+
+
+def delete_from_related_items_state(
+    spark,
+    base_path: str,
+    basket_ids: DataFrame,
+    out_path: str,
+    basket_col: str = "basket",
+    layout: str = "links",
+) -> dict:
+    """GDPR erasure for the related-items serving state — the exact
+    INVERSE of :func:`merge_related_items_state` (r11 verdict #2: the
+    one serving surface that retained purged users' co-occurrence
+    signal). ``basket_ids`` is the tombstone set (a user's order /
+    session / playlist ids); the op is LEDGER-DRIVEN: it reads the
+    tombstoned baskets' (basket, item) incidence from the state's own
+    ledger (bucket-pruned semi-join), so erasure works even after the
+    raw order feed is itself deleted — under GDPR the source rows
+    usually are.
+
+    1. Victim incidence → NEGATIVE pair/item deltas through the same
+       per-basket self-join as the merge (Σ C(|basket|, 2) rows,
+       bounded by tombstone size, never history length).
+    2. ``pairs`` / ``items`` subtract within exactly the victims'
+       hash buckets; supports hitting zero DROP (the pair never
+       co-occurred outside the erased baskets); a NEGATIVE result
+       raises (state corruption — ledger-driven inversion can never
+       legitimately go below zero). Every other partition promotes by
+       hard link or manifest entry.
+    3. The ledger drops the victims' rows; the serving ``topk``
+       recomputes for affected items only (victim items plus their
+       pair partners), through the shared :func:`_related_topk`
+       expressions — so the post-delete table is bit-identical to a
+       from-scratch :func:`related_items` over the SURVIVING baskets
+       (q206's oracle is O_Q188 over the survivor predicate).
+
+    IDEMPOTENT by design: ids absent from the ledger are skipped
+    silently — "ensure these baskets are gone" is naturally
+    replay-safe, which is what an at-least-once erasure pipeline
+    needs (contrast the merge, which must RAISE on re-delivery
+    because double-counting corrupts supports; deleting twice is
+    just deleted). Physical erasure still requires the epoch
+    lifecycle tail: delete → compact → set_current → vacuum, gated
+    in tests/test_gdpr_pipeline.py as the fifth serving surface.
+
+    Returns the pairs promotion stats plus ``deleted_basket_rows``,
+    ``affected_items``, ``changed_topk_partitions``."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.assert_fresh_out(
+        "delete_from_related_items_state", base_path, out_path
+    )
+    if layout not in ("links", "manifest"):
+        raise ValueError(
+            f"layout must be 'links' or 'manifest', got {layout!r}"
+        )
+    if layout == "links" and cow.read_manifest(spark, base_path, "pairs"):
+        raise ValueError(
+            "delete_from_related_items_state: base state uses a "
+            "manifest layout — pass layout='manifest' (nothing "
+            "complete to link from)"
+        )
+    meta = cow.read_json(spark, _ri_meta_uri(base_path))
+    if meta is None:
+        raise FileNotFoundError(f"no ri_meta.json under {base_path!r}")
+    n_buckets = meta["n_buckets"]
+
+    ids = (
+        basket_ids.select(F.col(basket_col).alias("basket"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ch = sorted(
+        r["b"]
+        for r in ids.select(_ri_bucket(["basket"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    bfilter = F.col("basket_bucket").isin(ch) if ch else F.lit(False)
+    victims = (
+        _ri_read(spark, base_path, "baskets", meta)
+        .where(bfilter)
+        .join(ids, "basket", "left_semi")
+        .select("basket", "item")
+        .localCheckpoint()
+    )
+    stats = _apply_ri_state_delta(
+        spark, base_path, victims, out_path, layout, meta, sign=-1
+    )
+    stats["deleted_basket_rows"] = victims.count()
+    return stats
+
+
+def _apply_ri_state_delta(
+    spark,
+    base_path: str,
+    nb: DataFrame,
+    out_path: str,
+    layout: str,
+    meta: dict,
+    sign: int,
+) -> dict:
+    """Shared delta core of :func:`merge_related_items_state`
+    (``sign=+1``, ``nb`` = the new baskets' deduped incidence) and
+    :func:`delete_from_related_items_state` (``sign=-1``, ``nb`` =
+    the tombstoned baskets' ledger incidence) — ONE implementation so
+    "delete is the inverse of merge" holds by construction:
+
+    - signed pair/item deltas from the batch's per-basket self-join
+      (batch-sized, never history-sized);
+    - supports sum into exactly the batch keys' hash buckets (full
+      outer join against the bucket-pruned base); results ≤ 0 drop
+      (only reachable when subtracting), < 0 raise (state
+      corruption);
+    - the ledger unions (merge) or anti-joins (delete) the batch's
+      basket rows within its buckets;
+    - ``topk`` recomputes for AFFECTED items only — batch items plus
+      their pair partners, discovered by ONE column-pruned (a, b)
+      scan of the BASE pair state (sufficient for the merge too: a
+      brand-new pair's endpoints both sit in the batch, so new pairs
+      add no partners beyond batch items) — over the UPDATED
+      neighborhood, through the shared :func:`_related_topk`
+      expressions; unaffected rows carry verbatim, untouched buckets
+      promote by link or manifest entry."""
+    from data_lake_with_spark_spark.sources import cow
+
+    k, min_count, n_buckets = meta["k"], meta["min_count"], meta["n_buckets"]
+    s = F.lit(int(sign)).cast("bigint")
+
     # --- deltas (batch-sized) ---------------------------------------
     x, y = nb.alias("x"), nb.alias("y")
     d_pairs = (
@@ -1119,14 +1258,14 @@ def merge_related_items_state(
             & (F.col("x.item") < F.col("y.item")),
         )
         .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d_ab"))
+        .agg((s * F.count(F.lit(1))).cast("bigint").alias("d_ab"))
         .localCheckpoint()
     )
     d_items = nb.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d_item")
+        (s * F.count(F.lit(1))).cast("bigint").alias("d_item")
     ).localCheckpoint()
 
-    # --- pairs: sum deltas into the batch's hash buckets -------------
+    # --- pairs: sum signed deltas into the batch's hash buckets ------
     ch_pairs = sorted(
         r["b"]
         for r in d_pairs.select(
@@ -1143,7 +1282,7 @@ def merge_related_items_state(
         .where(pfilter)
         .select("a", "b", "n_ab")
     )
-    upd_pairs = (
+    summed_pairs = (
         base_pairs.join(d_pairs, ["a", "b"], "full")
         .select(
             "a",
@@ -1153,7 +1292,24 @@ def merge_related_items_state(
                 + F.coalesce(F.col("d_ab"), F.lit(0))
             ).cast("bigint").alias("n_ab"),
         )
-        .withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
+    )
+    if sign < 0:
+        # integrity gate on the subtract path only (positive deltas
+        # can't go negative, and the merge shouldn't pay the extra
+        # materialization); checkpoint so the checked frame is the
+        # written frame
+        summed_pairs = summed_pairs.localCheckpoint()
+        if summed_pairs.where(F.col("n_ab") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "_apply_ri_state_delta: a pair support went NEGATIVE "
+                "— the subtracted deltas exceed the stored aggregate, "
+                "which a ledger-driven inversion can never "
+                "legitimately do; the state is corrupt (or the ledger "
+                "was edited out-of-band) — rebuild from the source "
+                "history"
+            )
+    upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
+        "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
     )
     (
         upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
@@ -1183,7 +1339,7 @@ def merge_related_items_state(
     ifilter = (
         F.col("item_bucket").isin(ch_items) if ch_items else F.lit(False)
     )
-    upd_items = (
+    summed_items = (
         _ri_read(spark, base_path, "items", meta)
         .where(ifilter)
         .select("item", "n_item")
@@ -1195,7 +1351,17 @@ def merge_related_items_state(
                 + F.coalesce(F.col("d_item"), F.lit(0))
             ).cast("bigint").alias("n_item"),
         )
-        .withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
+    )
+    if sign < 0:
+        summed_items = summed_items.localCheckpoint()
+        if summed_items.where(F.col("n_item") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "_apply_ri_state_delta: an item count went NEGATIVE — "
+                "see the pair-support message; rebuild from the "
+                "source history"
+            )
+    upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
+        "item_bucket", _ri_bucket(["item"], n_buckets)
     )
     (
         upd_items.repartition(max(1, len(ch_items)), "item_bucket")
@@ -1214,12 +1380,31 @@ def merge_related_items_state(
         )
 
     # --- baskets ledger ------------------------------------------------
-    upd_baskets = (
+    batch_basket_ids = nb.select("basket").distinct()
+    ch_baskets = sorted(
+        r["b"]
+        for r in batch_basket_ids.select(
+            _ri_bucket(["basket"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    bfilter = (
+        F.col("basket_bucket").isin(ch_baskets)
+        if ch_baskets
+        else F.lit(False)
+    )
+    base_led = (
         _ri_read(spark, base_path, "baskets", meta)
         .where(bfilter)
-        .select("basket")
-        .unionByName(new_basket_ids)
-        .withColumn("basket_bucket", _ri_bucket(["basket"], n_buckets))
+        .select("basket", "item")
+    )
+    if sign > 0:
+        upd_baskets = base_led.unionByName(nb.select("basket", "item"))
+    else:
+        upd_baskets = base_led.join(batch_basket_ids, "basket", "left_anti")
+    upd_baskets = upd_baskets.withColumn(
+        "basket_bucket", _ri_bucket(["basket"], n_buckets)
     )
     (
         upd_baskets.repartition(max(1, len(ch_baskets)), "basket_bucket")
@@ -1229,7 +1414,8 @@ def merge_related_items_state(
     )
     if layout == "manifest":
         cow.promote_via_manifest(
-            spark, base_path, out_path, "baskets", "basket_bucket", ch_baskets
+            spark, base_path, out_path, "baskets", "basket_bucket",
+            ch_baskets,
         )
     else:
         cow.promote_unchanged_partitions(
@@ -1239,7 +1425,12 @@ def merge_related_items_state(
 
     # --- topk: recompute affected items only ---------------------------
     batch_items = nb.select("item").distinct()
-    pairs_all = _ri_read(spark, out_path, "pairs", meta).select("a", "b")
+    # partner discovery scans the BASE pair state (column-pruned to
+    # (a, b)): for a delete the updated state may have DROPPED the
+    # very pairs whose disappearance forces a partner's re-rank; for
+    # a merge the base scan is equally sufficient — a brand-new
+    # pair's endpoints are both batch items already
+    pairs_all = _ri_read(spark, base_path, "pairs", meta).select("a", "b")
     partners = (
         pairs_all.join(
             F.broadcast(batch_items.withColumnRenamed("item", "a")), "a"

@@ -6840,6 +6840,67 @@ def q199_related_items_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(out_p, ignore_errors=True)
 
 
+def q206_related_items_gdpr_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDPR erasure on the related-items serving state
+    (graph.delete_from_related_items_state — r11 verdict #2: the one
+    serving surface that retained purged users' co-occurrence
+    signal): build the state over the FULL basket history, tombstone
+    a 10% order stripe (l_orderkey % 10 = 3 — a user-erasure batch,
+    ids only: the incidence comes from the state's own ledger, so
+    erasure works after the raw feed is deleted too), and serve the
+    top-k table. The oracle is O_Q188 over the SURVIVING baskets, so
+    the driver hash-verifies that ledger-driven delta subtraction —
+    the exact inverse of the q199 merge through the shared
+    _apply_ri_state_delta core — equals the from-scratch rebuild
+    without the tombstoned baskets: pairs whose support drops below
+    min_count disappear, items erased entirely vanish as both `item`
+    and `other`, partners re-rank."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.graph import (
+        build_related_items_state,
+        delete_from_related_items_state,
+        related_items_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    doomed = (
+        li.where(F.col("l_orderkey") % 10 == 3)
+        .select(F.col("l_orderkey").alias("basket"))
+        .distinct()
+    )
+    base_p = tempfile.mkdtemp(prefix="dlws_ri_full_")
+    out_p = tempfile.mkdtemp(prefix="dlws_ri_erased_")
+    try:
+        build_related_items_state(
+            li,
+            base_p,
+            basket_col="l_orderkey",
+            item_col="l_partkey",
+            k=5,
+            min_count=2,
+            n_buckets=32,
+        )
+        delete_from_related_items_state(spark, base_p, doomed, out_p)
+        out = related_items_topk(spark, out_p)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base_p, ignore_errors=True)
+        shutil.rmtree(out_p, ignore_errors=True)
+
+
+# O_Q188 over the surviving baskets — the q206 pin: the erased
+# state must serve exactly the rebuild WITHOUT the tombstoned stripe.
+O_Q206 = O_Q188.replace(
+    "FROM lineitem)",
+    "FROM lineitem WHERE l_orderkey % 10 <> 3)",
+    1,
+)
+
+
 # --- IVFPQ: the composite index family (round 11b) -----------------
 # DuckDB residual helper: (a - b) element-wise as a DOUBLE list —
 # IEEE subtraction is exactly rounded, so both engines produce
@@ -8503,6 +8564,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Same oracle as q113/q176/q192: the streamed-in IVF epochs must
     # serve the from-scratch budget-40 build bit-for-bit.
     "q205_streaming_vector_index": (q205_streaming_vector_index, O_Q113),
+    # GDPR erasure on the related-items state: the inverse of q199's
+    # merge; pinned to O_Q188 over the surviving baskets.
+    "q206_related_items_gdpr_delete": (
+        q206_related_items_gdpr_delete,
+        O_Q206,
+    ),
 }
 
 

@@ -1,10 +1,12 @@
 """End-to-end GDPR erasure composition — the deployment story the
 individually-gated parts (q177 IVF delete, q178 BM25 delete, q197 PQ
-delete, q202 IVFPQ delete, lakehouse delete_keys) add up to: ONE
-tombstone batch erases a key set from the versioned TABLE and from
-ALL FOUR serving indexes, and afterwards the five surfaces AGREE on
-the surviving id universe while no deleted id can surface from any
-top-k. README's lifecycle section points here."""
+delete, q202 IVFPQ delete, q206 related-items delete, lakehouse
+delete_keys) add up to: ONE tombstone batch erases a key set from the
+versioned TABLE, from ALL FOUR serving indexes, and from the
+related-items co-occurrence state (the fifth serving surface — r11
+verdict #2), and afterwards the surfaces AGREE on the surviving id
+universe while no deleted id can surface from any top-k. README's
+lifecycle section points here."""
 
 from __future__ import annotations
 
@@ -90,6 +92,28 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
         ivfpq_del,
         layout=layout,
     )
+    # fifth surface: the related-items co-occurrence state, keyed by
+    # the user's baskets (same tombstone ids as baskets); the delete
+    # is ledger-driven — ids only, no raw feed needed
+    from data_lake_with_spark_spark.operators import graph
+
+    ri_rows = [
+        (b, it)
+        for b in range(n)
+        for it in {b % 10, (b + 1) % 10, (b + 3) % 10}
+    ]
+    ri_df = spark.createDataFrame(ri_rows, ["basket", "item"])
+    ri_full, ri_del = str(tmp_path / "ri"), str(tmp_path / "ri_del")
+    graph.build_related_items_state(
+        ri_df, ri_full, k=5, min_count=2, n_buckets=16
+    )
+    graph.delete_from_related_items_state(
+        spark,
+        ri_full,
+        tomb.withColumnRenamed("doc_id", "basket"),
+        ri_del,
+        layout=layout,
+    )
 
     # 1) the three surfaces agree on the surviving id universe
     snap_ids = {
@@ -129,6 +153,24 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     expected = set(range(n)) - set(doomed)
     assert snap_ids == dl_ids == ivf_ids == expected
     assert pq_ids == ivfpq_ids == expected
+    ri_meta = cow.read_json(spark, graph._ri_meta_uri(ri_del))
+    ri_basket_ids = {
+        r["basket"]
+        for r in graph._ri_read(spark, ri_del, "baskets", ri_meta)
+        .select("basket")
+        .collect()
+    }
+    assert ri_basket_ids == expected
+    # and the served co-occurrence table carries NO purged-basket
+    # signal: it equals the rebuild over the surviving baskets
+    surv_ri = ri_df.where(~F.col("basket").isin(doomed))
+    got_ri = sorted(
+        map(tuple, graph.related_items_topk(spark, ri_del).collect())
+    )
+    exp_ri = sorted(
+        map(tuple, graph.related_items(surv_ri, k=5, min_count=2).collect())
+    )
+    assert got_ri == exp_ri and len(got_ri) > 0
 
     # 2) no deleted id surfaces from either serving top-k — queried
     # with the deleted docs' OWN content, the adversarial probe

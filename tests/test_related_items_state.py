@@ -144,3 +144,134 @@ def test_randomized_merge_chain_equals_rebuild(spark, tmp_path):
             )
         )
         assert got == exp and len(got) > 0
+
+
+@pytest.mark.parametrize("layout", ["links", "manifest"])
+def test_delete_equals_rebuild_over_survivors(spark, tmp_path, layout):
+    """GDPR erasure (delete_from_related_items_state): tombstoning a
+    basket-id set must serve bit-identical to a from-scratch
+    related_items over the SURVIVING baskets. Ledger-driven: the op
+    receives only ids — the incidence comes from the state's own
+    ledger, so erasure works after the raw feed is gone. Idempotent:
+    re-deleting the same ids is a no-op (contrast the merge's
+    raise-on-redelivery)."""
+    rnd = random.Random(99)
+    items = list(range(200, 250))
+    hist = _mk_baskets(rnd, range(200), items)
+    full_df = spark.createDataFrame(hist, ["basket", "item"])
+    # tombstone a narrow id set (a user's orders): buckets prune
+    victims = [3, 57, 121, 122]
+    ids_df = spark.createDataFrame([(b,) for b in victims], ["basket"])
+    surv_df = full_df.where(~F.col("basket").isin(victims))
+    base_p, out_p = str(tmp_path / "b"), str(tmp_path / "o")
+    graph.build_related_items_state(
+        full_df, base_p, k=5, min_count=2, n_buckets=64
+    )
+    stats = graph.delete_from_related_items_state(
+        spark, base_p, ids_df, out_p, layout=layout
+    )
+    got = _topk_rows(graph.related_items_topk(spark, out_p))
+    exp = _topk_rows(graph.related_items(surv_df, k=5, min_count=2))
+    assert got == exp and len(got) > 0
+    assert stats["deleted_basket_rows"] > 0
+    assert stats["affected_items"] >= 1
+    if layout == "links":
+        assert stats["linked_files"] > 0
+    # the ledger no longer holds the victims' rows (erasure at the
+    # resolved-view level; physical bytes go at compact+vacuum, gated
+    # in test_gdpr_pipeline.py)
+    meta = cow.read_json(spark, graph._ri_meta_uri(out_p))
+    led = graph._ri_read(spark, out_p, "baskets", meta)
+    assert led.where(F.col("basket").isin(victims)).count() == 0
+    # idempotent replay: same ids again → identical serving table
+    out2 = str(tmp_path / "o2")
+    graph.delete_from_related_items_state(
+        spark, out_p, ids_df, out2, layout=layout
+    )
+    assert _topk_rows(graph.related_items_topk(spark, out2)) == exp
+
+
+def test_delete_erases_item_entirely_and_interleaves_with_merge(
+    spark, tmp_path
+):
+    """(1) Deleting every basket that contains an item removes it
+    from the serving table as BOTH `item` and `other`; (2) a
+    merge→delete→merge manifest chain equals the rebuild over
+    (history ∪ batches) − tombstones at every step."""
+    rnd = random.Random(31)
+    items = list(range(40))
+    hist = _mk_baskets(rnd, range(80), items)
+    s0 = str(tmp_path / "s0")
+    graph.build_related_items_state(
+        spark.createDataFrame(hist, ["basket", "item"]),
+        s0, k=4, min_count=2, n_buckets=8,
+    )
+    live = list(hist)
+    # merge a batch
+    b1 = _mk_baskets(rnd, range(500, 515), items)
+    s1 = str(tmp_path / "s1")
+    graph.merge_related_items_state(
+        spark, s0, spark.createDataFrame(b1, ["basket", "item"]), s1,
+        layout="manifest",
+    )
+    live += b1
+    # delete: every basket containing item 7 (full erasure) plus two
+    # ordinary baskets
+    doomed_ids = sorted(
+        {b for (b, it) in live if it == 7} | {10, 501}
+    )
+    s2 = str(tmp_path / "s2")
+    graph.delete_from_related_items_state(
+        spark, s1,
+        spark.createDataFrame([(b,) for b in doomed_ids], ["basket"]),
+        s2, layout="manifest",
+    )
+    live = [(b, it) for (b, it) in live if b not in set(doomed_ids)]
+    got = graph.related_items_topk(spark, s2)
+    assert got.where(
+        (F.col("item") == 7) | (F.col("other") == 7)
+    ).count() == 0
+    assert _topk_rows(got) == _topk_rows(
+        graph.related_items(
+            spark.createDataFrame(live, ["basket", "item"]),
+            k=4, min_count=2,
+        )
+    )
+    # merge again on top of the delete
+    b2 = _mk_baskets(rnd, range(600, 612), items)
+    s3 = str(tmp_path / "s3")
+    graph.merge_related_items_state(
+        spark, s2, spark.createDataFrame(b2, ["basket", "item"]), s3,
+        layout="manifest",
+    )
+    live += b2
+    assert _topk_rows(graph.related_items_topk(spark, s3)) == _topk_rows(
+        graph.related_items(
+            spark.createDataFrame(live, ["basket", "item"]),
+            k=4, min_count=2,
+        )
+    )
+
+
+def test_delta_core_negative_support_raises(spark, tmp_path):
+    """The subtract path's integrity gate: deltas exceeding the
+    stored aggregate (impossible for a ledger-driven inversion;
+    reachable only through out-of-band state edits) raise instead of
+    writing a negative support."""
+    base_rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    base_p = str(tmp_path / "b")
+    graph.build_related_items_state(
+        spark.createDataFrame(base_rows, ["basket", "item"]),
+        base_p, k=3, min_count=1, n_buckets=4,
+    )
+    meta = cow.read_json(spark, graph._ri_meta_uri(base_p))
+    # phantom incidence: basket 9 was never merged, so subtracting
+    # its (a, b) pair under-runs the stored support of 1 twice
+    phantom = spark.createDataFrame(
+        [(9, "a"), (9, "b"), (1, "a"), (1, "b")], ["basket", "item"]
+    )
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        graph._apply_ri_state_delta(
+            spark, base_p, phantom, str(tmp_path / "o"), "links",
+            meta, sign=-1,
+        )
