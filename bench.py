@@ -49,6 +49,14 @@ SKIP = {
     # serving plan — exercised in tests + the oracle gate.
     "q204_streaming_index_maintenance",
     "q205_streaming_vector_index",
+    "q207_streaming_related_items",
+    # quantizer retrain = a PLANNED FULL REBUILD inside the lifecycle
+    # (build epoch + manifest delete + retrain re-encode = two full
+    # corpus encodes per invocation, by definition the rare drift-
+    # recovery op, not a serving or per-batch maintenance plan); its
+    # serving plan is q200's (benched) and its build plan is q200's
+    # build (priced in-entry by the benched q201).
+    "q208_ivfpq_retrain",
     # same semantics as q33_dedup_clusters (which IS benched) through
     # the iterative distributed CC branches: on local mode their cost
     # is pure per-round scheduler latency, which measures the

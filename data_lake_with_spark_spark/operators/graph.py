@@ -1213,6 +1213,40 @@ def delete_from_related_items_state(
     return stats
 
 
+def compact_related_items_state(spark, path: str, out_path: str) -> dict:
+    """Collapse a related-items state (plain, link-promoted, or a
+    MANIFEST epoch chain) into one self-contained plain layout at
+    ``out_path`` — the same vacuum/OPTIMIZE step as
+    ``compact_ivf_index``: after compaction the old epoch directories
+    are deletable (caller retires them once readers quiesce — or the
+    streaming ingest's ``vacuum_on_compact`` does it in-stream).
+    Serving from the compacted state is bit-identical by construction
+    (it rewrites the RESOLVED view of every component, meta sidecar
+    carried verbatim). NOTE the ledger is history-sized (the full
+    incidence), so a compact rewrites it whole — that is the
+    compaction cost every self-contained epoch pays, and why
+    ``compact_every`` is a cadence knob, not a per-batch step."""
+    from data_lake_with_spark_spark.sources import cow
+
+    stats = cow.compact_index_component(
+        spark, path, out_path, "pairs", "pair_bucket"
+    )
+    cow.compact_index_component(
+        spark, path, out_path, "items", "item_bucket"
+    )
+    cow.compact_index_component(
+        spark, path, out_path, "baskets", "basket_bucket"
+    )
+    cow.compact_index_component(
+        spark, path, out_path, "topk", "item_bucket"
+    )
+    meta = cow.read_json(spark, _ri_meta_uri(path))
+    if meta is None:
+        raise FileNotFoundError(f"no ri_meta.json under {path!r}")
+    cow.write_json(spark, _ri_meta_uri(out_path), meta)
+    return stats
+
+
 def _apply_ri_state_delta(
     spark,
     base_path: str,

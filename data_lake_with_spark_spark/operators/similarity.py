@@ -2719,6 +2719,188 @@ def compact_ivfpq_index(spark, index_path: str, out_path: str) -> dict:
     return stats
 
 
+# --- retrain-and-reindex: the epoch op the frozen quantizers need ---
+# (r11 verdict #3): every index family freezes its coarse centroids /
+# PQ codebooks at build time and RAISES on replacement — correct for
+# maintenance, but after many epochs of churn the frozen quantizer's
+# recall decays (deleted stripe ids leave cells anchored on vectors
+# that no longer exist; inserted mass lands in cells trained on an
+# older distribution). Retrain = train a FRESH quantizer on the
+# CURRENT resolved corpus, re-encode everything, and publish the
+# result as one new epoch under the lifecycle root — a planned
+# rebuild INSIDE the pointer lifecycle (readers re-resolve
+# get_current and never see a partial index), not a cold out-of-band
+# one. This is FAISS's retrain≙rebuild doctrine made an epoch op.
+
+
+def _retrain_guard_ids(spark, idx_ids, corpus, id_col: str) -> None:
+    """The retrain corpus must carry EXACTLY the index's current id
+    set: an extra id would resurrect a deleted vector (a GDPR
+    violation — erasure must survive the retrain), a missing id
+    would silently drop a live one. Raises on either."""
+    sup_ids = corpus.select(F.col(id_col)).distinct()
+    extra = sup_ids.exceptAll(idx_ids).limit(1).count()
+    missing = idx_ids.exceptAll(sup_ids).limit(1).count()
+    if extra or missing:
+        raise ValueError(
+            "retrain: the supplied corpus's id set differs from the "
+            "index's current id set "
+            f"({'extra ids — would RESURRECT deleted vectors (GDPR)' if extra else 'missing ids — would silently DROP live vectors'}); "
+            "pass the vector table filtered to exactly the ids the "
+            "index serves"
+        )
+
+
+def retrain_ivf_index(
+    spark,
+    root: str,
+    centroid_mod: int = 50,
+    target_centroids: int | None = None,
+    vec_dim: int | None = None,
+    vacuum: bool = True,
+) -> dict:
+    """Retrain the IVF coarse quantizer on the lifecycle root's
+    CURRENT corpus — self-contained: IVF lists store full vectors, so
+    the op reads the resolved corpus from the current epoch, trains
+    fresh centroids via :func:`build_ivf_index`'s stripe rule over
+    the CURRENT id set (``target_centroids`` re-derives the mod from
+    the current count — the budget rule tracks churn), re-encodes as
+    one new plain epoch, re-points the pointer LAST, and (default)
+    vacuums the superseded chain — pass ``vacuum=False`` and vacuum
+    out-of-band when long-running readers hold older epochs (the
+    ``cow.vacuum_index`` quiesce discipline). Merges resume against
+    the NEW frozen quantizer. Returns {"epoch", "n_vectors",
+    "n_centroids"[, "vacuum"]}."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cur = cow.get_current(spark, root)
+    corpus = (
+        cow.read_component(spark, cur, "lists")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    epoch = cow.new_epoch_path(spark, root, label="retrain")
+    build_ivf_index(
+        corpus, epoch, centroid_mod=centroid_mod, vec_dim=vec_dim,
+        target_centroids=target_centroids,
+    )
+    cow.set_current(spark, root, epoch)
+    out = {
+        "epoch": epoch,
+        "n_vectors": corpus.count(),
+        "n_centroids": spark.read.parquet(f"{epoch}/centroids").count(),
+    }
+    if vacuum:
+        out["vacuum"] = cow.vacuum_index(
+            spark, root, ["lists", "centroids"]
+        )
+    return out
+
+
+def retrain_pq_index(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    target_codes: int | None = None,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vacuum: bool = True,
+) -> dict:
+    """Retrain the PQ codebooks on the CURRENT corpus — PQ codes are
+    LOSSY (the original vectors are not recoverable from the index),
+    so the caller supplies the vector table; the op validates its id
+    set EQUALS the index's current ids (extra ids would resurrect
+    deleted vectors — erasure must survive the retrain; missing ids
+    would drop live ones) and then rebuilds fresh codebooks + codes
+    as one new epoch under the root, pointer re-pointed last.
+    ``n_buckets`` None carries the base layout's bucket count (the
+    meta sidecar). See :func:`retrain_ivf_index` for the vacuum
+    caveat. Returns {"epoch", "n_vectors"[, "vacuum"]}."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cur = cow.get_current(spark, root)
+    idx_ids = (
+        cow.read_component(spark, cur, "codes")
+        .select(F.col(id_col))
+        .distinct()
+    )
+    _retrain_guard_ids(spark, idx_ids, corpus, id_col)
+    meta = cow.read_json(spark, _pq_meta_uri(cur)) or {}
+    nb = n_buckets if n_buckets is not None else meta.get("n_buckets", 32)
+    epoch = cow.new_epoch_path(spark, root, label="retrain")
+    build_pq_index(
+        corpus, epoch, dim=dim, m=m, centroid_mod=centroid_mod,
+        target_codes=target_codes, n_buckets=nb,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cow.set_current(spark, root, epoch)
+    out = {"epoch": epoch, "n_vectors": corpus.count()}
+    if vacuum:
+        out["vacuum"] = cow.vacuum_index(spark, root, ["codes", "codebooks"])
+    return out
+
+
+def retrain_ivfpq_index(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    target_centroids: int | None = None,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+    vacuum: bool = True,
+    strict_layout: bool = False,
+) -> dict:
+    """Retrain the IVFPQ composite's DOUBLY-frozen quantizer (coarse
+    centroids AND residual codebooks) on the CURRENT corpus — the
+    full drift recovery for the production serving family: both seed
+    stripes re-derive from the current id set (``target_centroids``
+    re-computes the mod from the current count), residuals re-center
+    against the new cells, codes re-encode, and the result publishes
+    as one new epoch under the root with the pointer re-pointed LAST.
+    Codes are lossy, so the caller supplies the vector table; its id
+    set must EQUAL the index's current ids (validated — extra ids
+    would resurrect deleted vectors, missing ids would drop live
+    ones). ``n_buckets`` None carries the base layout's bucket count.
+    Recall impact is measured, not assumed: tools/pq_ri_probe.py's
+    drift stripe reports recall@5 before/after (MEASUREMENTS_r12).
+    See :func:`retrain_ivf_index` for the vacuum caveat. Returns
+    {"epoch", "n_vectors"[, "vacuum"]}."""
+    from data_lake_with_spark_spark.sources import cow
+
+    cur = cow.get_current(spark, root)
+    idx_ids = (
+        cow.read_component(spark, cur, "codes")
+        .select(F.col(id_col))
+        .distinct()
+    )
+    _retrain_guard_ids(spark, idx_ids, corpus, id_col)
+    meta = cow.read_json(spark, _ivfpq_meta_uri(cur)) or {}
+    nb = n_buckets if n_buckets is not None else meta.get("n_buckets", 32)
+    epoch = cow.new_epoch_path(spark, root, label="retrain")
+    build_ivfpq_index(
+        corpus, epoch, dim=dim, m=m, centroid_mod=centroid_mod,
+        target_centroids=target_centroids, n_buckets=nb,
+        id_col=id_col, vec_col=vec_col, vec_dim=vec_dim,
+        strict_layout=strict_layout,
+    )
+    cow.set_current(spark, root, epoch)
+    out = {"epoch": epoch, "n_vectors": corpus.count()}
+    if vacuum:
+        out["vacuum"] = cow.vacuum_index(
+            spark, root, ["codes", "codebooks", "centroids"]
+        )
+    return out
+
+
 def truncated_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

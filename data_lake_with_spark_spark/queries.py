@@ -6901,6 +6901,69 @@ O_Q206 = O_Q188.replace(
 )
 
 
+def q207_streaming_related_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming related-items maintenance
+    (streaming/events.related_items_maintenance_ingest — r11 verdict
+    #7: the last serving table without a streaming maintenance twin):
+    the basket history arrives as THREE parquet micro-batches of
+    whole orders (disjoint l_orderkey stripes); batch 0 builds the
+    state, batches 1–2 manifest-merge under the lifecycle root
+    (pair/item supports sum into the batch's hash buckets, top-k
+    recomputes for affected items only), set_current re-points LAST.
+    The oracle is O_Q188 VERBATIM: a history streamed in as
+    incremental epochs must serve bit-identically to the from-scratch
+    q188 query over the union (batch-split invariance composed with
+    the epoch lifecycle, co-occurrence side). Replay safety:
+    at-least-once foreachBatch retries re-deliver whole batches,
+    which the ingest verifies incidence-identical against the ledger
+    and SKIPS (the merge itself raises on re-delivery — only the
+    ingest can tell a retry from a source bug)."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.graph import (
+        related_items_topk,
+    )
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        related_items_maintenance_ingest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    stage = tempfile.mkdtemp(prefix="dlws_stream_ri_stage_")
+    root = tempfile.mkdtemp(prefix="dlws_stream_ri_root_")
+    cp = tempfile.mkdtemp(prefix="dlws_stream_ri_cp_")
+    try:
+        # three deterministic batch files: whole orders per stripe
+        # (disjoint basket ids — the stream-wide uniqueness contract)
+        for part in range(3):
+            li.where(F.col("basket") % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = related_items_maintenance_ingest(
+            stream, root, k=5, min_count=2, n_buckets=32,
+            checkpoint_dir=cp,
+        )
+        q.awaitTermination()
+        out = related_items_topk(spark, cow.get_current(spark, root))
+        # pin before the lifecycle root vanishes (the q102 pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 # --- IVFPQ: the composite index family (round 11b) -----------------
 # DuckDB residual helper: (a - b) element-wise as a DOUBLE list —
 # IEEE subtraction is exactly rounded, so both engines produce
@@ -7330,6 +7393,84 @@ O_Q202 = O_Q200.replace(
 )
 if O_Q202 == O_Q200:  # pragma: no cover
     raise AssertionError("O_Q202 anchor text missing from O_Q200")
+
+
+def q208_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer RETRAIN on the IVFPQ lifecycle root
+    (similarity.retrain_ivfpq_index — r11 verdict #3: the last
+    index-lifecycle gap; all four families freeze their quantizers at
+    build time, so after churn the only recovery was a cold
+    out-of-band rebuild): build the full-corpus index as epoch 0,
+    manifest-DELETE the GDPR stripe (vec_id % 9 = 4 — drift: the
+    frozen quantizer still anchors on the full corpus's seed
+    stripes), then RETRAIN — both seed stripes re-derive from the
+    SURVIVING id set (target_centroids=40 re-computes the mod from
+    the surviving count), residuals re-center, codes re-encode, and
+    the result publishes as one new epoch with the pointer re-pointed
+    LAST; the superseded chain vacuums. The oracle is O_Q200 with
+    EVERY embeddings scan restricted to the survivors — the whole
+    pipeline (budget mod, centroid stripe, codebook stripe, encode,
+    probes) re-derived from the current corpus, i.e. a from-scratch
+    rebuild with the NEW quantizer, which the retrained epoch must
+    serve bit-for-bit. The id-set guard (erasure survives the
+    retrain) and merge-after-retrain are gated in
+    tests/test_retrain_index.py; recall@5 before/after is MEASURED on
+    the drifted probe (tools/pq_ri_probe.py, MEASUREMENTS_r12)."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_topk_indexed,
+        retrain_ivfpq_index,
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    survivors = emb.where(F.col("vec_id") % 9 != 4)
+    root = tempfile.mkdtemp(prefix="dlws_ivfpq_retrain_root_")
+    try:
+        e0 = cow.new_epoch_path(spark, root)
+        build_ivfpq_index(
+            emb, e0, dim=_PQ_DIM, m=_PQ_M, target_centroids=40,
+            n_buckets=8,
+        )
+        cow.set_current(spark, root, e0)
+        e1 = cow.new_epoch_path(spark, root, label="gdpr")
+        delete_from_ivfpq_index(
+            spark,
+            cow.get_current(spark, root),
+            emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
+            e1,
+            layout="manifest",
+        )
+        cow.set_current(spark, root, e1)
+        retrain_ivfpq_index(
+            spark, root, survivors, dim=_PQ_DIM, m=_PQ_M,
+            target_centroids=40,
+        )
+        out = ivfpq_topk_indexed(
+            spark,
+            cow.get_current(spark, root),
+            survivors.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=4,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# O_Q208: O_Q200 with EVERY embeddings scan restricted to the
+# survivors — budget mod, seed stripes, encode, and probes all
+# re-derive from the current corpus (the retrained-quantizer rebuild).
+O_Q208 = O_Q200.replace(
+    "FROM embeddings",
+    "FROM (SELECT * FROM embeddings WHERE vec_id % 9 <> 4)",
+)
+if O_Q208 == O_Q200:  # pragma: no cover
+    raise AssertionError("O_Q208 anchor text missing from O_Q200")
 
 
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8570,6 +8711,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q206_related_items_gdpr_delete,
         O_Q206,
     ),
+    # Streaming related-items maintenance: epochs streamed in must
+    # serve the from-scratch q188 build bit-for-bit.
+    "q207_streaming_related_items": (q207_streaming_related_items, O_Q188),
+    # Quantizer retrain: the drifted lifecycle root re-trained on the
+    # surviving corpus must serve the survivors-only rebuild.
+    "q208_ivfpq_retrain": (q208_ivfpq_retrain, O_Q208),
 }
 
 
@@ -8832,6 +8979,21 @@ _ROTATED_IN = (
     "q200_ivfpq_indexed",
     "q201_ivfpq_merge",
     "q202_ivfpq_delete",
+    # round 12: the r11 verdict's #1 (the only entries never
+    # driver-hard-verified: IVFPQ rerank serving + both streaming
+    # index-maintenance shapes) plus the two new round-12 classes —
+    # GDPR erasure on the related-items state (q206, O_Q188 over the
+    # survivors) and streaming related-items maintenance (q207,
+    # O_Q188 verbatim). Promoted after 3-SF oracle sweeps + a full
+    # driver_sim replay, per the standing discipline.
+    "q203_ivfpq_rerank",
+    "q204_streaming_index_maintenance",
+    "q205_streaming_vector_index",
+    "q206_related_items_gdpr_delete",
+    "q207_streaming_related_items",
+    # round 12b: the quantizer-retrain epoch op (q208, O_Q200 over
+    # the survivors — the retrained-quantizer rebuild pin).
+    "q208_ivfpq_retrain",
 )
 _ROTATED_OUT = (
     # round 4
@@ -9146,6 +9308,30 @@ _ROTATED_OUT = (
     "q181_hits_copurchase",
     "q166_compaction_plan",
     "q127_shard_assignment",
+    # round 12 demotions — all five driver-hard verified in r11's
+    # window (CORRECTNESS_r11 50/50), untouched in r12 except through
+    # shared paths their replacements re-verify harder. PQ merge q196
+    # out (the PQ family keeps q195 serve + q197 delete in-window;
+    # the doubly-frozen IVFPQ merge q201 gates the shared codebook
+    # contract); BM25 incremental q171 out (retrieval keeps
+    # q140/q161/q178/q193, and incoming q204 exercises the SAME
+    # merge_bm25_index path per micro-batch); IVF incremental q176
+    # out (dense side keeps q177/q192/q198, incoming q205 streams the
+    # same merge_ivf_index); hub-clustering q189 out (graph keeps the
+    # triangle machinery in-window via q186 plus
+    # q175/q180/q186/q187/q190/q191/q194); streaming-conversions q107
+    # out (the streaming family's window representation triples via
+    # q204/q205/q207).
+    "q196_pq_merge",
+    "q171_bm25_incremental",
+    "q176_ivf_incremental",
+    "q189_hub_clustering",
+    "q107_streaming_conversions",
+    # round 12b demotion — driver-hard verified in r11's window,
+    # untouched in r12; profiling keeps q158 (key uniqueness) + q182
+    # (FD audit) in-window, and the grouped-OLS trend stays
+    # value-verified in the local sweep + pytest.
+    "q154_revenue_trend",
 )
 
 

@@ -744,6 +744,152 @@ def vector_index_maintenance_ingest(
     )
 
 
+def related_items_maintenance_ingest(
+    stream_baskets: DataFrame,
+    root: str,
+    k: int = 5,
+    min_count: int = 1,
+    n_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    vacuum_on_compact: bool = True,
+) -> "object":
+    """Continuous maintenance of the related-items SERVING state from
+    a (basket, item) stream — the co-occurrence twin of
+    :func:`index_maintenance_ingest` (r11 verdict #7: the last
+    serving table without a streaming maintenance shape). Batch 0
+    builds the state (``graph.build_related_items_state``); every
+    later micro-batch of NEW baskets manifest-merges
+    (``merge_related_items_state``: pair/item supports sum into
+    exactly the batch's hash buckets, top-k recomputes for affected
+    items only) as one epoch under the lifecycle root;
+    ``cow.set_current`` re-points LAST so serving fleets always
+    resolve a complete state.
+
+    Replay semantics (at-least-once foreachBatch) — DECIDED AS SKIP,
+    not raise, and here is why the two ingests differ: the merge
+    itself must RAISE on a re-delivered basket id (double-counting
+    silently inflates supports, and the merge cannot tell a
+    delivery-layer retry from a source bug). The INGEST however can:
+    ``set_current`` is the state's commit point and runs before the
+    checkpoint commit, so a crash between them re-delivers a batch
+    whose baskets are either ALL in the ledger (applied — the retry
+    shape) or NONE (never applied). An all-in batch is verified
+    INCIDENCE-IDENTICAL against the ledger (same basket ids with
+    different items is a source corruption → raise) and then skipped
+    as a no-op; a PARTIAL overlap cannot be a retry, so it raises —
+    basket ids must be unique across the stream's batches.
+
+    ``compact_every`` bounds the manifest chain exactly as in
+    :func:`index_maintenance_ingest` (the chain-since-last-compact
+    gate, with ``vacuum_on_compact``'s quiesce caveat) via
+    ``graph.compact_related_items_state``. Note the compaction
+    rewrites the history-sized ledger whole — size the cadence
+    accordingly. ``k``/``min_count``/``n_buckets`` apply to the FIRST
+    build only (merges read them back from the meta sidecar).
+    Returns the started ``availableNow`` query."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import graph as _graph
+    from data_lake_with_spark_spark.sources import cow
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select("basket", "item").distinct().localCheckpoint()
+        )
+        epoch = cow.new_epoch_path(spark, root, label=f"b{batch_id}")
+        try:
+            cur = cow.get_current(spark, root)
+        except FileNotFoundError:
+            kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+            _graph.build_related_items_state(
+                batch, epoch, k=k, min_count=min_count, **kw
+            )
+        else:
+            meta = cow.read_json(spark, _graph._ri_meta_uri(cur))
+            nbk = meta["n_buckets"]
+            ids = batch.select("basket").distinct()
+            ch = sorted(
+                r["b"]
+                for r in ids.select(
+                    _graph._ri_bucket(["basket"], nbk).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            bfilter = (
+                F.col("basket_bucket").isin(ch) if ch else F.lit(False)
+            )
+            seen_rows = (
+                _graph._ri_read(spark, cur, "baskets", meta)
+                .where(bfilter)
+                .join(ids, "basket", "left_semi")
+                .select("basket", "item")
+                .localCheckpoint()
+            )
+            n_seen = seen_rows.select("basket").distinct().count()
+            if n_seen > 0:
+                if n_seen < ids.count():
+                    raise ValueError(
+                        "related_items_maintenance_ingest: batch "
+                        "overlaps the ledger PARTIALLY — a "
+                        "delivery-layer retry re-delivers a whole "
+                        "batch (the state commits atomically at "
+                        "set_current), so partial overlap means the "
+                        "source re-used basket ids across batches; "
+                        "basket ids must be unique stream-wide"
+                    )
+                # full overlap = the crash-between-set_current-and-
+                # checkpoint retry — verify the incidence is
+                # IDENTICAL, then skip as a no-op
+                if (
+                    seen_rows.exceptAll(batch).limit(1).count() > 0
+                    or batch.exceptAll(seen_rows).limit(1).count() > 0
+                ):
+                    raise ValueError(
+                        "related_items_maintenance_ingest: replayed "
+                        "batch carries the SAME basket ids with "
+                        "DIFFERENT items than the ledger — not a "
+                        "retry but a source corruption; rebuild from "
+                        "the source history"
+                    )
+                return
+            _graph.merge_related_items_state(
+                spark, cur, batch, epoch, layout="manifest"
+            )
+        cow.set_current(spark, root, epoch)
+        if (
+            compact_every is not None
+            and _epochs_since_compact(spark, root) >= compact_every
+        ):
+            flat = cow.new_epoch_path(spark, root, label="compact")
+            _graph.compact_related_items_state(
+                spark, cow.get_current(spark, root), flat
+            )
+            cow.set_current(spark, root, flat)
+            if vacuum_on_compact:
+                cow.vacuum_index(
+                    spark, root, ["pairs", "items", "baskets", "topk"]
+                )
+
+    return (
+        stream_baskets.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(tempfile.mkdtemp(prefix="ri_ingest_"), "cp"),
+        )
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

