@@ -295,3 +295,79 @@ def test_gdpr_physical_erasure_delete_compact_vacuum(spark, tmp_path):
         map(tuple, text.bm25_topk_indexed(spark, scratch, qs, k=5).collect())
     )
     assert got == exp and len(got) > 0
+
+
+def test_gdpr_physical_erasure_related_items_state(spark, tmp_path):
+    """The regulatory tail for the FIFTH surface: a manifest-layout
+    related-items delete is pointer-level (earlier epochs still hold
+    the pre-delete ledger/pair bytes), so physical erasure = delete →
+    compact → set_current → vacuum. Afterwards the only epoch left is
+    the compacted one, no surviving file holds the tombstoned basket
+    ids, and serving equals a from-scratch build over the survivors."""
+    import os
+
+    from data_lake_with_spark_spark.operators import graph
+    from data_lake_with_spark_spark.sources import cow
+
+    rows = [
+        (b, it)
+        for b in range(120)
+        for it in {b % 9, (b + 2) % 9, (b + 5) % 9}
+    ]
+    ri = spark.createDataFrame(rows, ["basket", "item"])
+    doomed = [7, 31, 64]
+    tomb = spark.createDataFrame([(b,) for b in doomed], ["basket"])
+    root = str(tmp_path / "root")
+
+    e0 = cow.new_epoch_path(spark, root)
+    graph.build_related_items_state(ri, e0, k=4, min_count=2, n_buckets=8)
+    cow.set_current(spark, root, e0)
+
+    e1 = cow.new_epoch_path(spark, root, label="gdpr")
+    graph.delete_from_related_items_state(
+        spark, cow.get_current(spark, root), tomb, e1, layout="manifest"
+    )
+    cow.set_current(spark, root, e1)
+    # pointer-level: pre-delete ledger bytes still exist in e0
+    stale = {
+        r["basket"]
+        for r in spark.read.parquet(f"{e0}/baskets").select("basket").collect()
+    }
+    assert set(doomed) <= stale
+
+    e2 = cow.new_epoch_path(spark, root, label="compact")
+    graph.compact_related_items_state(
+        spark, cow.get_current(spark, root), e2
+    )
+    cow.set_current(spark, root, e2)
+    vac = cow.vacuum_index(
+        spark, root, ["pairs", "items", "baskets", "topk"]
+    )
+    assert sorted(vac["removed"]) == sorted(
+        os.path.basename(p) for p in (e0, e1)
+    )
+    assert cow.list_epochs(spark, root) == [os.path.basename(e2)]
+    # physical: no file under the root carries the doomed basket ids
+    led = {
+        r["basket"]
+        for r in spark.read.parquet(f"{e2}/baskets").select("basket").collect()
+    }
+    assert led.isdisjoint(doomed)
+    # serving from the pointer equals the survivors-only rebuild
+    surv = ri.where(~F.col("basket").isin(doomed))
+    scratch = str(tmp_path / "scratch")
+    graph.build_related_items_state(
+        surv, scratch, k=4, min_count=2, n_buckets=8
+    )
+    got = sorted(
+        map(
+            tuple,
+            graph.related_items_topk(
+                spark, cow.get_current(spark, root)
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, graph.related_items_topk(spark, scratch).collect())
+    )
+    assert got == exp and len(got) > 0

@@ -83,6 +83,7 @@ def main() -> int:
         "--ri-only" in sys.argv
         or "--no-pq" in sys.argv
         or "--ivfpq-only" in sys.argv
+        or "--retrain-only" in sys.argv
     )
     for n in ([] if skip_pq else ([10_000] if quick else [10_000, 100_000])):
         emb = mk_emb(n)
@@ -179,7 +180,9 @@ def main() -> int:
     #   (b) SERVE axis: few buckets (16), 256 cells → nprobe/n_cells
     #       pruning vs the flat PQ family's compressed FULL scan.
     # ------------------------------------------------------------------
-    run_ivfpq = "--ri-only" not in sys.argv
+    run_ivfpq = (
+        "--ri-only" not in sys.argv and "--retrain-only" not in sys.argv
+    )
     for n in ([10_000] if quick else [10_000, 100_000]) if run_ivfpq else []:
         emb = mk_emb(n)
         maint_idx = tempfile.mkdtemp(prefix="ivfpqp_maint_")
@@ -327,6 +330,131 @@ def main() -> int:
                 shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------------
+    # 1c) quantizer-retrain recall probe (r11 verdict #3): a DRIFTED
+    # corpus — two-cluster mixture, then 90% of cluster 0 erased — so
+    # the frozen coarse quantizer anchors ~half its cells on a
+    # distribution that is mostly gone (deleted stripe ids keep their
+    # anchors, the FAISS remove_ids contract). Measured: recall@5 of
+    # the served IVFPQ top-k against exact squared-L2 ground truth
+    # over the SURVIVORS, before vs after retrain_ivfpq_index, plus
+    # the retrain wall. The claim: retrain recovers the recall the
+    # drift cost, at one planned re-encode.
+    # ------------------------------------------------------------------
+    run_retrain = not any(
+        f in sys.argv for f in ("--ri-only", "--ivfpq-only", "--pq-only")
+    )
+    for n in ([10_000] if quick else [100_000]) if run_retrain else []:
+        from pyspark.sql import Window as _W
+
+        # 64 tight clusters (hash-spread centers ±2, within-cluster
+        # noise ±0.1): a query's true top-5 are its own-cluster
+        # members, so recall@5 measures whether the PROBED cells
+        # contain the query's cluster — the coarse-quantizer-quality
+        # signal retraining is supposed to restore. (On isotropic
+        # noise exact-NN recall under 8-subspace compression is
+        # near-random in BOTH states — the first probe design — and
+        # no quantizer can show through.) Drift: 90% of clusters
+        # 0–31 erased, so half the frozen centroids anchor mostly-
+        # dead mass while the live mass shares the other half;
+        # retrain re-spreads all 64 cells over the survivors.
+        cl = F.col("id") % 64
+        emb = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: (
+                        (F.abs(F.xxhash64(cl, i)) % 1000) / F.lit(250.0)
+                        - F.lit(2.0)
+                        + (F.abs(F.xxhash64(F.col("id"), i)) % 1000)
+                        / F.lit(5000.0)
+                        - F.lit(0.1)
+                    ),
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+        doomed_pred = (F.col("vec_id") % 64 < 32) & (
+            F.col("vec_id") % 10 != 0
+        )
+        survivors = emb.where(~doomed_pred).localCheckpoint()
+        root = tempfile.mkdtemp(prefix="retrainp_root_")
+        try:
+            from data_lake_with_spark_spark.sources import cow as _cow
+
+            e0 = _cow.new_epoch_path(spark, root)
+            similarity.build_ivfpq_index(
+                emb, e0, dim=dim, m=m, target_centroids=64,
+                n_buckets=16, vec_dim=dim,
+            )
+            _cow.set_current(spark, root, e0)
+            e1 = _cow.new_epoch_path(spark, root, label="drift")
+            similarity.delete_from_ivfpq_index(
+                spark, e0, emb.where(doomed_pred).select("vec_id"), e1,
+                layout="manifest",
+            )
+            _cow.set_current(spark, root, e1)
+            # queries: 20 survivors of the erased clusters (the
+            # minority whose cells went stale) + 20 live-cluster
+            qs = survivors.where(
+                (F.col("vec_id") % 64 < 32) & (F.col("vec_id") < 2000)
+            ).limit(20).unionByName(
+                survivors.where(
+                    (F.col("vec_id") % 64 >= 32) & (F.col("vec_id") < 2000)
+                ).limit(20)
+            ).localCheckpoint()
+            # exact squared-L2 ground truth over the survivors
+            q2 = qs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+            w_t = _W.partitionBy("query_id").orderBy(
+                F.col("d").asc(), F.col("vec_id").asc()
+            )
+            truth = {
+                (r["query_id"], r["vec_id"])
+                for r in q2.crossJoin(survivors)
+                .withColumn(
+                    "d", similarity.l2sq_expr("qv", "embedding")
+                )
+                .withColumn("rn", F.row_number().over(w_t))
+                .where(F.col("rn") <= 5)
+                .select("query_id", "vec_id")
+                .collect()
+            }
+
+            def recall(path):
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in similarity.ivfpq_topk_indexed(
+                        spark, path, qs, k=5, nprobe=8
+                    ).collect()
+                }
+                return round(len(got & truth) / max(1, len(truth)), 4)
+
+            rec_before = recall(_cow.get_current(spark, root))
+            t0 = time.time()
+            similarity.retrain_ivfpq_index(
+                spark, root, survivors, dim=dim, m=m,
+                target_centroids=64, vec_dim=dim,
+            )
+            retrain_s = round(time.time() - t0, 2)
+            rec_after = recall(_cow.get_current(spark, root))
+            out[f"retrain_n{n}"] = {
+                "n_corpus": n,
+                "n_survivors": survivors.count(),
+                "n_queries": qs.count(),
+                "nprobe": 8,
+                "recall5_drifted": rec_before,
+                "recall5_retrained": rec_after,
+                "retrain_s": retrain_s,
+            }
+            print(json.dumps({f"retrain_n{n}": out[f"retrain_n{n}"]}))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    # ------------------------------------------------------------------
     # 2) related-items incremental vs rebuild, two decades
     # ------------------------------------------------------------------
     def mk_baskets(n_baskets, n_items, start=0, skew=False):
@@ -365,7 +493,7 @@ def main() -> int:
     shapes = [("sparse", 1), ("dense", 15)]
     ri_rungs = (
         []
-        if "--ivfpq-only" in sys.argv
+        if ("--ivfpq-only" in sys.argv or "--retrain-only" in sys.argv)
         else ([30_000] if quick else [30_000, 300_000, 3_000_000])
     )
     for n_b in ri_rungs:
@@ -414,6 +542,25 @@ def main() -> int:
                     shutil.rmtree(p, ignore_errors=True)
 
             rebuild_s, _ = _min2(do_rebuild)
+            # GDPR-delete leg (round 12): tombstone 30 HISTORY baskets
+            # (ledger-driven — ids only), same batch-proportionality
+            # contract as the merge; rebuild comparator = build over
+            # the survivors
+            del_p = tempfile.mkdtemp(prefix="rip_del_")
+            doomed = hist.select("basket").distinct().where(
+                F.col("basket") % (n_b // 30) == 7
+            ).limit(30).localCheckpoint()
+
+            def do_delete():
+                shutil.rmtree(del_p, ignore_errors=True)
+                return graph.delete_from_related_items_state(
+                    spark, base_p, doomed, del_p
+                )
+
+            del_s, st_del = _min2(do_delete)
+            w_pairs_d = cow.written_bytes(f"{del_p}/pairs")
+            w_topk_d = cow.written_bytes(f"{del_p}/topk")
+            shutil.rmtree(del_p, ignore_errors=True)
             out[f"ri_{shape}_b{n_b}"] = {
                 "n_hist_baskets": n_b,
                 "shape": shape,
@@ -433,6 +580,14 @@ def main() -> int:
                 ),
                 "topk_written_fraction": round(
                     w_topk / max(1, _dir_bytes(f"{base_p}/topk")), 4
+                ),
+                "delete_s": del_s,
+                "delete_affected_items": st_del["affected_items"],
+                "delete_pairs_written_fraction": round(
+                    w_pairs_d / max(1, _dir_bytes(f"{base_p}/pairs")), 4
+                ),
+                "delete_topk_written_fraction": round(
+                    w_topk_d / max(1, _dir_bytes(f"{base_p}/topk")), 4
                 ),
             }
             print(json.dumps({f"ri_{shape}_b{n_b}": out[f"ri_{shape}_b{n_b}"]}))
