@@ -324,16 +324,22 @@ def _triangles(
     ``members`` (optional, SMALL — a top-k hub list, bounded by the
     caller's k) restricts output to triangles with at least one
     vertex in the list. The restriction is pushed INTO wedge
-    generation, not applied after it: one branch per hub position
-    (u / v / w) pre-filters that side of the wedge join, so each
-    branch PRODUCES only hub-neighborhood-sized output —
-    Σ C(outdeg_h, 2) for hub sources plus Σ outdeg over the hubs'
-    wedge partners — instead of the full ΣC(outdeg, 2) wedge set a
-    post-join filter would still have to generate (measured: the
-    post-join filter saved only the closing shuffle, 22s → 18s at
-    sf0.1; the three-branch pushdown is what removes the production
-    cost itself). Branches overlap on multi-hub triangles, so the
-    union dedups on (u, v, w) before closing."""
+    generation, not applied after it: each branch pre-filters one
+    side of the wedge join, so each branch PRODUCES only
+    hub-neighborhood-sized output — Σ C(outdeg_h, 2) for hub sources
+    plus Σ outdeg over the hubs' wedge partners — instead of the full
+    ΣC(outdeg, 2) wedge set a post-join filter would still have to
+    generate (measured: the post-join filter saved only the closing
+    shuffle, 22s → 18s at sf0.1; the branch pushdown is what removes
+    the production cost itself). The branches are DISJOINT BY
+    CONSTRUCTION — (u∈H ∨ v∈H) wedges vs ¬(u∈H ∨ v∈H) ∧ w∈H wedges —
+    so the union needs NO distinct: the round-12 local sweep caught a
+    rare flake (~1 session in 3) where the previous three-OVERLAPPING-
+    branch union's dedup intermittently let most duplicate wedges
+    through, inflating hub attribution counts (observed n_tri 1221 vs
+    the true 1089 at sf0.01, node 4 — both engines agree on 1089 when
+    stable); removing the dedup removes the sensitivity entirely, at
+    identical pushdown economics."""
     o2 = oriented.select(
         F.col("u"),
         F.col("v").alias("w"),
@@ -347,13 +353,13 @@ def _triangles(
             oriented.join(o2, "u").where(order_ok).select("u", "v", "w")
         )
     else:
-        branches = (
-            oriented.where(F.col("u").isin(members)).join(o2, "u"),
-            oriented.where(F.col("v").isin(members)).join(o2, "u"),
-            oriented.join(o2.where(F.col("w").isin(members)), "u"),
+        hub_uv = F.col("u").isin(members) | F.col("v").isin(members)
+        a = oriented.where(hub_uv).join(o2, "u")
+        b = oriented.where(~hub_uv).join(
+            o2.where(F.col("w").isin(members)), "u"
         )
-        w1, w2, w3 = (b.where(order_ok).select("u", "v", "w") for b in branches)
-        wedges = w1.unionByName(w2).unionByName(w3).distinct()
+        wa, wb = (x.where(order_ok).select("u", "v", "w") for x in (a, b))
+        wedges = wa.unionByName(wb)
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
@@ -707,7 +713,14 @@ def hub_clustering(
         deg, [F.col("deg").desc(), F.col("node").asc()], k
     ).localCheckpoint()
     hub_ids = [r["node"] for r in hubs.select("node").collect()]
-    tri = _triangles(_oriented(e, deg), members=hub_ids)
+    # materialized: the attribution below fans THREE lineages out of
+    # tri (one per vertex position), and without the checkpoint each
+    # union branch re-evaluates the whole wedge/closing DAG — 3× the
+    # cost and 3 independent evaluations where one snapshot should be
+    # the single source of truth
+    tri = _triangles(
+        _oriented(e, deg), members=hub_ids
+    ).localCheckpoint()
     per_node = (
         tri.select(F.col("u").alias("node"))
         .unionByName(tri.select(F.col("v").alias("node")))

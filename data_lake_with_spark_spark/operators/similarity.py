@@ -859,8 +859,8 @@ def merge_ivf_index(
             raise ValueError(
                 "merge_ivf_index: batch replaces a centroid-source "
                 "vector; the frozen centroid would go stale relative "
-                "to a retrain — rebuild with build_ivf_index instead "
-                "(or pass validate_centroids=False to accept frozen-"
+                "to a retrain — retrain_ivf_index is the lifecycle-safe "
+                "recovery (or pass validate_centroids=False to accept frozen-"
                 "centroid semantics explicitly)"
             )
     batch = new_vecs.select(id_col, vec_col)
@@ -1906,8 +1906,8 @@ def merge_pq_index(
             raise ValueError(
                 "merge_pq_index: batch replaces a codebook-source "
                 "vector; the frozen codebook would go stale relative "
-                "to a retrain — rebuild with build_pq_index instead "
-                "(or pass validate_codebooks=False to accept frozen-"
+                "to a retrain — retrain_pq_index is the lifecycle-safe "
+                "recovery (or pass validate_codebooks=False to accept frozen-"
                 "codebook semantics explicitly)"
             )
     batch_codes = pq_encode(
@@ -2557,8 +2557,8 @@ def merge_ivfpq_index(
             raise ValueError(
                 "merge_ivfpq_index: batch replaces a centroid-source or "
                 "codebook-source vector; the frozen quantizers would go "
-                "stale relative to a retrain — rebuild with "
-                "build_ivfpq_index instead (or pass validate_frozen="
+                "stale relative to a retrain — retrain_ivfpq_index is the "
+                "lifecycle-safe recovery (or pass validate_frozen="
                 "False to accept doubly-frozen semantics explicitly)"
             )
     assigned = _ivfpq_assign_resid(

@@ -684,8 +684,8 @@ def vector_index_maintenance_ingest(
                 raise ValueError(
                     "vector_index_maintenance_ingest: batch carries a "
                     "centroid-source id with a DIFFERENT vector — the "
-                    "frozen quantizer would go stale; re-train via an "
-                    "out-of-band build_ivf_index rebuild"
+                    "frozen quantizer would go stale; quiesce the "
+                    "stream and retrain_ivf_index the root"
                 )
             replay_ids = stripe.select("vec_id")
             fresh = batch.join(replay_ids, "vec_id", "left_anti")
@@ -711,8 +711,8 @@ def vector_index_maintenance_ingest(
                     "train this id as a centroid, so merging it as an "
                     "ordinary vector silently diverges the streamed "
                     "index from the rebuild; route centroid-stripe "
-                    "ids to the bootstrap batch, or rebuild "
-                    "out-of-band via build_ivf_index"
+                    "ids to the bootstrap batch, or quiesce the "
+                    "stream and retrain_ivf_index the root"
                 )
             _sim.merge_ivf_index(
                 spark, cur, fresh, epoch, vec_dim=vec_dim,
