@@ -416,3 +416,47 @@ def test_hits_weighted_integer_exact(spark):
     }
     # h0=1: a(a)=9, a(b)=1, h(u)=9*9+1*1=82
     assert r["a"][0] == 9 and r["b"][0] == 1 and r["u"][1] == 82
+
+
+def test_hub_clustering_pushdown_equals_full_attribution(spark):
+    """Regression gate for the round-12 flake (MEASUREMENTS_r12 §5):
+    the members-pushdown triangle attribution must EQUAL counting the
+    hub's triangles from the FULL (unrestricted) triangle set — the
+    pushdown is an I/O optimization, never a semantic change — and
+    repeated evaluations must be identical (the old three-
+    overlapping-branch union-dedup intermittently let duplicate
+    wedges through, inflating n_tri)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.operators import graph
+
+    rnd = random.Random(12)
+    # a hub-skewed random graph: multi-hub triangles (the overlap
+    # shape that triggered the duplicates) are common
+    edges = set()
+    for _ in range(1500):
+        a = rnd.randint(0, 20) if rnd.random() < 0.5 else rnd.randint(0, 200)
+        b = rnd.randint(0, 200)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    e_df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    out1 = sorted(map(tuple, graph.hub_clustering(e_df, k=15).collect()))
+    out2 = sorted(map(tuple, graph.hub_clustering(e_df, k=15).collect()))
+    assert out1 == out2  # run-to-run identical
+    # full-set ground truth for every audited hub
+    e = graph._canonical_undirected(e_df, "src", "dst")
+    deg = graph._degrees(e)
+    tri_all = graph._triangles(graph._oriented(e, deg)).localCheckpoint()
+    full = {
+        r["node"]: r["n"]
+        for r in tri_all.select(F.col("u").alias("node"))
+        .unionByName(tri_all.select(F.col("v").alias("node")))
+        .unionByName(tri_all.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for node, _deg, n_tri, _lc, _pos in out1:
+        assert n_tri == full.get(node, 0), (node, n_tri, full.get(node, 0))
