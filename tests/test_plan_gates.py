@@ -525,3 +525,66 @@ def test_r11_ivfpq_serve_plan_budget(spark, sf_dir):
     p = _plan(spark, sf_dir, "q203_ivfpq_rerank")
     assert "cent_id" in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_r12_related_items_state_bucket_pruning(spark, tmp_path):
+    """The related-items maintenance ops read their state components
+    through _ri_read + a bucket isin-filter; this gates that the
+    filter actually reaches the parquet scan as PARTITION pruning
+    (PartitionFilters naming the bucket column — strict anchor, the
+    q200 lesson) on both the plain layout and a manifest epoch, and
+    that a maintenance epoch's own directory holds ONLY the changed
+    buckets (written-∝-batch at the directory level)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import graph
+    from data_lake_with_spark_spark.sources import cow
+
+    rows = [
+        (b, it) for b in range(200) for it in {b % 11, (b + 3) % 11}
+    ]
+    base_p = str(tmp_path / "b")
+    graph.build_related_items_state(
+        spark.createDataFrame(rows, ["basket", "item"]),
+        base_p, k=4, min_count=2, n_buckets=32,
+    )
+    meta = cow.read_json(spark, graph._ri_meta_uri(base_p))
+    pruned = graph._ri_read(spark, base_p, "pairs", meta).where(
+        F2.col("pair_bucket").isin([0, 3, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters: [pair_bucket" in plan, "pairs scan not pruned"
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # manifest epoch: merge a 2-basket batch, assert the epoch dir
+    # holds exactly the changed pair buckets and the resolved read
+    # still partition-prunes
+    out_p = str(tmp_path / "o")
+    batch = spark.createDataFrame(
+        [(900, 1), (900, 4), (901, 2), (901, 5)], ["basket", "item"]
+    )
+    stats = graph.merge_related_items_state(
+        spark, base_p, batch, out_p, layout="manifest"
+    )
+    e_dirs = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{out_p}/pairs")
+        if n.startswith("pair_bucket=")
+    )
+    changed = sorted(int(b) for b in stats["changed_partitions"])
+    assert e_dirs == changed
+    meta2 = cow.read_json(spark, graph._ri_meta_uri(out_p))
+    pruned2 = graph._ri_read(spark, out_p, "pairs", meta2).where(
+        F2.col("pair_bucket").isin(changed[:2])
+    )
+    plan2 = pruned2._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # the manifest resolve unions per-owner scans whose
+    # PartitionFilters lead with isnotnull(pair_bucket) — anchor the
+    # column INSIDE the bracket (still strict: a filter that fell
+    # back to post-scan would sit in DataFilters/Filter, not here)
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*pair_bucket", plan2
+    ), "manifest pairs scan not partition-pruned"
