@@ -46,10 +46,13 @@ SKIP = {
     # staging-heavy streaming index-maintenance demos (write the
     # corpus out as micro-batch files, run a 3-trigger stream, build
     # + 2 manifest merges): wall is the staging harness, not a
-    # serving plan — exercised in tests + the oracle gate.
+    # serving plan — exercised in tests + the oracle gate. q210 is
+    # the IVFPQ member of the same class (its serving plan is q200's,
+    # which IS benched; its merge plan is q201's, also benched).
     "q204_streaming_index_maintenance",
     "q205_streaming_vector_index",
     "q207_streaming_related_items",
+    "q210_streaming_ivfpq",
     # quantizer retrain = a PLANNED FULL REBUILD inside the lifecycle
     # (build epoch + manifest delete + retrain re-encode = two full
     # corpus encodes per invocation, by definition the rare drift-

@@ -333,13 +333,17 @@ def _triangles(
     shuffle, 22s → 18s at sf0.1; the branch pushdown is what removes
     the production cost itself). The branches are DISJOINT BY
     CONSTRUCTION — (u∈H ∨ v∈H) wedges vs ¬(u∈H ∨ v∈H) ∧ w∈H wedges —
-    so the union needs NO distinct: the round-12 local sweep caught a
-    rare flake (~1 session in 3) where the previous three-OVERLAPPING-
-    branch union's dedup intermittently let most duplicate wedges
-    through, inflating hub attribution counts (observed n_tri 1221 vs
-    the true 1089 at sf0.01, node 4 — both engines agree on 1089 when
-    stable); removing the dedup removes the sensitivity entirely, at
-    identical pushdown economics."""
+    so the union needs NO distinct. Provenance of the round-12 flake
+    this shape fixed (~1 session in 3, observed n_tri 1221 vs the
+    true 1089 at sf0.01, node 4): NOT ``distinct()`` itself — a
+    deterministic dedup cannot intermittently leak duplicates — but
+    the previous three-OVERLAPPING-branch design re-evaluating the
+    non-checkpointed triangle frame across the three attribution
+    lineages, so the deduped set each lineage saw could differ
+    run-to-run. The fix is structural on both axes: disjoint branches
+    need no dedup at all, and the caller (:func:`hub_clustering`)
+    localCheckpoints the triangle snapshot ONCE so every attribution
+    reads the same frame — at identical pushdown economics."""
     o2 = oriented.select(
         F.col("u"),
         F.col("v").alias("w"),
@@ -877,6 +881,42 @@ def _ri_meta_uri(path: str) -> str:
     return f"{path}/ri_meta.json"
 
 
+#: On-disk format version of the related-items state. Bumped whenever
+#: a component's schema changes incompatibly (v2: the baskets ledger
+#: became the full (basket, item) incidence — v1 stored basket ids
+#: only, which cannot drive a ledger-only GDPR inversion). Maintenance
+#: ops CHECK it before planning, so an old-format state fails with a
+#: clear "rebuild from source history" error instead of an opaque
+#: mid-plan column-resolution error (r12 ADVICE).
+_RI_FORMAT = 2
+
+#: Build-time sizing floor for the state's hash buckets: below ~this
+#: many incidence rows per bucket the per-file open cost dominates any
+#: pruned maintenance read and the directory count becomes the object
+#: store's problem (the similarity.IVFPQ_MIN_ROWS_PER_LEAF contract,
+#: applied to the related-items layout — r12 verdict #5).
+RI_MIN_ROWS_PER_BUCKET = 64
+
+
+def _ri_check_format(meta: dict, path: str) -> None:
+    """Refuse to operate on a state whose on-disk format predates (or
+    postdates) this code — the version stamp is the difference between
+    a descriptive error here and an opaque Spark column-resolution
+    failure deep inside a maintenance plan (r12 ADVICE: the v1→v2
+    ledger schema change surfaced as ``.select("basket", "item")``
+    blowing up mid-merge)."""
+    got = meta.get("format")
+    if got != _RI_FORMAT:
+        raise ValueError(
+            f"related-items state at {path!r} has on-disk format "
+            f"{got!r}; this code reads format {_RI_FORMAT} (v2 stores "
+            "the full (basket, item) incidence as the ledger; v1 "
+            "stored basket ids only) — the state cannot be migrated "
+            "in place; rebuild it from the source history with "
+            "build_related_items_state"
+        )
+
+
 def _ri_bucket(cols, n_buckets: int):
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
@@ -913,6 +953,7 @@ def build_related_items_state(
     k: int = 5,
     min_count: int = 1,
     n_buckets: int = 32,
+    strict_layout: bool = False,
 ) -> None:
     """Materialize :func:`related_items` as a maintainable serving
     STATE — four components plus a meta sidecar:
@@ -954,7 +995,14 @@ def build_related_items_state(
     rule): a batch touching D distinct pair keys rewrites
     ~min(D, n_buckets) buckets of state_bytes/n_buckets each, so
     written bytes stay batch-proportional only when bucket count
-    grows with the state."""
+    grows with the state. Sizing contract (ENFORCED, the
+    IVFPQ leaf-grain rule): the build requires an average of at least
+    :data:`RI_MIN_ROWS_PER_BUCKET` incidence rows per bucket —
+    ``n_buckets * RI_MIN_ROWS_PER_BUCKET <= n_incidence`` — else it
+    warns (``strict_layout=True`` raises): below that grain each of
+    the four components fans out into per-file-open-dominated tiny
+    directories and every pruned maintenance read LOSES to a flat
+    scan."""
     from data_lake_with_spark_spark.sources import cow
 
     if k < 1 or min_count < 1 or n_buckets < 1:
@@ -967,6 +1015,22 @@ def build_related_items_state(
         .distinct()
         .localCheckpoint()
     )
+    n_inc = b.count()
+    if n_buckets * RI_MIN_ROWS_PER_BUCKET > n_inc:
+        msg = (
+            f"build_related_items_state: layout grain too fine — "
+            f"n_buckets({n_buckets}) over n_incidence={n_inc} rows "
+            f"averages {n_inc / max(1, n_buckets):.1f} rows/bucket "
+            f"(< {RI_MIN_ROWS_PER_BUCKET}); at this grain per-file "
+            "open cost makes every bucket-pruned maintenance read "
+            "slower than a flat scan — lower n_buckets so "
+            f"n_buckets*{RI_MIN_ROWS_PER_BUCKET} <= n_incidence"
+        )
+        if strict_layout:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     n = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
@@ -1006,6 +1070,7 @@ def build_related_items_state(
         spark,
         _ri_meta_uri(path),
         {
+            "format": _RI_FORMAT,
             "k": int(k),
             "min_count": int(min_count),
             "n_buckets": int(n_buckets),
@@ -1096,6 +1161,7 @@ def merge_related_items_state(
     meta = cow.read_json(spark, _ri_meta_uri(base_path))
     if meta is None:
         raise FileNotFoundError(f"no ri_meta.json under {base_path!r}")
+    _ri_check_format(meta, base_path)
     k, min_count, n_buckets = meta["k"], meta["min_count"], meta["n_buckets"]
 
     nb = (
@@ -1174,12 +1240,21 @@ def delete_from_related_items_state(
     replay-safe, which is what an at-least-once erasure pipeline
     needs (contrast the merge, which must RAISE on re-delivery
     because double-counting corrupts supports; deleting twice is
-    just deleted). Physical erasure still requires the epoch
-    lifecycle tail: delete → compact → set_current → vacuum, gated
-    in tests/test_gdpr_pipeline.py as the fifth serving surface.
+    just deleted). COVERAGE CONTRACT (r12 ADVICE): because of that
+    idempotency, a caller passing ids in the wrong domain or type
+    gets a "successful" erasure that deleted nothing — so the stats
+    report ``requested_baskets`` (distinct tombstone ids supplied)
+    vs ``matched_baskets`` (how many were actually in the ledger);
+    an erasure pipeline should assert the coverage it expects
+    (first-time erasure: matched == requested; replay: matched may
+    be 0) instead of trusting the call's success alone. Physical
+    erasure still requires the epoch lifecycle tail: delete →
+    compact → set_current → vacuum, gated in
+    tests/test_gdpr_pipeline.py as the fifth serving surface.
 
     Returns the pairs promotion stats plus ``deleted_basket_rows``,
-    ``affected_items``, ``changed_topk_partitions``."""
+    ``requested_baskets``, ``matched_baskets``, ``affected_items``,
+    ``changed_topk_partitions``."""
     from data_lake_with_spark_spark.sources import cow
 
     cow.assert_fresh_out(
@@ -1198,6 +1273,7 @@ def delete_from_related_items_state(
     meta = cow.read_json(spark, _ri_meta_uri(base_path))
     if meta is None:
         raise FileNotFoundError(f"no ri_meta.json under {base_path!r}")
+    _ri_check_format(meta, base_path)
     n_buckets = meta["n_buckets"]
 
     ids = (
@@ -1223,6 +1299,11 @@ def delete_from_related_items_state(
         spark, base_path, victims, out_path, layout, meta, sign=-1
     )
     stats["deleted_basket_rows"] = victims.count()
+    # coverage counters (r12 ADVICE): requested vs actually-in-ledger,
+    # so erasure pipelines can assert full coverage instead of
+    # trusting idempotent success
+    stats["requested_baskets"] = ids.count()
+    stats["matched_baskets"] = victims.select("basket").distinct().count()
     return stats
 
 
@@ -1238,24 +1319,27 @@ def compact_related_items_state(spark, path: str, out_path: str) -> dict:
     carried verbatim). NOTE the ledger is history-sized (the full
     incidence), so a compact rewrites it whole — that is the
     compaction cost every self-contained epoch pays, and why
-    ``compact_every`` is a cadence knob, not a per-batch step."""
+    ``compact_every`` is a cadence knob, not a per-batch step.
+    Returns per-component compaction stats ``{component: stats}``
+    (r12 ADVICE: the ledger rewrite cost the docstring warns about is
+    visible in the ``baskets`` entry, not discarded)."""
     from data_lake_with_spark_spark.sources import cow
 
-    stats = cow.compact_index_component(
-        spark, path, out_path, "pairs", "pair_bucket"
-    )
-    cow.compact_index_component(
-        spark, path, out_path, "items", "item_bucket"
-    )
-    cow.compact_index_component(
-        spark, path, out_path, "baskets", "basket_bucket"
-    )
-    cow.compact_index_component(
-        spark, path, out_path, "topk", "item_bucket"
-    )
     meta = cow.read_json(spark, _ri_meta_uri(path))
     if meta is None:
         raise FileNotFoundError(f"no ri_meta.json under {path!r}")
+    _ri_check_format(meta, path)
+    stats = {
+        comp: cow.compact_index_component(
+            spark, path, out_path, comp, bucket_col
+        )
+        for comp, bucket_col in (
+            ("pairs", "pair_bucket"),
+            ("items", "item_bucket"),
+            ("baskets", "basket_bucket"),
+            ("topk", "item_bucket"),
+        )
+    }
     cow.write_json(spark, _ri_meta_uri(out_path), meta)
     return stats
 

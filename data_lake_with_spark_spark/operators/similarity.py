@@ -1699,6 +1699,14 @@ def _pq_bucket(id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
 
 
+#: Build-time bucket sizing floor for the PQ codes layout — the
+#: :data:`IVFPQ_MIN_ROWS_PER_LEAF` contract applied to the flat
+#: (single-level) maintenance partitioning: below ~this many VECTORS
+#: per bucket, per-file open cost dominates both the ADC scan and
+#: every bucket-pruned maintenance read (r12 verdict #5).
+PQ_MIN_ROWS_PER_BUCKET = 64
+
+
 def build_pq_index(
     corpus: DataFrame,
     path: str,
@@ -1709,6 +1717,7 @@ def build_pq_index(
     n_buckets: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strict_layout: bool = False,
 ) -> None:
     """Materialize the PQ family as a SERVABLE index — the FAISS
     ``IndexPQ``-with-``IndexRefine`` shape: until round 11 the PQ trio
@@ -1743,11 +1752,33 @@ def build_pq_index(
     to the corpus that is batch-proportional and corpus-independent;
     with a FIXED count it grows linearly with the corpus (measured
     both ways in MEASUREMENTS_r11.md — 256 buckets at 100k rows put a
-    0.33% batch in 73% of the index; n//40 buckets put it at ~13%)."""
+    0.33% batch in 73% of the index; n//40 buckets put it at ~13%).
+    The floor side is ENFORCED (the :func:`build_ivfpq_index`
+    leaf-grain contract): the build requires an average of at least
+    :data:`PQ_MIN_ROWS_PER_BUCKET` vectors per bucket —
+    ``n_buckets * PQ_MIN_ROWS_PER_BUCKET <= n`` — else it warns
+    (``strict_layout=True`` raises); all validation happens BEFORE the
+    first component write, so a strict-mode failure leaves no partial
+    index."""
     spark = corpus.sparkSession
+    n = corpus.count()
     if target_codes is not None:
-        n = corpus.count()
         centroid_mod = max(1, n // max(1, target_codes))
+    if n_buckets * PQ_MIN_ROWS_PER_BUCKET > n:
+        msg = (
+            f"build_pq_index: layout grain too fine — "
+            f"n_buckets({n_buckets}) over n={n} vectors averages "
+            f"{n / max(1, n_buckets):.1f} vectors/bucket (< "
+            f"{PQ_MIN_ROWS_PER_BUCKET}); at this grain per-file open "
+            "cost dominates the ADC scan and every bucket-pruned "
+            "maintenance read — lower n_buckets so "
+            f"n_buckets*{PQ_MIN_ROWS_PER_BUCKET} <= n"
+        )
+        if strict_layout:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     cb = pq_codebooks(
         corpus, dim=dim, m=m, centroid_mod=centroid_mod,
         id_col=id_col, vec_col=vec_col,
@@ -2784,7 +2815,10 @@ def retrain_ivf_index(
         corpus, epoch, centroid_mod=centroid_mod, vec_dim=vec_dim,
         target_centroids=target_centroids,
     )
-    cow.set_current(spark, root, epoch)
+    # CAS commit: the retrain derived from `cur`; if a streaming
+    # ingest (or another maintainer) re-pointed the root mid-retrain,
+    # raise instead of silently orphaning its applied epoch
+    cow.set_current(spark, root, epoch, expected=cur)
     out = {
         "epoch": epoch,
         "n_vectors": corpus.count(),
@@ -2837,7 +2871,8 @@ def retrain_pq_index(
         target_codes=target_codes, n_buckets=nb,
         id_col=id_col, vec_col=vec_col,
     )
-    cow.set_current(spark, root, epoch)
+    # CAS commit — see retrain_ivf_index
+    cow.set_current(spark, root, epoch, expected=cur)
     out = {"epoch": epoch, "n_vectors": corpus.count()}
     if vacuum:
         out["vacuum"] = cow.vacuum_index(spark, root, ["codes", "codebooks"])
@@ -2892,13 +2927,130 @@ def retrain_ivfpq_index(
         id_col=id_col, vec_col=vec_col, vec_dim=vec_dim,
         strict_layout=strict_layout,
     )
-    cow.set_current(spark, root, epoch)
+    # CAS commit — see retrain_ivf_index
+    cow.set_current(spark, root, epoch, expected=cur)
     out = {"epoch": epoch, "n_vectors": corpus.count()}
     if vacuum:
         out["vacuum"] = cow.vacuum_index(
             spark, root, ["codes", "codebooks", "centroids"]
         )
     return out
+
+
+def index_staleness_report(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantizer-staleness report for an IVFPQ index — the
+    WHEN-to-retrain signal (r12 verdict #2): :func:`retrain_ivfpq_index`
+    closed HOW to recover from quantizer drift and MEASUREMENTS_r12 §2
+    proved recall decays under churn, but the only way to detect the
+    decay was an exact-recall probe — corpus-sized, two full encodes.
+    This report reads the index's OWN components (one column-pruned
+    codes scan + a fixed-budget sample re-centered against the carried
+    quantizers) and emits the numbers an operator alerts on instead:
+
+    - **cell occupancy**: ``n_cells``, ``dead_cells`` (cells owning
+      ZERO code rows — deleted-stripe anchors and drifted-away mass),
+      ``occ_min``/``occ_max`` over the occupied cells, and ``n_vecs``
+      — dead-cell fraction and occupancy skew are one division away
+      (kept as exact integers per the rational-arithmetic doctrine;
+      mean occupancy = n_vecs / n_cells). A healthy fresh build has
+      dead_cells ≈ 0 and bounded skew; churn shows up as both rising.
+    - **ADC reconstruction error** on the deterministic sample stripe
+      ``id % sample_mod == 0``: each sampled vector's TRUE residual
+      (against the cell its STORED codes sit in — the serving truth,
+      not a recomputed assignment) vs the codebook entry its stored
+      code points at, as the 6-dp-rounded squared-L2 summed
+      DECIMAL-exactly (``recon_err_sum``, ``n_sampled``,
+      ``mean_recon_err`` = the double division of the exact parts).
+      This is exactly the error term ADC serving adds, so it moves
+      WITH the recall degradation drift causes (measured:
+      tools/pq_ri_probe.py --staleness, MEASUREMENTS_r13).
+
+    Staleness is a DELTA metric: persist the report at build time and
+    compare — rising dead_cells / mean_recon_err against the build
+    baseline is the retrain trigger. ``corpus`` supplies the float
+    vectors (PQ codes are lossy; the lakehouse stores the vectors —
+    the :func:`pq_topk_rerank_indexed` argument, reused); only the
+    sample stripe's rows are ever joined. One partial-aggregable
+    pass per leg; the codes scan is column-pruned to
+    (cent_id, id, subspace, code). Returns ONE row."""
+    meta, cents, cb, codes = _ivfpq_index_parts(spark, path)
+    dim, m = meta["dim"], meta["m"]
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    # --- occupancy: one row per vector is its subspace-0 code row ---
+    occ = (
+        codes.where(F.col("subspace") == 0)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
+    )
+    cell_stats = (
+        cents.select("cent_id")
+        .join(occ, "cent_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(F.col("_occ").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dead_cells"),
+            F.min("_occ").cast("bigint").alias("occ_min"),
+            F.max("_occ").cast("bigint").alias("occ_max"),
+            F.sum(F.coalesce(F.col("_occ"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_vecs"),
+        )
+    )
+    # --- ADC reconstruction error on the sample stripe --------------
+    sv = corpus.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    cell_of = codes.where(F.col("subspace") == 0).select(id_col, "cent_id")
+    rv = (
+        sv.join(cell_of, id_col)
+        .join(F.broadcast(cents), "cent_id")
+        .select(id_col, _resid_col(vec_col, "cent_v").alias("rv"))
+    )
+    w = dim // m
+    slices = F.array(*[F.slice(F.col("rv"), s * w + 1, w) for s in range(m)])
+    subs = rv.select(id_col, F.posexplode(slices)).select(
+        id_col,
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_sub_v"),
+    )
+    err = (
+        subs.join(codes.select(id_col, "subspace", "code"), [id_col, "subspace"])
+        .join(F.broadcast(cb), ["subspace", "code"])
+        .select(
+            F.col(id_col),
+            F.round(l2sq_expr("_sub_v", "cent_sub"), 6)
+            .cast("decimal(18,6)")
+            .alias("_e"),
+        )
+    )
+    err_stats = err.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_sampled"),
+        F.sum("_e").alias("_sum_e"),
+    )
+    return cell_stats.crossJoin(err_stats).select(
+        "n_cells",
+        "dead_cells",
+        "occ_min",
+        "occ_max",
+        "n_vecs",
+        "n_sampled",
+        F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
+            "recon_err_sum"
+        ),
+        (
+            F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
+            / F.col("n_sampled")
+        ).alias("mean_recon_err"),
+    )
 
 
 def truncated_topk_rerank(

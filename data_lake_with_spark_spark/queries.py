@@ -7473,6 +7473,142 @@ if O_Q208 == O_Q200:  # pragma: no cover
     raise AssertionError("O_Q208 anchor text missing from O_Q200")
 
 
+def q209_ivfpq_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-staleness report (similarity.index_staleness_report
+    — r12 verdict #2: q208 closed HOW to retrain; this is the
+    WHEN-to-retrain signal, the cheap per-epoch report an operator
+    alerts on instead of running a corpus-sized recall probe): cell
+    occupancy (n_cells / dead_cells / occ envelope — exact integers)
+    plus the ADC reconstruction error on the deterministic
+    ``vec_id % 10 == 0`` sample stripe (each sampled vector's true
+    residual vs the codebook entry its STORED code points at, 6-dp
+    squared-L2 summed DECIMAL-exactly). The oracle re-derives the
+    same numbers from O_Q200's CTE pipeline (assignment → codebooks
+    → encode), so the driver hash-verifies that the report read off
+    the persisted index equals the ground-truth derivation. Drift
+    MOVEMENT (the metric rising under churn that degrades recall) is
+    measured out-of-band: tools/pq_ri_probe.py --staleness,
+    MEASUREMENTS_r13."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        index_staleness_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return index_staleness_report(
+        spark, _ivfpq_index(spark, sf_dir), emb, sample_mod=10
+    )
+
+
+# O_Q209: O_Q200's pipeline through `enc` (assignment, codebooks,
+# stored codes), then occupancy + sampled ADC reconstruction error —
+# the ground-truth derivation of the staleness report.
+_O_Q200_ENC_PREFIX = O_Q200.partition("probes AS")[0]
+if "enc AS" not in _O_Q200_ENC_PREFIX:  # pragma: no cover
+    raise AssertionError("O_Q209 prefix anchor missing from O_Q200")
+O_Q209 = _O_Q200_ENC_PREFIX + f"""occ AS (
+  SELECT cent_id, COUNT(DISTINCT vec_id) AS occ FROM enc GROUP BY 1),
+cellstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CASE WHEN o.occ IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dead_cells,
+         CAST(MIN(o.occ) AS BIGINT) AS occ_min,
+         CAST(MAX(o.occ) AS BIGINT) AS occ_max,
+         CAST(SUM(COALESCE(o.occ, 0)) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN occ o USING (cent_id)),
+serr AS (
+  SELECT ev.vec_id,
+         CAST(ROUND({_O_L2SQ.format(a='ev.sub_v', b='cb.cent_sub')}, 6)
+              AS DECIMAL(18,6)) AS e
+  FROM ev
+  JOIN enc ON enc.vec_id = ev.vec_id AND enc.subspace = ev.subspace
+  JOIN cb ON cb.subspace = enc.subspace AND cb.code = enc.code
+  WHERE ev.vec_id % 10 = 0),
+errstats AS (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_sampled,
+         SUM(e) AS s FROM serr)
+SELECT n_cells, dead_cells, occ_min, occ_max, n_vecs, n_sampled,
+       CAST(s AS DOUBLE) AS recon_err_sum,
+       CAST(s AS DOUBLE) / n_sampled AS mean_recon_err
+FROM cellstats, errstats
+"""
+
+
+def q210_streaming_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the PRODUCTION serving family
+    (streaming/events.ivfpq_index_maintenance_ingest — r12 verdict
+    #3: BM25, IVF, and the related-items state had streaming twins;
+    IVFPQ could only be maintained by batch merges): the embedding
+    corpus arrives as three parquet micro-batches; batch 0 is the
+    BOOTSTRAP carrying BOTH frozen-source stripes (centroid
+    ``vec_id % md == 0`` AND codebook ``== 1`` — the q205 contract
+    extended to the doubly-frozen composite), batches 1–2
+    manifest-merge under the lifecycle root with CAS pointer commits,
+    set_current re-points LAST. Serving q200's exact config from the
+    pointer through the two-epoch manifest chain is oracled by O_Q200
+    VERBATIM: a corpus streamed in as incremental epochs must serve
+    bit-identically to the from-scratch batch build (batch-split
+    invariance, composite side). Replay no-ops, fresh-stripe raises
+    (both stripes), and retrain-under-ingest semantics are gated in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+    )
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        ivfpq_index_maintenance_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    corpus = emb.select("vec_id", "embedding")
+    stage = tempfile.mkdtemp(prefix="dlws_stream_pqidx_stage_")
+    root = tempfile.mkdtemp(prefix="dlws_stream_pqidx_root_")
+    cp = tempfile.mkdtemp(prefix="dlws_stream_pqidx_cp_")
+    try:
+        is_frozen = (F.col("vec_id") % md == 0) | (F.col("vec_id") % md == 1)
+        batches = [
+            corpus.where(is_frozen | (F.col("vec_id") % 3 == 0)),
+            corpus.where(~is_frozen & (F.col("vec_id") % 3 == 1)),
+            corpus.where(~is_frozen & (F.col("vec_id") % 3 == 2)),
+        ]
+        # explicit ascending mtimes: the bootstrap (both seed stripes)
+        # must be the first delivered file (the q205 staging shape)
+        stamped: set[str] = set()
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(stage)
+            for name in sorted(os.listdir(stage)):
+                p = os.path.join(stage, name)
+                if name.endswith(".parquet") and p not in stamped:
+                    os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                    stamped.add(p)
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=_PQ_DIM, m=_PQ_M, centroid_mod=md,
+            n_buckets=8, vec_dim=64, checkpoint_dir=cp,
+        )
+        q.awaitTermination()
+        out = ivfpq_topk_indexed(
+            spark,
+            cow.get_current(spark, root),
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            nprobe=4,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -8717,6 +8853,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Quantizer retrain: the drifted lifecycle root re-trained on the
     # surviving corpus must serve the survivors-only rebuild.
     "q208_ivfpq_retrain": (q208_ivfpq_retrain, O_Q208),
+    # Staleness report (the when-to-retrain signal): occupancy +
+    # sampled ADC reconstruction error read off the persisted index
+    # must equal the O_Q200-pipeline ground-truth derivation.
+    "q209_ivfpq_staleness": (q209_ivfpq_staleness, O_Q209),
+    # Streaming IVFPQ maintenance: epochs streamed in (bootstrap
+    # trains BOTH frozen quantizers) must serve the from-scratch
+    # build bit-for-bit — O_Q200 verbatim.
+    "q210_streaming_ivfpq": (q210_streaming_ivfpq, O_Q200),
 }
 
 
@@ -8994,6 +9138,14 @@ _ROTATED_IN = (
     # round 12b: the quantizer-retrain epoch op (q208, O_Q200 over
     # the survivors — the retrained-quantizer rebuild pin).
     "q208_ivfpq_retrain",
+    # round 13: the retrain story's other half — the staleness report
+    # (q209, when-to-retrain; O_Q200-pipeline ground truth) and the
+    # streaming IVFPQ maintenance twin (q210, O_Q200 verbatim — the
+    # last index family without a streaming shape). Promoted
+    # same-round after 3-SF oracle sweeps + a full driver_sim replay,
+    # per the standing discipline.
+    "q209_ivfpq_staleness",
+    "q210_streaming_ivfpq",
 )
 _ROTATED_OUT = (
     # round 4
@@ -9332,6 +9484,14 @@ _ROTATED_OUT = (
     # (FD audit) in-window, and the grouped-OLS trend stays
     # value-verified in the local sweep + pytest.
     "q154_revenue_trend",
+    # round 13 demotions — both driver-hard verified in rounds 10–12
+    # and code-untouched this round: IVF manifest maintenance keeps
+    # q193 (BM25 manifest delete), q198 (lifecycle composition), q201
+    # (IVFPQ manifest merge), and q205 (streaming IVF) in-window;
+    # weighted authority keeps q190/q191 in-window and the w=1 ≡
+    # unweighted property stays pytest-gated.
+    "q192_ivf_manifest_merge",
+    "q194_hits_weighted",
 )
 
 

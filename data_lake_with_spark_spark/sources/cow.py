@@ -577,6 +577,23 @@ def promote_dir(spark, base_dir: str, out_dir: str) -> dict:
 _EPOCHS_SUBDIR = "epochs"
 
 
+class StalePointerError(RuntimeError):
+    """The lifecycle pointer moved since this maintainer resolved it —
+    the optimistic-concurrency (lost-update) check every manifest-based
+    table format carries (Delta's commit-version CAS). Raised by
+    :func:`set_current` when ``expected`` no longer matches: committing
+    anyway would silently orphan the OTHER maintainer's applied epoch,
+    which a later :func:`vacuum_index` would then physically delete —
+    a lost update that can destroy an applied merge or an applied GDPR
+    erasure. Recovery: re-resolve :func:`get_current`, re-derive the
+    epoch from the new current state, and retry."""
+
+
+#: Sentinel: "no expectation supplied" — distinct from ``expected=None``
+#: (which asserts the root has NO pointer yet, the first-build case).
+_CAS_UNSET = object()
+
+
 def _current_uri(root: str) -> str:
     return f"{root}/current.json"
 
@@ -621,7 +638,9 @@ def new_epoch_path(spark, root: str, label: str = "") -> str:
     return f"{root}/{_EPOCHS_SUBDIR}/epoch_{nxt:08d}{suffix}"
 
 
-def set_current(spark, root: str, epoch_path: str) -> None:
+def set_current(
+    spark, root: str, epoch_path: str, expected=_CAS_UNSET
+) -> None:
     """Re-point ``{root}/current.json`` at an epoch — the LAST step of
     every maintenance/compaction cycle, so readers always resolve a
     complete epoch. Local paths write a temp file and ``os.replace``
@@ -630,10 +649,54 @@ def set_current(spark, root: str, epoch_path: str) -> None:
     readers at a conditional-put pointer service instead, the same
     caveat every manifest-based format carries). The epoch must live
     under ``{root}/epochs`` so :func:`vacuum_index` can reason about
-    siblings."""
+    siblings.
+
+    CONCURRENCY CONTRACT (r12 verdict #1): the pointer itself is
+    last-writer-wins, so the lifecycle is only safe under ONE writer
+    per root at a time — and ``expected`` is how a maintainer enforces
+    that optimistically instead of assuming it. Every maintenance op
+    derives its epoch FROM some resolved pointer value; passing that
+    value as ``expected`` makes the commit a compare-and-set: if the
+    pointer moved since (a streaming ingest raced a retrain, a GDPR
+    delete raced a compaction), :func:`StalePointerError` is raised
+    and NOTHING is written — the loser's epoch stays an explicit
+    un-applied directory it can retry from, instead of silently
+    orphaning the WINNER's applied epoch for :func:`vacuum_index` to
+    destroy (the lost-update every manifest-based format guards with
+    a commit CAS). ``expected=None`` asserts the root has no pointer
+    yet (the first-build case); omitting ``expected`` skips the check
+    (single-writer deployments, tests). The check-then-rename pair is
+    not itself atomic — two losers racing inside the microsecond
+    window can still both pass on a shared POSIX/HDFS mount — but it
+    converts the silent lost-update into a detectable near-impossible
+    one; object stores need the conditional-put pointer service
+    either way."""
     import json
 
     epoch_abs = _abs_uri(epoch_path)
+    if expected is not _CAS_UNSET:
+        try:
+            cur = get_current(spark, root)
+        except FileNotFoundError:
+            cur = None
+        if expected is None:
+            if cur is not None:
+                raise StalePointerError(
+                    f"set_current: expected no pointer under {root!r} "
+                    f"(first build) but current.json already points at "
+                    f"{cur!r} — another maintainer initialized the "
+                    "root; re-resolve get_current and merge instead"
+                )
+        elif cur is None or _abs_uri(cur) != _abs_uri(str(expected)):
+            raise StalePointerError(
+                f"set_current: pointer under {root!r} moved — this "
+                f"maintainer derived its epoch from {expected!r} but "
+                f"current.json now points at {cur!r}; committing would "
+                "orphan the other maintainer's applied epoch (which "
+                "vacuum_index would then delete). Re-resolve "
+                "get_current, re-derive against the new current "
+                "state, and retry"
+            )
     prefix = _abs_uri(f"{root}/{_EPOCHS_SUBDIR}")
     if not epoch_abs.startswith(prefix + "/"):
         raise ValueError(

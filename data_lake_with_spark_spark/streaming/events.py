@@ -457,23 +457,36 @@ def fuzzy_dedup_ingest(
 def _epochs_since_compact(spark, root: str) -> int:
     """Maintenance-chain length for the streaming ingests' compaction
     gate: the number of epoch directories created AFTER the last
-    ``_compact``-labeled epoch, plus that compact base itself (it is
-    an owner of the chain). Before any compaction this is simply the
-    epoch count. Derived from epoch NAMES (zero-padded, so lexical
-    order is creation order), which makes it restart-safe AND immune
-    to deferred vacuum: retired-but-unvacuumed directories all sort
-    before the compact that superseded them, so they never inflate
-    the count (r11 ADVICE — a raw directory-count gate re-compacted
-    every batch once ``vacuum_on_compact=False`` let them linger).
-    An upper bound on the true manifest-owner chain (a merge that
-    happens to rewrite every partition shortens the real chain but
-    not this count) — the right direction for a cadence bound."""
+    APPLIED ``_compact``-labeled epoch, plus that compact base itself
+    (it is an owner of the chain). Before any compaction this is
+    simply the epoch count. Derived from epoch NAMES (zero-padded, so
+    lexical order is creation order), which makes it restart-safe AND
+    immune to deferred vacuum: retired-but-unvacuumed directories all
+    sort before the compact that superseded them, so they never
+    inflate the count (r11 ADVICE — a raw directory-count gate
+    re-compacted every batch once ``vacuum_on_compact=False`` let
+    them linger).
+
+    "Applied" means AT-OR-BEFORE the current pointer (r12 ADVICE): a
+    compact epoch written by a crashed run that never reached
+    ``set_current`` sorts AFTER the pointer and must not reset the
+    counter — anchoring on any ``*_compact`` name under-reported the
+    live chain and deferred the next compaction a full cycle. Such an
+    orphaned compact dir still counts as one chain member (it sits in
+    the listing), which only errs toward compacting sooner. An upper
+    bound on the true manifest-owner chain (a merge that happens to
+    rewrite every partition shortens the real chain but not this
+    count) — the right direction for a cadence bound."""
     from data_lake_with_spark_spark.sources import cow
 
     names = cow.list_epochs(spark, root)
+    try:
+        cur_name = cow.get_current(spark, root).rstrip("/").split("/")[-1]
+    except FileNotFoundError:
+        cur_name = None
     last = -1
     for i, n in enumerate(names):
-        if n.endswith("_compact"):
+        if n.endswith("_compact") and (cur_name is None or n <= cur_name):
             last = i
     after = len(names) - last - 1
     return after if last < 0 else after + 1
@@ -549,9 +562,16 @@ def index_maintenance_ingest(
         except FileNotFoundError:
             kw = {} if n_buckets is None else {"n_buckets": n_buckets}
             _text.build_bm25_index(batch, epoch, **kw)
+            cur = None
         else:
             _text.merge_bm25_index(spark, cur, batch, epoch, layout="manifest")
-        cow.set_current(spark, root, epoch)
+        # CAS commit: the epoch was derived FROM `cur`, so the commit
+        # asserts the pointer hasn't moved since (an out-of-band
+        # maintainer racing the stream). On StalePointerError the
+        # batch fails fast; on restart foreachBatch re-delivers it and
+        # this function re-resolves get_current — i.e. the replayed
+        # batch merges against whatever the other maintainer published.
+        cow.set_current(spark, root, epoch, expected=cur)
         # gate on the CHAIN LENGTH since the last compaction (epoch
         # names after the last `_compact` dir, plus that compact base)
         # — NOT the raw directory count: with vacuum_on_compact=False
@@ -564,8 +584,9 @@ def index_maintenance_ingest(
             and _epochs_since_compact(spark, root) >= compact_every
         ):
             flat = cow.new_epoch_path(spark, root, label="compact")
-            _text.compact_bm25_index(spark, cow.get_current(spark, root), flat)
-            cow.set_current(spark, root, flat)
+            base = cow.get_current(spark, root)
+            _text.compact_bm25_index(spark, base, flat)
+            cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
                 cow.vacuum_index(spark, root, ["postings"])
 
@@ -668,6 +689,7 @@ def vector_index_maintenance_ingest(
             _sim.build_ivf_index(
                 batch, epoch, centroid_mod=centroid_mod, vec_dim=vec_dim
             )
+            cur = None
         else:
             # bootstrap-replay split: stripe ids bit-identical to the
             # carried centroids are replays (no-ops); different
@@ -718,7 +740,9 @@ def vector_index_maintenance_ingest(
                 spark, cur, fresh, epoch, vec_dim=vec_dim,
                 layout="manifest",
             )
-        cow.set_current(spark, root, epoch)
+        # CAS commit against the pointer this epoch derived from —
+        # see index_maintenance_ingest for the race/restart semantics
+        cow.set_current(spark, root, epoch, expected=cur)
         # chain-since-last-compact gate, not directory count — see
         # index_maintenance_ingest (r11 ADVICE: deferred vacuum must
         # not turn every later batch into a full compaction)
@@ -727,8 +751,9 @@ def vector_index_maintenance_ingest(
             and _epochs_since_compact(spark, root) >= compact_every
         ):
             flat = cow.new_epoch_path(spark, root, label="compact")
-            _sim.compact_ivf_index(spark, cow.get_current(spark, root), flat)
-            cow.set_current(spark, root, flat)
+            base = cow.get_current(spark, root)
+            _sim.compact_ivf_index(spark, base, flat)
+            cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
                 cow.vacuum_index(spark, root, ["lists", "centroids"])
 
@@ -811,8 +836,10 @@ def related_items_maintenance_ingest(
             _graph.build_related_items_state(
                 batch, epoch, k=k, min_count=min_count, **kw
             )
+            cur = None
         else:
             meta = cow.read_json(spark, _graph._ri_meta_uri(cur))
+            _graph._ri_check_format(meta, cur)
             nbk = meta["n_buckets"]
             ids = batch.select("basket").distinct()
             ch = sorted(
@@ -863,16 +890,17 @@ def related_items_maintenance_ingest(
             _graph.merge_related_items_state(
                 spark, cur, batch, epoch, layout="manifest"
             )
-        cow.set_current(spark, root, epoch)
+        # CAS commit against the pointer this epoch derived from —
+        # see index_maintenance_ingest for the race/restart semantics
+        cow.set_current(spark, root, epoch, expected=cur)
         if (
             compact_every is not None
             and _epochs_since_compact(spark, root) >= compact_every
         ):
             flat = cow.new_epoch_path(spark, root, label="compact")
-            _graph.compact_related_items_state(
-                spark, cow.get_current(spark, root), flat
-            )
-            cow.set_current(spark, root, flat)
+            base = cow.get_current(spark, root)
+            _graph.compact_related_items_state(spark, base, flat)
+            cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
                 cow.vacuum_index(
                     spark, root, ["pairs", "items", "baskets", "topk"]
@@ -885,6 +913,219 @@ def related_items_maintenance_ingest(
             "checkpointLocation",
             checkpoint_dir
             or os.path.join(tempfile.mkdtemp(prefix="ri_ingest_"), "cp"),
+        )
+        .start()
+    )
+
+
+def ivfpq_index_maintenance_ingest(
+    stream_vecs: DataFrame,
+    root: str,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    n_buckets: int | None = None,
+    vec_dim: int | None = None,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    vacuum_on_compact: bool = True,
+) -> "object":
+    """Continuous maintenance of the PRODUCTION serving family — the
+    IVFPQ composite index (r12 verdict #3: BM25, IVF, and the
+    related-items state had streaming twins; IVFPQ, the
+    pruning×compression layout actually deployed at 100 TB, could
+    only be maintained by batch ``merge_ivfpq_index`` calls). Batch 0
+    bootstraps: it builds epoch 0 and, through the TWO seed stripes
+    it must contain, trains BOTH frozen quantizers — the coarse
+    centroids (``vec_id % centroid_mod == 0``) and the residual
+    codebooks (the OFFSET stripe ``== 1``) — the q205 bootstrap
+    contract extended to the doubly-frozen composite (frozen
+    codebooks are exactly what make later merges cheap: each batch
+    only assigns + encodes itself). An empty EITHER stripe raises
+    inside ``build_ivfpq_index``'s pre-write validation, so a bad
+    bootstrap leaves no partial index. Every later micro-batch
+    becomes one manifest epoch (only its changed ``id_bucket=``
+    partitions plus a small JSON) and the pointer re-points LAST.
+
+    Replay safety (at-least-once foreachBatch): ordinary ids re-merge
+    onto themselves (upsert — resolved view unchanged). A REPLAYED
+    BOOTSTRAP batch (crash between ``set_current`` and the checkpoint
+    commit) re-delivers BOTH frozen-source stripes, which
+    ``merge_ivfpq_index`` would reject as replacements — so the merge
+    path first verifies and drops them as no-ops: a centroid-source
+    id whose vector is BIT-IDENTICAL to the carried centroid is a
+    replay; a codebook-source id whose residual sub-vectors —
+    recomputed through the builder's own assign+slice kernel against
+    the CARRIED centroids — are bit-identical to the carried codebook
+    entries is a replay. Either frozen-source id arriving with
+    DIFFERENT bytes is a genuine retrain attempt and raises (quiesce
+    the stream and ``retrain_ivfpq_index`` — the lifecycle-safe
+    recovery).
+
+    Fresh-stripe enforcement, BOTH stripes (the r11 IVF rule,
+    doubled): after bootstrap a NEW id ≡ 0 OR ≡ 1 (mod centroid_mod)
+    raises — a from-scratch rebuild over the same corpus would train
+    that id into a quantizer, so merging it as an ordinary vector
+    silently diverges the streamed index from the rebuild. Only the
+    ingest knows ``centroid_mod``, so the contract lives here.
+
+    Pointer commits are CAS (``cow.set_current(..., expected=...)``):
+    a retrain or any out-of-band maintainer re-pointing the root
+    mid-batch makes the commit raise ``cow.StalePointerError`` — the
+    batch fails fast instead of orphaning the other maintainer's
+    applied epoch; on restart foreachBatch re-delivers the batch and
+    this function re-resolves ``get_current``, merging against the
+    retrained quantizers (the decided retrain-under-ingest semantics,
+    gated in tests/test_streaming.py).
+
+    ``compact_every`` bounds the manifest chain exactly as in
+    :func:`index_maintenance_ingest` (chain-since-last-APPLIED-compact
+    gate, ``vacuum_on_compact`` quiesce caveat) via
+    ``compact_ivfpq_index``. ``n_buckets`` sizes the FIRST build only.
+    Returns the started ``availableNow`` query."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import similarity as _sim
+    from data_lake_with_spark_spark.sources import cow
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        epoch = cow.new_epoch_path(spark, root, label=f"b{batch_id}")
+        try:
+            cur = cow.get_current(spark, root)
+        except FileNotFoundError:
+            kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+            _sim.build_ivfpq_index(
+                batch, epoch, dim=dim, m=m, centroid_mod=centroid_mod,
+                vec_dim=vec_dim, **kw,
+            )
+            cur = None
+        else:
+            meta = cow.read_json(spark, _sim._ivfpq_meta_uri(cur))
+            cents = cow.read_component(spark, cur, "centroids")
+            cb = cow.read_component(spark, cur, "codebooks")
+            # (1) centroid-source ids: bit-identical = bootstrap
+            # replay (no-op); different bytes = retrain attempt
+            stripe = batch.join(
+                F.broadcast(cents), batch["vec_id"] == cents["cent_id"]
+            )
+            same_c = F.col("embedding").cast("array<double>").eqNullSafe(
+                F.col("cent_v").cast("array<double>")
+            )
+            if stripe.where(~same_c).limit(1).count() > 0:
+                raise ValueError(
+                    "ivfpq_index_maintenance_ingest: batch carries a "
+                    "centroid-source id with a DIFFERENT vector — the "
+                    "frozen coarse quantizer would go stale; quiesce "
+                    "the stream and retrain_ivfpq_index the root"
+                )
+            replay_ids = stripe.select("vec_id")
+            # (2) codebook-source ids: recompute their residual
+            # sub-vectors through the builder's own kernel against the
+            # CARRIED centroids and require bit-identity with the
+            # carried codebook entries — the codebook stores residual
+            # SLICES, not raw vectors, so replay detection must
+            # re-derive them (bounded: the codebook stripe is
+            # broadcast-small by construction)
+            cb_ids = cb.select(F.col("code").alias("vec_id")).distinct()
+            cb_rows = batch.join(F.broadcast(cb_ids), "vec_id", "left_semi")
+            if cb_rows.limit(1).count() > 0:
+                w = meta["dim"] // meta["m"]
+                asg = _sim._ivfpq_assign_resid(
+                    cb_rows, cents, "vec_id", "embedding", vec_dim
+                )
+                slices = F.array(
+                    *[
+                        F.slice(F.col("rv"), s * w + 1, w)
+                        for s in range(meta["m"])
+                    ]
+                )
+                got = asg.select(
+                    F.col("vec_id").cast("bigint").alias("code"),
+                    F.posexplode(slices),
+                ).select(
+                    "code",
+                    F.col("pos").cast("bigint").alias("subspace"),
+                    F.col("col").alias("sub_v"),
+                )
+                mismatch = got.join(
+                    F.broadcast(cb), ["subspace", "code"], "left"
+                ).where(
+                    F.col("cent_sub").isNull()
+                    | ~F.col("sub_v").cast("array<double>").eqNullSafe(
+                        F.col("cent_sub").cast("array<double>")
+                    )
+                )
+                if mismatch.limit(1).count() > 0:
+                    raise ValueError(
+                        "ivfpq_index_maintenance_ingest: batch carries "
+                        "a codebook-source id whose residual differs "
+                        "from the carried codebook entry — the frozen "
+                        "residual codebooks would go stale; quiesce "
+                        "the stream and retrain_ivfpq_index the root"
+                    )
+                replay_ids = replay_ids.unionByName(
+                    cb_rows.select("vec_id")
+                )
+            fresh = batch.join(
+                replay_ids.distinct(), "vec_id", "left_anti"
+            )
+            if fresh.limit(1).count() == 0:
+                return  # pure bootstrap replay — nothing to merge
+            if (
+                fresh.where(
+                    (F.col("vec_id") % centroid_mod == 0)
+                    | (F.col("vec_id") % centroid_mod == 1)
+                )
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "ivfpq_index_maintenance_ingest: batch carries a "
+                    "NEW id ≡ 0 or ≡ 1 (mod centroid_mod) after "
+                    "bootstrap — a from-scratch build over the same "
+                    "corpus would train this id into the coarse "
+                    "centroids (≡0) or residual codebooks (≡1), so "
+                    "merging it as an ordinary vector silently "
+                    "diverges the streamed index from the rebuild; "
+                    "route frozen-stripe ids to the bootstrap batch, "
+                    "or quiesce the stream and retrain_ivfpq_index "
+                    "the root"
+                )
+            _sim.merge_ivfpq_index(
+                spark, cur, fresh, epoch, vec_dim=vec_dim,
+                layout="manifest",
+            )
+        # CAS commit against the pointer this epoch derived from —
+        # see index_maintenance_ingest for the race/restart semantics
+        cow.set_current(spark, root, epoch, expected=cur)
+        if (
+            compact_every is not None
+            and _epochs_since_compact(spark, root) >= compact_every
+        ):
+            flat = cow.new_epoch_path(spark, root, label="compact")
+            base = cow.get_current(spark, root)
+            _sim.compact_ivfpq_index(spark, base, flat)
+            cow.set_current(spark, root, flat, expected=base)
+            if vacuum_on_compact:
+                cow.vacuum_index(
+                    spark, root, ["codes", "codebooks", "centroids"]
+                )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(tempfile.mkdtemp(prefix="pqidx_ingest_"), "cp"),
         )
         .start()
     )

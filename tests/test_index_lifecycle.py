@@ -167,3 +167,42 @@ def test_vacuum_leaves_external_links_base_alone(spark, tmp_path):
         text.bm25_topk_indexed(spark, cow.get_current(spark, root), qs, k=3).count()
         > 0
     )
+
+
+def test_set_current_cas_guards(spark, tmp_path):
+    """Optimistic-concurrency on the lifecycle pointer (r12 verdict
+    #1): two maintainers racing one root — the loser RAISES instead
+    of silently orphaning the winner's applied epoch (which a later
+    vacuum_index would then physically delete: a lost update that can
+    destroy an applied merge or an applied GDPR erasure)."""
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    # first build: expected=None asserts a fresh root
+    cow.set_current(spark, root, e0, expected=None)
+    # a second "first build" racing the same root raises
+    e_dup = cow.new_epoch_path(spark, root, label="dup")
+    os.makedirs(e_dup)
+    with pytest.raises(cow.StalePointerError, match="first build"):
+        cow.set_current(spark, root, e_dup, expected=None)
+    # two maintainers both derive from e0 (a streaming ingest and an
+    # out-of-band retrain, say)
+    cur_a = cow.get_current(spark, root)
+    cur_b = cow.get_current(spark, root)
+    e1 = cow.new_epoch_path(spark, root, label="a")
+    os.makedirs(e1)
+    e2 = cow.new_epoch_path(spark, root, label="b")
+    os.makedirs(e2)
+    # A commits first — its CAS passes
+    cow.set_current(spark, root, e1, expected=cur_a)
+    # B's CAS fails: the pointer moved since it resolved e0. Nothing
+    # is written — A's applied epoch stays current (no lost update),
+    # and B's epoch remains an EXPLICIT un-applied directory B can
+    # re-derive from, instead of a silently orphaned applied one.
+    with pytest.raises(cow.StalePointerError, match="moved"):
+        cow.set_current(spark, root, e2, expected=cur_b)
+    assert cow.get_current(spark, root) == os.path.abspath(e1)
+    # omitting expected keeps last-writer-wins (single-writer
+    # deployments, tests) — the pre-CAS behavior, unchanged
+    cow.set_current(spark, root, e2)
+    assert cow.get_current(spark, root) == os.path.abspath(e2)

@@ -206,3 +206,36 @@ def test_pq_manifest_chain_merge_delete_compact_vacuum(spark, tmp_path):
     )
     assert cow.list_epochs(spark, root) == [os.path.basename(e4)]
     assert _serve(spark, cow.get_current(spark, root), qs) == exp
+
+
+def test_build_pq_layout_grain_contract(spark, tmp_path):
+    """r12 verdict #5: the IVFPQ leaf-grain rule applied to the PQ
+    codes bucket count — too-fine n_buckets warns (strict raises),
+    validated BEFORE any component write so a strict failure leaves
+    no partial index."""
+    rnd = random.Random(5)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.warns(UserWarning, match="grain too fine"):
+        similarity.build_pq_index(
+            corpus, str(tmp_path / "warn"), dim=8, m=2,
+            centroid_mod=10, n_buckets=32,
+        )
+    with pytest.raises(ValueError, match="grain too fine"):
+        similarity.build_pq_index(
+            corpus, str(tmp_path / "strict"), dim=8, m=2,
+            centroid_mod=10, n_buckets=32, strict_layout=True,
+        )
+    assert not os.path.exists(str(tmp_path / "strict"))
+    # the documented rule passes at n_buckets <= n/64
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        similarity.build_pq_index(
+            corpus, str(tmp_path / "ok"), dim=8, m=2,
+            centroid_mod=10, n_buckets=1,
+        )
+    assert not [w for w in rec if "grain too fine" in str(w.message)]

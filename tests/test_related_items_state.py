@@ -275,3 +275,96 @@ def test_delta_core_negative_support_raises(spark, tmp_path):
             spark, base_p, phantom, str(tmp_path / "o"), "links",
             meta, sign=-1,
         )
+
+
+def test_state_format_version_gates_maintenance(spark, tmp_path):
+    """r12 ADVICE: the baskets ledger's on-disk schema changed
+    (v1 stored basket ids; v2 stores the full (basket, item)
+    incidence) with no version marker — maintenance against an
+    old-format state died with an opaque Spark column-resolution
+    error mid-plan. The meta sidecar now stamps ``format``; every
+    maintenance op checks it FIRST and raises a descriptive
+    'rebuild from source history' error instead."""
+    import json
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    p = str(tmp_path / "s")
+    graph.build_related_items_state(df, p, k=3, min_count=1, n_buckets=4)
+    meta = json.load(open(f"{p}/ri_meta.json"))
+    assert meta["format"] == graph._RI_FORMAT
+    # simulate a state persisted by the pre-versioning code
+    del meta["format"]
+    json.dump(meta, open(f"{p}/ri_meta.json", "w"))
+    batch = spark.createDataFrame([(9, "a"), (9, "b")], ["basket", "item"])
+    with pytest.raises(ValueError, match="rebuild it from the source"):
+        graph.merge_related_items_state(spark, p, batch, str(tmp_path / "o1"))
+    with pytest.raises(ValueError, match="rebuild it from the source"):
+        graph.delete_from_related_items_state(
+            spark, p, df.select("basket"), str(tmp_path / "o2")
+        )
+    with pytest.raises(ValueError, match="rebuild it from the source"):
+        graph.compact_related_items_state(spark, p, str(tmp_path / "o3"))
+
+
+def test_delete_reports_requested_vs_matched(spark, tmp_path):
+    """r12 ADVICE: delete is idempotent (absent ids skip silently), so
+    an erasure pipeline passing ids in the wrong domain must be able
+    to SEE that nothing matched — requested_baskets vs
+    matched_baskets make the coverage assertable."""
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    p = str(tmp_path / "s")
+    graph.build_related_items_state(df, p, k=3, min_count=1, n_buckets=4)
+    # 2 real victims + 1 id never in the ledger
+    ids = spark.createDataFrame([(1,), (3,), (999,)], ["basket"])
+    stats = graph.delete_from_related_items_state(
+        spark, p, ids, str(tmp_path / "o")
+    )
+    assert stats["requested_baskets"] == 3
+    assert stats["matched_baskets"] == 2
+    # wrong-domain erasure: "succeeds" but the counters expose it
+    bogus = spark.createDataFrame([(777,), (888,)], ["basket"])
+    stats2 = graph.delete_from_related_items_state(
+        spark, p, bogus, str(tmp_path / "o2")
+    )
+    assert stats2["requested_baskets"] == 2
+    assert stats2["matched_baskets"] == 0
+    assert stats2["deleted_basket_rows"] == 0
+
+
+def test_compact_returns_per_component_stats(spark, tmp_path):
+    """r12 ADVICE: the compaction's return used to carry only the
+    pairs component — the history-sized ledger rewrite the docstring
+    warns about was invisible. Now {component: stats}."""
+    rows = [(i, f"it{j}") for i in range(40) for j in (i % 5, (i + 1) % 5)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    p = str(tmp_path / "s")
+    graph.build_related_items_state(df, p, k=3, min_count=1, n_buckets=4)
+    stats = graph.compact_related_items_state(spark, p, str(tmp_path / "o"))
+    assert set(stats) == {"pairs", "items", "baskets", "topk"}
+    assert all("partitions" in v for v in stats.values())
+    assert stats["baskets"]["partitions"] >= 1
+
+
+def test_build_layout_grain_contract(spark, tmp_path):
+    """r12 verdict #5: the IVFPQ leaf-grain rule applied to the
+    related-items bucket count — a deliberately-too-fine n_buckets
+    warns by default and raises under strict_layout."""
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    with pytest.warns(UserWarning, match="grain too fine"):
+        graph.build_related_items_state(
+            df, str(tmp_path / "warn"), k=3, min_count=1, n_buckets=64
+        )
+    with pytest.raises(ValueError, match="grain too fine"):
+        graph.build_related_items_state(
+            df,
+            str(tmp_path / "strict"),
+            k=3,
+            min_count=1,
+            n_buckets=64,
+            strict_layout=True,
+        )
+    # a strict-mode failure leaves no partial state on disk
+    assert not os.path.exists(str(tmp_path / "strict"))

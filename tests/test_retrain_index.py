@@ -195,3 +195,69 @@ def test_retrain_pq_and_ivfpq_guard_and_equality(spark, tmp_path):
             spark, cow.get_current(spark, root2), bad,
             str(tmp_path / "bad_out"), layout="manifest",
         )
+
+
+def _report(spark, path, corpus, sample_mod=1):
+    return similarity.index_staleness_report(
+        spark, path, corpus, sample_mod=sample_mod
+    ).collect()[0]
+
+
+def test_staleness_report_fresh_index_and_movement(spark, tmp_path):
+    """index_staleness_report (r12 verdict #2 — the when-to-retrain
+    signal): on a FRESH index the occupancy accounts for every vector
+    and no cell is dead; ERASING one cell's whole membership makes it
+    a dead cell; merging OUT-OF-DISTRIBUTION vectors (drift) raises
+    the sampled ADC reconstruction error — the metric MOVES with
+    exactly the churn that degrades recall, so an operator can alert
+    on it instead of running a corpus-sized recall probe."""
+    rnd = random.Random(23)
+    n = 200
+    corpus = spark.createDataFrame(
+        _vecs(rnd, range(n)), ["vec_id", "embedding"]
+    )
+    idx = str(tmp_path / "idx")
+    similarity.build_ivfpq_index(
+        corpus, idx, dim=DIM, m=M, centroid_mod=20, n_buckets=4
+    )
+    r0 = _report(spark, idx, corpus)
+    assert r0["n_cells"] == 10  # ids ≡ 0 (mod 20) in [0, 200)
+    assert r0["dead_cells"] == 0
+    assert r0["n_vecs"] == n and r0["n_sampled"] == n
+    assert r0["occ_min"] >= 1 and r0["occ_max"] >= r0["occ_min"]
+    assert r0["recon_err_sum"] >= 0.0
+
+    # (1) GDPR-erase EVERY member of one cell → it reports dead
+    codes = spark.read.parquet(f"{idx}/codes")
+    cell = codes.groupBy("cent_id").count().orderBy("count", "cent_id")
+    victim_cell = cell.first()["cent_id"]
+    doomed = (
+        codes.where(F.col("cent_id") == victim_cell)
+        .select("vec_id")
+        .distinct()
+    )
+    n_doomed = doomed.count()
+    out = str(tmp_path / "deleted")
+    similarity.delete_from_ivfpq_index(spark, idx, doomed, out)
+    survivors = corpus.join(doomed, "vec_id", "left_anti")
+    r1 = _report(spark, out, survivors)
+    assert r1["dead_cells"] >= 1
+    assert r1["n_vecs"] == n - n_doomed
+    assert r1["n_cells"] == r0["n_cells"]  # anchors stay (remove_ids)
+
+    # (2) drift: merge far-out-of-distribution vectors (scaled 5x) —
+    # their residuals dwarf the codebook's span, so the sampled ADC
+    # reconstruction error RISES vs the fresh-build baseline
+    drift_ids = [i for i in range(1000, 1060) if i % 20 not in (0, 1)]
+    drift = spark.createDataFrame(
+        [
+            (i, [rnd.uniform(-1, 1) * 5.0 for _ in range(DIM)])
+            for i in drift_ids
+        ],
+        ["vec_id", "embedding"],
+    )
+    out2 = str(tmp_path / "drifted")
+    similarity.merge_ivfpq_index(spark, idx, drift, out2)
+    r2 = _report(spark, out2, corpus.unionByName(drift))
+    assert r2["n_vecs"] == n + len(drift_ids)
+    assert r2["mean_recon_err"] > r0["mean_recon_err"] * 1.5

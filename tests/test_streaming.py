@@ -1037,3 +1037,327 @@ def test_related_items_ingest_compact_bounds_chain(spark, tmp_path):
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_epochs_since_compact_ignores_crashed_compact(spark, tmp_path):
+    """r12 ADVICE: a ``*_compact`` epoch written by a crashed run that
+    never reached set_current must NOT reset the chain counter — it
+    sorts AFTER the pointer, so anchoring on "any compact name"
+    under-reported the live chain and deferred the next compaction a
+    full cycle. The anchor is now the last compact AT-OR-BEFORE the
+    current pointer."""
+    import os
+
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        _epochs_since_compact,
+    )
+
+    root = str(tmp_path / "root")
+    # e0 (build), e1 (applied compact), e2/e3 (merges) — pointer at e3
+    names = []
+    for label in ("", "compact", "b1", "b2"):
+        e = cow.new_epoch_path(spark, root, label=label)
+        os.makedirs(e)
+        names.append(e)
+    cow.set_current(spark, root, names[3])
+    # applied compact at e1: chain = e1(compact base) + e2 + e3 = 3
+    assert _epochs_since_compact(spark, root) == 3
+    # a CRASHED compact (written, never set_current'd) lands at e4:
+    # it must not become the anchor — the live chain is still rooted
+    # at e1 (the crashed dir itself counts as one member, erring
+    # toward compacting sooner, never later)
+    e4 = cow.new_epoch_path(spark, root, label="compact")
+    os.makedirs(e4)
+    assert e4.endswith("_compact")
+    assert _epochs_since_compact(spark, root) == 4
+    # once a compaction actually APPLIES (pointer reaches it), the
+    # counter resets through it
+    cow.set_current(spark, root, e4)
+    assert _epochs_since_compact(spark, root) == 1
+
+
+def _stage_parquet_batches(stage, batches):
+    """Stage micro-batch parquet files with explicit ascending mtimes
+    (the file source orders by mtime; bootstrap must arrive first)."""
+    import os
+
+    stamped = set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(stage)
+        for name in sorted(os.listdir(stage)):
+            p = os.path.join(stage, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
+
+
+def _ivfpq_rows(spark, idx, qs, **kw):
+    from data_lake_with_spark_spark.operators import similarity as S
+
+    return sorted(
+        map(tuple, S.ivfpq_topk_indexed(spark, idx, qs, **kw).collect())
+    )
+
+
+def test_ivfpq_index_maintenance_ingest_matches_batch_build(
+    spark, tmp_path
+):
+    """Streaming maintenance for the PRODUCTION serving family (r12
+    verdict #3 — ivfpq_index_maintenance_ingest): bootstrap trains
+    BOTH frozen quantizers (coarse centroids + residual codebooks),
+    two merge batches manifest-merge under the lifecycle root, and
+    the served residual-ADC top-k is IDENTICAL to a from-scratch
+    build_ivfpq_index over the union with the same seed stripes."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        ivfpq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    md = 20
+    frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
+    _stage_parquet_batches(
+        stage,
+        [
+            vecs.where(frozen | (F2.col("vec_id") % 3 == 0)),
+            vecs.where(~frozen & (F2.col("vec_id") % 3 == 1)),
+            vecs.where(~frozen & (F2.col("vec_id") % 3 == 2)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = ivfpq_index_maintenance_ingest(
+        stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+        checkpoint_dir=cp,
+    )
+    q.awaitTermination(300)
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 3
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[-1]
+    assert cow.read_manifest(spark, cur, "codes") is not None
+    scratch = str(tmp_path / "scratch")
+    S.build_ivfpq_index(
+        vecs, scratch, dim=8, m=2, centroid_mod=md, n_buckets=4
+    )
+    qs = vecs.where(F2.col("vec_id") < 5)
+    got = _ivfpq_rows(spark, cur, qs, k=5, nprobe=3)
+    exp = _ivfpq_rows(spark, scratch, qs, k=5, nprobe=3)
+    assert got == exp and len(got) == 5 * 5
+
+
+def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
+    """Replay + doubly-frozen contract for the IVFPQ ingest: (1) a
+    FULL re-delivery (fresh checkpoint, same root) is a no-op on the
+    resolved view — the replayed bootstrap's centroid-source AND
+    codebook-source ids verify bit-identical against the carried
+    quantizers and drop; (2) a post-bootstrap batch carrying a NEW id
+    in EITHER frozen stripe raises; (3) a frozen-source id with
+    DIFFERENT bytes raises (retrain attempt)."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        ivfpq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(13)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    md = 20
+    frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
+    batches = [
+        vecs.where(frozen | (F2.col("vec_id") % 3 == 0)),
+        vecs.where(~frozen & (F2.col("vec_id") % 3 != 0)),
+    ]
+    _stage_parquet_batches(stage, batches)
+
+    def run(cp_name):
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=str(tmp_path / cp_name),
+        )
+        q.awaitTermination(300)
+
+    run("cp1")
+    qs = vecs.where(F2.col("vec_id") < 5)
+    before = _ivfpq_rows(
+        spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+    )
+    # (1) full re-delivery: fresh checkpoint, same root — resolved
+    # view unchanged (replays verified + dropped; ordinary ids upsert
+    # onto themselves)
+    run("cp2")
+    after = _ivfpq_rows(
+        spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+    )
+    assert after == before
+
+    # (2) NEW frozen-stripe ids after bootstrap raise — both stripes
+    for bad_id in (400, 401):  # 400 ≡ 0, 401 ≡ 1 (mod 20)
+        _stage_parquet_batches(
+            str(tmp_path / f"stage_bad{bad_id}"),
+            [spark.createDataFrame(
+                [(bad_id, [0.5] * 8)], ["vec_id", "embedding"]
+            )],
+        )
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / f"stage_bad{bad_id}"))
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=str(tmp_path / f"cp_bad{bad_id}"),
+        )
+        with pytest.raises(Exception, match="NEW id"):
+            q.awaitTermination(300)
+
+    # (3) a frozen-source id with DIFFERENT bytes is a retrain
+    # attempt: centroid-source (≡0) and codebook-source (≡1)
+    for stale_id, msg in ((20, "centroid-source"), (21, "codebook-source")):
+        _stage_parquet_batches(
+            str(tmp_path / f"stage_stale{stale_id}"),
+            [spark.createDataFrame(
+                [(stale_id, [9.0] * 8)], ["vec_id", "embedding"]
+            )],
+        )
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / f"stage_stale{stale_id}"))
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=str(tmp_path / f"cp_stale{stale_id}"),
+        )
+        with pytest.raises(Exception, match=msg):
+            q.awaitTermination(300)
+
+
+def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
+    """Retrain racing a streaming ingest (r12 verdict #4) — the
+    DECIDED semantics, pinned: (a) mid-batch, the ingest's CAS commit
+    (expected = the pointer it derived from) RAISES StalePointerError
+    once a retrain re-points the root, so the in-flight batch fails
+    fast instead of orphaning the retrained epoch for vacuum to
+    delete; (b) on restart, foreachBatch re-delivers the batch, the
+    ingest re-resolves get_current, and the batch merges against the
+    RETRAINED quantizers — the stream ends bit-identical to a
+    from-scratch rebuild over the final corpus with the retrained
+    seed sets."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        ivfpq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(17)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    stage, root, cp = (str(tmp_path / d) for d in ("stage", "root", "cp"))
+    md = 20
+    frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
+    b0 = vecs.where(frozen | (F2.col("vec_id") % 3 == 0))
+    _stage_parquet_batches(stage, [b0])
+
+    def run():
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=cp,
+        )
+        q.awaitTermination(300)
+
+    run()  # bootstrap drains b0 → epoch 0
+
+    # out-of-band maintenance while the stream is quiesced: GDPR
+    # erase two CODEBOOK-SOURCE ids (21, 41 ≡ 1 mod 20) so the
+    # retrain genuinely moves the quantizer (fewer codebook entries)
+    doomed = [21, 41]
+    e1 = cow.new_epoch_path(spark, root, label="gdpr")
+    S.delete_from_ivfpq_index(
+        spark,
+        cow.get_current(spark, root),
+        spark.createDataFrame([(i,) for i in doomed], ["vec_id"]),
+        e1,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e1, expected=cow.get_current(spark, root))
+    stale_cur = cow.get_current(spark, root)
+
+    survivors = b0.where(~F2.col("vec_id").isin(doomed))
+    S.retrain_ivfpq_index(
+        spark, root, survivors, dim=8, m=2, centroid_mod=md
+    )
+    retrained = cow.get_current(spark, root)
+    assert retrained != stale_cur
+
+    # (a) the mid-batch shape: a maintainer still holding the
+    # pre-retrain pointer tries to commit — CAS raises, nothing moves
+    e_stale = cow.new_epoch_path(spark, root, label="stalewrite")
+    os.makedirs(e_stale)
+    with pytest.raises(cow.StalePointerError, match="moved"):
+        cow.set_current(spark, root, e_stale, expected=stale_cur)
+    assert cow.get_current(spark, root) == retrained
+
+    # (b) the restart shape: a new batch of ordinary ids arrives; the
+    # resumed ingest re-resolves get_current and merges against the
+    # RETRAINED quantizers
+    b1 = spark.createDataFrame(
+        [
+            (i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(300, 340)
+            if i % md not in (0, 1)
+        ],
+        ["vec_id", "embedding"],
+    )
+    _stage_parquet_batches(stage, [b1])
+    run()
+    final = survivors.unionByName(b1)
+    scratch = str(tmp_path / "scratch")
+    S.build_ivfpq_index(
+        final, scratch, dim=8, m=2, centroid_mod=md, n_buckets=4
+    )
+    qs = final.where(F2.col("vec_id") < 5)
+    got = _ivfpq_rows(
+        spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+    )
+    exp = _ivfpq_rows(spark, scratch, qs, k=5, nprobe=3)
+    assert got == exp and len(got) > 0

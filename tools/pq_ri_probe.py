@@ -433,6 +433,33 @@ def main() -> int:
                 }
                 return round(len(got & truth) / max(1, len(truth)), 4)
 
+            # staleness report at each stage (r12 verdict #2): the
+            # cheap per-epoch signal must MOVE with the drift that
+            # recall measures expensively — fresh build baseline,
+            # drifted (post-erasure), retrained. Expected movement:
+            # erasure guts the stale half's occupancy (occ_min ↓,
+            # skew ↑, dead cells possible) while recall decays; the
+            # retrain rebalances occupancy and re-fits the codebooks
+            # to the survivors (mean_recon_err ↓) while recall
+            # recovers — so alerting on the report catches exactly
+            # what the corpus-sized recall probe catches.
+            def staleness(path, corp):
+                t0 = time.time()
+                r = similarity.index_staleness_report(
+                    spark, path, corp, sample_mod=10
+                ).collect()[0]
+                return {
+                    "dead_cells": r["dead_cells"],
+                    "occ_min": r["occ_min"],
+                    "occ_max": r["occ_max"],
+                    "n_vecs": r["n_vecs"],
+                    "n_sampled": r["n_sampled"],
+                    "mean_recon_err": round(r["mean_recon_err"], 4),
+                    "report_s": round(time.time() - t0, 2),
+                }
+
+            st_fresh = staleness(e0, emb)
+            st_drift = staleness(_cow.get_current(spark, root), survivors)
             rec_before = recall(_cow.get_current(spark, root))
             t0 = time.time()
             similarity.retrain_ivfpq_index(
@@ -441,6 +468,7 @@ def main() -> int:
             )
             retrain_s = round(time.time() - t0, 2)
             rec_after = recall(_cow.get_current(spark, root))
+            st_post = staleness(_cow.get_current(spark, root), survivors)
             out[f"retrain_n{n}"] = {
                 "n_corpus": n,
                 "n_survivors": survivors.count(),
@@ -449,6 +477,9 @@ def main() -> int:
                 "recall5_drifted": rec_before,
                 "recall5_retrained": rec_after,
                 "retrain_s": retrain_s,
+                "staleness_fresh": st_fresh,
+                "staleness_drifted": st_drift,
+                "staleness_retrained": st_post,
             }
             print(json.dumps({f"retrain_n{n}": out[f"retrain_n{n}"]}))
         finally:
