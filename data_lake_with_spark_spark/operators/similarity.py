@@ -3053,6 +3053,163 @@ def index_staleness_report(
     )
 
 
+def pq_staleness_report(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The plain-PQ sibling of :func:`index_staleness_report` — the
+    staleness story covers all three quantized families the way the
+    retrain ops do. PQ has no coarse cells, so the occupancy axis is
+    **codebook utilization**: ``n_codes`` codebook entries vs
+    ``dead_codes`` (entries NO stored code references — churn drifts
+    the encode distribution off parts of the frozen codebook; dead
+    entries are budget the corpus no longer uses, the k-means
+    empty-cluster signal read off the serving artifact). The error
+    axis is the same sampled ADC reconstruction error (raw sub-vector
+    vs the codebook entry the STORED code points at — PQ encodes raw
+    slices, no re-centering). Returns ONE row: (n_codes, dead_codes,
+    n_vecs, n_sampled, recon_err_sum, mean_recon_err)."""
+    meta, cb, codes = _pq_index_parts(spark, path)
+    dim, m = meta["dim"], meta["m"]
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    used = codes.select("subspace", "code").distinct().withColumn(
+        "_u", F.lit(1)
+    )
+    cb_stats = (
+        cb.select("subspace", "code")
+        .join(used, ["subspace", "code"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+            F.sum(F.when(F.col("_u").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dead_codes"),
+        )
+    )
+    n_vecs = codes.where(F.col("subspace") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    sv = corpus.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    w = dim // m
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), s * w + 1, w)
+            for s in range(m)
+        ]
+    )
+    subs = sv.select(id_col, F.posexplode(slices)).select(
+        id_col,
+        F.col("pos").cast("bigint").alias("subspace"),
+        F.col("col").alias("_sub_v"),
+    )
+    err = (
+        subs.join(codes.select(id_col, "subspace", "code"), [id_col, "subspace"])
+        .join(F.broadcast(cb), ["subspace", "code"])
+        .select(
+            F.col(id_col),
+            F.round(l2sq_expr("_sub_v", "cent_sub"), 6)
+            .cast("decimal(18,6)")
+            .alias("_e"),
+        )
+    )
+    err_stats = err.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_sampled"),
+        F.sum("_e").alias("_sum_e"),
+    )
+    return cb_stats.crossJoin(n_vecs).crossJoin(err_stats).select(
+        "n_codes",
+        "dead_codes",
+        "n_vecs",
+        "n_sampled",
+        F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
+            "recon_err_sum"
+        ),
+        (
+            F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
+            / F.col("n_sampled")
+        ).alias("mean_recon_err"),
+    )
+
+
+def ivf_staleness_report(
+    spark,
+    path: str,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF sibling of :func:`index_staleness_report` —
+    SELF-CONTAINED (IVF lists store the full float vectors, so no
+    corpus argument): cell occupancy (n_cells / dead_cells /
+    envelope / n_vecs) plus the mean squared RESIDUAL NORM
+    ``|v - cent_v|²`` on the deterministic ``id % sample_mod == 0``
+    stripe — for IVF the residual norm IS the quantization error the
+    frozen coarse quantizer imposes (there is no second-stage
+    codebook), so a rising mean residual against the build-time
+    baseline is the same retrain trigger the IVFPQ report reads from
+    its ADC error. Returns ONE row: (n_cells, dead_cells, occ_min,
+    occ_max, n_vecs, n_sampled, resid_sum, mean_resid)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    cents = cow.read_component(spark, path, "centroids")
+    lists = cow.read_component(spark, path, "lists")
+    occ = lists.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_occ")
+    )
+    cell_stats = (
+        cents.select("cent_id")
+        .join(occ, "cent_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(F.col("_occ").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dead_cells"),
+            F.min("_occ").cast("bigint").alias("occ_min"),
+            F.max("_occ").cast("bigint").alias("occ_max"),
+            F.sum(F.coalesce(F.col("_occ"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_vecs"),
+        )
+    )
+    err = (
+        lists.where(F.col(id_col) % sample_mod == 0)
+        .join(F.broadcast(cents), "cent_id")
+        .select(
+            F.col(id_col),
+            F.round(l2sq_expr(vec_col, "cent_v"), 6)
+            .cast("decimal(18,6)")
+            .alias("_e"),
+        )
+    )
+    err_stats = err.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_sampled"),
+        F.sum("_e").alias("_sum_e"),
+    )
+    return cell_stats.crossJoin(err_stats).select(
+        "n_cells",
+        "dead_cells",
+        "occ_min",
+        "occ_max",
+        "n_vecs",
+        "n_sampled",
+        F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
+            "resid_sum"
+        ),
+        (
+            F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
+            / F.col("n_sampled")
+        ).alias("mean_resid"),
+    )
+
+
 def truncated_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

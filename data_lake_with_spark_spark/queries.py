@@ -6749,23 +6749,28 @@ def q198_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(
             emb.where(~is_delta), e0, centroid_mod=md, vec_dim=64
         )
-        cow.set_current(spark, root, e0)
+        # every pointer commit is a CAS against the epoch it derived
+        # from (expected=None asserts the fresh root) — the r12
+        # lost-update guard, exercised in the registered composition
+        cow.set_current(spark, root, e0, expected=None)
         epochs = [e0]
         for half in (0, 1):
             out = cow.new_epoch_path(spark, root, label="merge")
+            base = cow.get_current(spark, root)
             merge_ivf_index(
                 spark,
-                cow.get_current(spark, root),
+                base,
                 emb.where(is_delta & (F.col("vec_id") % 2 == half)),
                 out,
                 vec_dim=64,
                 layout="manifest",
             )
-            cow.set_current(spark, root, out)
+            cow.set_current(spark, root, out, expected=base)
             epochs.append(out)
         flat = cow.new_epoch_path(spark, root, label="compact")
-        compact_ivf_index(spark, cow.get_current(spark, root), flat)
-        cow.set_current(spark, root, flat)
+        base = cow.get_current(spark, root)
+        compact_ivf_index(spark, base, flat)
+        cow.set_current(spark, root, flat, expected=base)
         vac = cow.vacuum_index(spark, root, ["lists", "centroids"])
         if sorted(vac["removed"]) != sorted(
             os.path.basename(p) for p in epochs
@@ -7436,16 +7441,17 @@ def q208_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, e0, dim=_PQ_DIM, m=_PQ_M, target_centroids=40,
             n_buckets=8,
         )
-        cow.set_current(spark, root, e0)
+        cow.set_current(spark, root, e0, expected=None)
         e1 = cow.new_epoch_path(spark, root, label="gdpr")
+        base = cow.get_current(spark, root)
         delete_from_ivfpq_index(
             spark,
-            cow.get_current(spark, root),
+            base,
             emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
             e1,
             layout="manifest",
         )
-        cow.set_current(spark, root, e1)
+        cow.set_current(spark, root, e1, expected=base)
         retrain_ivfpq_index(
             spark, root, survivors, dim=_PQ_DIM, m=_PQ_M,
             target_centroids=40,
@@ -7607,6 +7613,116 @@ def q210_streaming_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(cp, ignore_errors=True)
+
+
+def q211_pq_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-family staleness report (similarity.pq_staleness_report —
+    the plain-PQ sibling of q209, so the when-to-retrain signal
+    covers all three quantized families the way the retrain ops do):
+    codebook UTILIZATION (n_codes vs dead_codes — frozen codebook
+    entries no stored code references; churn drifting the encode
+    distribution off parts of the codebook is PQ's staleness axis,
+    k-means' empty-cluster signal read off the serving artifact) plus
+    the sampled ADC reconstruction error (raw sub-vector vs the
+    stored code's entry). Runs off the shared persisted PQ index
+    (q118's target-40 config); the oracle re-derives both legs from
+    the O_Q118 CTE pipeline."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        pq_staleness_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_staleness_report(
+        spark, _pq_index(spark, sf_dir), emb, sample_mod=10
+    )
+
+
+O_Q211 = f"""
+WITH {_O_PQ_BASE},
+used AS (SELECT DISTINCT subspace, code FROM enc),
+cbstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_codes,
+         CAST(SUM(CASE WHEN u.code IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dead_codes
+  FROM cb LEFT JOIN used u
+    ON u.subspace = cb.subspace AND u.code = cb.code),
+vstats AS (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs FROM enc),
+serr AS (
+  SELECT ev.vec_id,
+         CAST(ROUND({{l2ec}}, 6) AS DECIMAL(18,6)) AS e
+  FROM ev
+  JOIN enc ON enc.vec_id = ev.vec_id AND enc.subspace = ev.subspace
+  JOIN cb ON cb.subspace = enc.subspace AND cb.code = enc.code
+  WHERE ev.vec_id % 10 = 0),
+errstats AS (
+  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_sampled,
+         SUM(e) AS s FROM serr)
+SELECT n_codes, dead_codes, n_vecs, n_sampled,
+       CAST(s AS DOUBLE) AS recon_err_sum,
+       CAST(s AS DOUBLE) / n_sampled AS mean_recon_err
+FROM cbstats, vstats, errstats
+"""
+O_Q211 = O_Q211.format(l2ec=_O_L2SQ.format(a="ev.sub_v", b="cb.cent_sub"))
+
+
+def q212_ivf_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-family staleness report (similarity.ivf_staleness_report —
+    SELF-CONTAINED: IVF lists store the full vectors, so the report
+    needs no corpus argument): cell occupancy plus the mean squared
+    residual norm |v - cent_v|² on the sample stripe — for IVF the
+    residual norm IS the quantization error the frozen coarse
+    quantizer imposes, so its rise against the build-time baseline is
+    the retrain trigger. Built over the budget-40 IVF layout (q113's
+    config); the oracle re-derives occupancy and residuals from
+    O_Q113's assignment CTE."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_staleness_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="dlws_ivf_stale_")
+    try:
+        build_ivf_index(emb, idx, target_centroids=40, vec_dim=64)
+        out = ivf_staleness_report(spark, idx, sample_mod=10)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# O_Q212: O_Q113's assignment pipeline, then occupancy + sampled
+# residual norms — the ground-truth derivation of the IVF report.
+_O_Q113_ASSIGN_PREFIX = O_Q113.partition("probes AS")[0]
+if "assigned AS" not in _O_Q113_ASSIGN_PREFIX:  # pragma: no cover
+    raise AssertionError("O_Q212 prefix anchor missing from O_Q113")
+O_Q212 = _O_Q113_ASSIGN_PREFIX + f"""occ AS (
+  SELECT cent_id, COUNT(*) AS occ FROM assigned GROUP BY 1),
+cellstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CASE WHEN o.occ IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dead_cells,
+         CAST(MIN(o.occ) AS BIGINT) AS occ_min,
+         CAST(MAX(o.occ) AS BIGINT) AS occ_max,
+         CAST(SUM(COALESCE(o.occ, 0)) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN occ o ON o.cent_id = c.cent_id),
+serr AS (
+  SELECT a.neighbor_id,
+         CAST(ROUND({_O_L2SQ.format(a='a.cv2', b='c.cv')}, 6)
+              AS DECIMAL(18,6)) AS e
+  FROM assigned a JOIN cents c ON c.cent_id = a.cent_id
+  WHERE a.neighbor_id % 10 = 0),
+errstats AS (
+  SELECT CAST(COUNT(DISTINCT neighbor_id) AS BIGINT) AS n_sampled,
+         SUM(e) AS s FROM serr)
+SELECT n_cells, dead_cells, occ_min, occ_max, n_vecs, n_sampled,
+       CAST(s AS DOUBLE) AS resid_sum,
+       CAST(s AS DOUBLE) / n_sampled AS mean_resid
+FROM cellstats, errstats
+"""
 
 
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8861,6 +8977,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # trains BOTH frozen quantizers) must serve the from-scratch
     # build bit-for-bit — O_Q200 verbatim.
     "q210_streaming_ivfpq": (q210_streaming_ivfpq, O_Q200),
+    # PQ staleness: codebook utilization + sampled recon error off
+    # the persisted index must equal the O_Q118-pipeline derivation.
+    "q211_pq_staleness": (q211_pq_staleness, O_Q211),
+    # IVF staleness: occupancy + sampled residual norms off the
+    # persisted layout must equal the O_Q113 assignment derivation.
+    "q212_ivf_staleness": (q212_ivf_staleness, O_Q212),
 }
 
 
@@ -9146,6 +9268,13 @@ _ROTATED_IN = (
     # per the standing discipline.
     "q209_ivfpq_staleness",
     "q210_streaming_ivfpq",
+    # round 13b: the staleness siblings — the when-to-retrain signal
+    # across all three quantized families, matching the retrain ops'
+    # coverage (q211 PQ codebook utilization, O_Q118 derivation;
+    # q212 IVF residual norms, O_Q113 derivation). Same promotion
+    # discipline: 3-SF sweeps + driver_sim replay.
+    "q211_pq_staleness",
+    "q212_ivf_staleness",
 )
 _ROTATED_OUT = (
     # round 4
@@ -9492,6 +9621,14 @@ _ROTATED_OUT = (
     # unweighted property stays pytest-gated.
     "q192_ivf_manifest_merge",
     "q194_hits_weighted",
+    # round 13b demotions — both window-verified across rounds 9–12
+    # and code-untouched this round: link authority keeps
+    # q175/q186/q187/q190/q191 in-window (seeded-PageRank semantics
+    # stay value-verified in the local sweep + pytest);
+    # decontamination keeps q139 (span decontaminate) + q137
+    # (blocklist) in-window, Bloom saturation stays property-tested.
+    "q180_pagerank_seeded",
+    "q131_bloom_decontaminate",
 )
 
 

@@ -261,3 +261,64 @@ def test_staleness_report_fresh_index_and_movement(spark, tmp_path):
     r2 = _report(spark, out2, corpus.unionByName(drift))
     assert r2["n_vecs"] == n + len(drift_ids)
     assert r2["mean_recon_err"] > r0["mean_recon_err"] * 1.5
+
+
+def test_pq_and_ivf_staleness_siblings(spark, tmp_path):
+    """The staleness signal covers all three quantized families: PQ's
+    occupancy axis is codebook UTILIZATION (dead_codes — entries no
+    stored code references), IVF's error axis is the residual norm
+    (no second-stage codebook). Fresh builds report full utilization;
+    erasing an entry's whole constituency makes it report dead."""
+    rnd = random.Random(31)
+    n = 200
+    corpus = spark.createDataFrame(
+        _vecs(rnd, range(n)), ["vec_id", "embedding"]
+    )
+    # --- PQ ----------------------------------------------------------
+    pq = str(tmp_path / "pq")
+    similarity.build_pq_index(
+        corpus, pq, dim=DIM, m=M, centroid_mod=20, n_buckets=2
+    )
+    r0 = similarity.pq_staleness_report(spark, pq, corpus).collect()[0]
+    # every codebook entry is at least its own source's argmin (d=0)
+    assert r0["dead_codes"] == 0
+    assert r0["n_codes"] == M * 10  # ids ≡ 0 (mod 20) in [0, 200)
+    assert r0["n_vecs"] == n and r0["n_sampled"] == n // 10
+    # erase one codebook entry's ENTIRE constituency → it reports dead
+    codes = spark.read.parquet(f"{pq}/codes")
+    victim = codes.where(F.col("subspace") == 0).groupBy("code").count(
+    ).orderBy("count", "code").first()["code"]
+    doomed = (
+        codes.where((F.col("subspace") == 0) & (F.col("code") == victim))
+        .select("vec_id")
+        .distinct()
+    )
+    out = str(tmp_path / "pq_del")
+    similarity.delete_from_pq_index(spark, pq, doomed, out)
+    survivors = corpus.join(doomed, "vec_id", "left_anti")
+    r1 = similarity.pq_staleness_report(spark, out, survivors).collect()[0]
+    assert r1["dead_codes"] >= 1
+    assert r1["n_codes"] == r0["n_codes"]  # frozen codebook carried
+    assert r1["n_vecs"] == n - doomed.count()
+
+    # --- IVF (self-contained: no corpus argument) --------------------
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(corpus, ivf, centroid_mod=20)
+    s0 = similarity.ivf_staleness_report(spark, ivf).collect()[0]
+    assert s0["n_cells"] == 10 and s0["dead_cells"] == 0
+    assert s0["n_vecs"] == n and s0["n_sampled"] == n // 10
+    assert s0["mean_resid"] >= 0.0
+    # drift: merge far-out-of-distribution vectors — residual norms
+    # (IVF's quantization error) rise vs the fresh baseline
+    drift = spark.createDataFrame(
+        [
+            (i, [rnd.uniform(-1, 1) * 5.0 for _ in range(DIM)])
+            for i in range(1000, 1060)
+            if i % 20 != 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    out2 = str(tmp_path / "ivf_drift")
+    similarity.merge_ivf_index(spark, ivf, drift, out2)
+    s1 = similarity.ivf_staleness_report(spark, out2).collect()[0]
+    assert s1["mean_resid"] > s0["mean_resid"] * 1.5
