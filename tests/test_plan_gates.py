@@ -588,3 +588,65 @@ def test_r12_related_items_state_bucket_pruning(spark, tmp_path):
     assert re.search(
         r"PartitionFilters: \[[^\]]*pair_bucket", plan2
     ), "manifest pairs scan not partition-pruned"
+
+
+def test_r13_staleness_report_plan_budget(spark, tmp_path):
+    """The staleness reports (r12 verdict #2) must stay cheap at
+    100 TB: the IVFPQ/PQ occupancy+error legs read NO vector bytes
+    from the codes component (every codes ReadSchema is int-only —
+    the array columns in the plan are only the broadcast-small
+    centroids/codebooks), and all three family reports compile with
+    zero Python eval nodes and a bounded exchange count."""
+    import random
+    import re
+
+    from data_lake_with_spark_spark.operators import similarity
+
+    rnd = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    ivfpq = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(
+        corpus, ivfpq, dim=8, m=2, centroid_mod=20, n_buckets=4
+    )
+    p = (
+        similarity.index_staleness_report(spark, ivfpq, corpus)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert p.count("Exchange") <= 12, p.count("Exchange")
+    # no ReadSchema carries the corpus vectors; the only array reads
+    # are centroids (cent_v) / codebooks (cent_sub), broadcast-small
+    for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", p):
+        schema = m.group(1)
+        assert "embedding" not in schema, schema
+        if "array" in schema:
+            assert "cent_v" in schema or "cent_sub" in schema, schema
+
+    pq = str(tmp_path / "pq")
+    similarity.build_pq_index(
+        corpus, pq, dim=8, m=2, centroid_mod=20, n_buckets=2
+    )
+    p2 = (
+        similarity.pq_staleness_report(spark, pq, corpus)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "BatchEvalPython" not in p2 and "ArrowEval" not in p2
+    for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", p2):
+        schema = m.group(1)
+        assert "embedding" not in schema, schema
+        if "array" in schema:
+            assert "cent_sub" in schema, schema
+
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(corpus, ivf, centroid_mod=20)
+    p3 = (
+        similarity.ivf_staleness_report(spark, ivf)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    # IVF lists store the vectors (self-contained report); the gate
+    # here is Python-free compilation and the bounded exchange count
+    assert "BatchEvalPython" not in p3 and "ArrowEval" not in p3
+    assert p3.count("Exchange") <= 10, p3.count("Exchange")
