@@ -53,6 +53,7 @@ SKIP = {
     "q205_streaming_vector_index",
     "q207_streaming_related_items",
     "q210_streaming_ivfpq",
+    "q213_streaming_pq",
     # quantizer retrain = a PLANNED FULL REBUILD inside the lifecycle
     # (build epoch + manifest delete + retrain re-encode = two full
     # corpus encodes per invocation, by definition the rare drift-

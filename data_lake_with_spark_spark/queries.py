@@ -7725,6 +7725,75 @@ FROM cellstats, errstats
 """
 
 
+def q213_streaming_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the plain-PQ family
+    (streaming/events.pq_index_maintenance_ingest — with q210 this
+    closes r12 verdict #3 for BOTH named families): the embedding
+    corpus arrives as three parquet micro-batches; batch 0 is the
+    BOOTSTRAP carrying the ``vec_id % md == 0`` codebook seed stripe
+    (PQ's one frozen quantizer trains on the initial load; an empty
+    stripe raises pre-write), batches 1–2 encode against the carried
+    codebooks and manifest-merge with CAS pointer commits. Serving
+    q118's exact ADC config from the pointer through the two-epoch
+    manifest chain is oracled by O_Q118 VERBATIM (batch-split
+    invariance, compressed-flat-scan side). Replay no-ops and
+    fresh-stripe raises are gated in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        pq_topk_indexed,
+    )
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        pq_index_maintenance_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    md = max(1, emb.count() // 40)
+    corpus = emb.select("vec_id", "embedding")
+    stage = tempfile.mkdtemp(prefix="dlws_stream_pq_stage_")
+    root = tempfile.mkdtemp(prefix="dlws_stream_pq_root_")
+    cp = tempfile.mkdtemp(prefix="dlws_stream_pq_cp_")
+    try:
+        is_seed = F.col("vec_id") % md == 0
+        batches = [
+            corpus.where(is_seed | (F.col("vec_id") % 3 == 0)),
+            corpus.where(~is_seed & (F.col("vec_id") % 3 == 1)),
+            corpus.where(~is_seed & (F.col("vec_id") % 3 == 2)),
+        ]
+        stamped: set[str] = set()
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(stage)
+            for name in sorted(os.listdir(stage)):
+                p = os.path.join(stage, name)
+                if name.endswith(".parquet") and p not in stamped:
+                    os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                    stamped.add(p)
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = pq_index_maintenance_ingest(
+            stream, root, dim=_PQ_DIM, m=_PQ_M, centroid_mod=md,
+            n_buckets=8, checkpoint_dir=cp,
+        )
+        q.awaitTermination()
+        out = pq_topk_indexed(
+            spark,
+            cow.get_current(spark, root),
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
 def q141_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage report (text.vocab_coverage): running-token
     coverage of the top-{5,20,100} most frequent types — computed with
@@ -8983,6 +9052,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # IVF staleness: occupancy + sampled residual norms off the
     # persisted layout must equal the O_Q113 assignment derivation.
     "q212_ivf_staleness": (q212_ivf_staleness, O_Q212),
+    # Streaming plain-PQ maintenance: epochs streamed in (bootstrap
+    # trains the frozen codebooks) must serve the from-scratch ADC
+    # build bit-for-bit — O_Q118 verbatim (the q196 pin, streamed).
+    "q213_streaming_pq": (q213_streaming_pq, O_Q118),
 }
 
 
@@ -9275,6 +9348,10 @@ _ROTATED_IN = (
     # discipline: 3-SF sweeps + driver_sim replay.
     "q211_pq_staleness",
     "q212_ivf_staleness",
+    # round 13c: the plain-PQ streaming maintenance twin (q213,
+    # O_Q118 verbatim) — with q210 this closes the r12 verdict's #3
+    # for both named families. Same promotion discipline.
+    "q213_streaming_pq",
 )
 _ROTATED_OUT = (
     # round 4
@@ -9629,6 +9706,12 @@ _ROTATED_OUT = (
     # (blocklist) in-window, Bloom saturation stays property-tested.
     "q180_pagerank_seeded",
     "q131_bloom_decontaminate",
+    # round 13c demotion — window-verified r9–r12, text.py untouched
+    # this round; BM25 keeps q161 (serving) + q140 (retrieval) +
+    # q193 (manifest delete) + q204 (streaming) in-window, and the
+    # links-layout delete semantics stay value-verified in the local
+    # sweep + pytest.
+    "q178_bm25_delete",
 )
 
 

@@ -1131,6 +1131,164 @@ def ivfpq_index_maintenance_ingest(
     )
 
 
+def pq_index_maintenance_ingest(
+    stream_vecs: DataFrame,
+    root: str,
+    dim: int,
+    m: int = 8,
+    centroid_mod: int = 50,
+    n_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
+    vacuum_on_compact: bool = True,
+) -> "object":
+    """The plain-PQ member of the streaming index-maintenance family
+    (r12 verdict #3 named BOTH composite and plain PQ): batch 0
+    bootstraps — builds epoch 0 and, through the ``vec_id %
+    centroid_mod == 0`` seed stripe it must contain, trains the
+    frozen codebooks (PQ's ONE frozen quantizer; an empty stripe
+    raises HERE, before any write — ``build_pq_index`` cannot see the
+    contract); later batches encode against the carried codebooks and
+    manifest-merge (changed ``id_bucket=`` partitions + a small
+    JSON). Replay safety mirrors :func:`ivfpq_index_maintenance_ingest`
+    minus the centering: a replayed bootstrap's codebook-source ids
+    verify bit-identical by SLICING the raw vector (PQ codebooks store
+    raw sub-vectors) against the carried entries and drop as no-ops;
+    different bytes raise (retrain attempt →
+    ``similarity.retrain_pq_index``). A NEW id ≡ 0 (mod centroid_mod)
+    after bootstrap raises (fresh-stripe rule — a rebuild would train
+    on it). Pointer commits are CAS; ``compact_every`` chain-gated via
+    ``compact_pq_index``. Returns the started ``availableNow``
+    query."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import similarity as _sim
+    from data_lake_with_spark_spark.sources import cow
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        epoch = cow.new_epoch_path(spark, root, label=f"b{batch_id}")
+        try:
+            cur = cow.get_current(spark, root)
+        except FileNotFoundError:
+            if (
+                batch.where((F.col("vec_id") % centroid_mod) == 0)
+                .limit(1)
+                .count()
+                == 0
+            ):
+                raise ValueError(
+                    "pq_index_maintenance_ingest: bootstrap batch "
+                    "carries no vec_id % centroid_mod == 0 stripe — "
+                    "the codebooks would train EMPTY and the index "
+                    "would silently serve zero results; route the "
+                    "initial load (with its seed stripe) to the first "
+                    "micro-batch"
+                )
+            kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+            _sim.build_pq_index(
+                batch, epoch, dim=dim, m=m, centroid_mod=centroid_mod,
+                **kw,
+            )
+            cur = None
+        else:
+            cb = cow.read_component(spark, cur, "codebooks")
+            meta = cow.read_json(spark, _sim._pq_meta_uri(cur))
+            cb_ids = cb.select(F.col("code").alias("vec_id")).distinct()
+            cb_rows = batch.join(F.broadcast(cb_ids), "vec_id", "left_semi")
+            replay_ids = cb_rows.select("vec_id").limit(0)
+            if cb_rows.limit(1).count() > 0:
+                # codebook-source ids: slice the raw vector through
+                # the builder's kernel and require bit-identity with
+                # the carried entries (replay) — different bytes are
+                # a retrain attempt
+                w = meta["dim"] // meta["m"]
+                slices = F.array(
+                    *[
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            s * w + 1,
+                            w,
+                        )
+                        for s in range(meta["m"])
+                    ]
+                )
+                got = cb_rows.select(
+                    F.col("vec_id").cast("bigint").alias("code"),
+                    F.posexplode(slices),
+                ).select(
+                    "code",
+                    F.col("pos").cast("bigint").alias("subspace"),
+                    F.col("col").alias("sub_v"),
+                )
+                mismatch = got.join(
+                    F.broadcast(cb), ["subspace", "code"], "left"
+                ).where(
+                    F.col("cent_sub").isNull()
+                    | ~F.col("sub_v").eqNullSafe(
+                        F.col("cent_sub").cast("array<double>")
+                    )
+                )
+                if mismatch.limit(1).count() > 0:
+                    raise ValueError(
+                        "pq_index_maintenance_ingest: batch carries a "
+                        "codebook-source id with DIFFERENT bytes — "
+                        "the frozen codebooks would go stale; quiesce "
+                        "the stream and retrain_pq_index the root"
+                    )
+                replay_ids = cb_rows.select("vec_id")
+            fresh = batch.join(replay_ids, "vec_id", "left_anti")
+            if fresh.limit(1).count() == 0:
+                return  # pure bootstrap replay — nothing to merge
+            if (
+                fresh.where((F.col("vec_id") % centroid_mod) == 0)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "pq_index_maintenance_ingest: batch carries a NEW "
+                    "id ≡ 0 (mod centroid_mod) after bootstrap — a "
+                    "from-scratch build over the same corpus would "
+                    "train this id into the codebooks, so merging it "
+                    "as an ordinary vector silently diverges the "
+                    "streamed index from the rebuild; route seed-"
+                    "stripe ids to the bootstrap batch, or quiesce "
+                    "the stream and retrain_pq_index the root"
+                )
+            _sim.merge_pq_index(spark, cur, fresh, epoch, layout="manifest")
+        # CAS commit against the pointer this epoch derived from —
+        # see index_maintenance_ingest for the race/restart semantics
+        cow.set_current(spark, root, epoch, expected=cur)
+        if (
+            compact_every is not None
+            and _epochs_since_compact(spark, root) >= compact_every
+        ):
+            flat = cow.new_epoch_path(spark, root, label="compact")
+            base = cow.get_current(spark, root)
+            _sim.compact_pq_index(spark, base, flat)
+            cow.set_current(spark, root, flat, expected=base)
+            if vacuum_on_compact:
+                cow.vacuum_index(spark, root, ["codes", "codebooks"])
+
+    return (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or os.path.join(tempfile.mkdtemp(prefix="pq_ingest_"), "cp"),
+        )
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -1361,3 +1361,114 @@ def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
     )
     exp = _ivfpq_rows(spark, scratch, qs, k=5, nprobe=3)
     assert got == exp and len(got) > 0
+
+
+def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
+    """Streaming maintenance for the plain-PQ family (r12 verdict #3,
+    second named family — pq_index_maintenance_ingest): bootstrap
+    trains the frozen codebooks, two merge batches manifest-merge,
+    and the served ADC top-k is IDENTICAL to a from-scratch
+    build_pq_index over the union with the same seed stripe. A full
+    re-delivery (fresh checkpoint) is a no-op on the resolved view;
+    a NEW seed-stripe id and a STALE codebook-source id raise."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        pq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(19)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    stage, root = str(tmp_path / "stage"), str(tmp_path / "root")
+    md = 20
+    is_seed = F2.col("vec_id") % md == 0
+    _stage_parquet_batches(
+        stage,
+        [
+            vecs.where(is_seed | (F2.col("vec_id") % 3 == 0)),
+            vecs.where(~is_seed & (F2.col("vec_id") % 3 == 1)),
+            vecs.where(~is_seed & (F2.col("vec_id") % 3 == 2)),
+        ],
+    )
+
+    def run(cp_name, stage_dir=stage):
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = pq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=str(tmp_path / cp_name),
+        )
+        q.awaitTermination(300)
+
+    run("cp1")
+    epochs = cow.list_epochs(spark, root)
+    assert len(epochs) == 3
+    cur = cow.get_current(spark, root)
+    assert os.path.basename(cur) == epochs[-1]
+    assert cow.read_manifest(spark, cur, "codes") is not None
+    scratch = str(tmp_path / "scratch")
+    S.build_pq_index(
+        vecs, scratch, dim=8, m=2, centroid_mod=md, n_buckets=4
+    )
+    qs = vecs.where(F2.col("vec_id") < 5)
+
+    def serve(path):
+        return sorted(
+            map(tuple, S.pq_topk_indexed(spark, path, qs, k=5).collect())
+        )
+
+    exp = serve(scratch)
+    assert serve(cur) == exp and len(exp) == 5 * 5
+    # full re-delivery: fresh checkpoint, same root — resolved view
+    # unchanged (codebook-source replays verified + dropped; ordinary
+    # ids upsert onto themselves)
+    run("cp2")
+    assert serve(cow.get_current(spark, root)) == exp
+    # NEW seed-stripe id raises; STALE codebook-source raises
+    for vid, vec, msg in (
+        (400, [0.5] * 8, "NEW id"),
+        (20, [9.0] * 8, "codebook-source"),
+    ):
+        sd = str(tmp_path / f"stage_{vid}")
+        _stage_parquet_batches(
+            sd, [spark.createDataFrame([(vid, vec)], ["vec_id", "embedding"])]
+        )
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sd)
+        )
+        q = pq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=str(tmp_path / f"cp_{vid}"),
+        )
+        with pytest.raises(Exception, match=msg):
+            q.awaitTermination(300)
+    # empty-stripe bootstrap raises pre-write (fresh root)
+    sd2 = str(tmp_path / "stage_nostripe")
+    _stage_parquet_batches(
+        sd2, [vecs.where(~is_seed & (F2.col("vec_id") % 3 == 1))]
+    )
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sd2)
+    )
+    root2 = str(tmp_path / "root2")
+    q = pq_index_maintenance_ingest(
+        stream, root2, dim=8, m=2, centroid_mod=md,
+        checkpoint_dir=str(tmp_path / "cp_nostripe"),
+    )
+    with pytest.raises(Exception, match="no vec_id"):
+        q.awaitTermination(300)
