@@ -1077,21 +1077,6 @@ def test_epochs_since_compact_ignores_crashed_compact(spark, tmp_path):
     assert _epochs_since_compact(spark, root) == 1
 
 
-def _stage_parquet_batches(stage, batches):
-    """Stage micro-batch parquet files with explicit ascending mtimes
-    (the file source orders by mtime; bootstrap must arrive first)."""
-    import os
-
-    stamped = set()
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("append").parquet(stage)
-        for name in sorted(os.listdir(stage)):
-            p = os.path.join(stage, name)
-            if name.endswith(".parquet") and p not in stamped:
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-                stamped.add(p)
-
-
 def _ivfpq_rows(spark, idx, qs, **kw):
     from data_lake_with_spark_spark.operators import similarity as S
 
@@ -1129,6 +1114,7 @@ def test_ivfpq_index_maintenance_ingest_matches_batch_build(
     md = 20
     frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
     _stage_parquet_batches(
+        spark,
         stage,
         [
             vecs.where(frozen | (F2.col("vec_id") % 3 == 0)),
@@ -1190,7 +1176,7 @@ def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
         vecs.where(frozen | (F2.col("vec_id") % 3 == 0)),
         vecs.where(~frozen & (F2.col("vec_id") % 3 != 0)),
     ]
-    _stage_parquet_batches(stage, batches)
+    _stage_parquet_batches(spark, stage, batches)
 
     def run(cp_name):
         stream = (
@@ -1221,6 +1207,7 @@ def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
     # (2) NEW frozen-stripe ids after bootstrap raise — both stripes
     for bad_id in (400, 401):  # 400 ≡ 0, 401 ≡ 1 (mod 20)
         _stage_parquet_batches(
+            spark,
             str(tmp_path / f"stage_bad{bad_id}"),
             [spark.createDataFrame(
                 [(bad_id, [0.5] * 8)], ["vec_id", "embedding"]
@@ -1242,6 +1229,7 @@ def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
     # attempt: centroid-source (≡0) and codebook-source (≡1)
     for stale_id, msg in ((20, "centroid-source"), (21, "codebook-source")):
         _stage_parquet_batches(
+            spark,
             str(tmp_path / f"stage_stale{stale_id}"),
             [spark.createDataFrame(
                 [(stale_id, [9.0] * 8)], ["vec_id", "embedding"]
@@ -1291,7 +1279,7 @@ def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
     md = 20
     frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
     b0 = vecs.where(frozen | (F2.col("vec_id") % 3 == 0))
-    _stage_parquet_batches(stage, [b0])
+    _stage_parquet_batches(spark, stage, [b0])
 
     def run():
         stream = (
@@ -1348,7 +1336,7 @@ def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
         ],
         ["vec_id", "embedding"],
     )
-    _stage_parquet_batches(stage, [b1])
+    _stage_parquet_batches(spark, stage, [b1])
     run()
     final = survivors.unionByName(b1)
     scratch = str(tmp_path / "scratch")
@@ -1391,6 +1379,7 @@ def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     md = 20
     is_seed = F2.col("vec_id") % md == 0
     _stage_parquet_batches(
+        spark,
         stage,
         [
             vecs.where(is_seed | (F2.col("vec_id") % 3 == 0)),
@@ -1442,7 +1431,9 @@ def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     ):
         sd = str(tmp_path / f"stage_{vid}")
         _stage_parquet_batches(
-            sd, [spark.createDataFrame([(vid, vec)], ["vec_id", "embedding"])]
+            spark,
+            sd,
+            [spark.createDataFrame([(vid, vec)], ["vec_id", "embedding"])],
         )
         stream = (
             spark.readStream.schema(vecs.schema)
@@ -1458,7 +1449,7 @@ def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     # empty-stripe bootstrap raises pre-write (fresh root)
     sd2 = str(tmp_path / "stage_nostripe")
     _stage_parquet_batches(
-        sd2, [vecs.where(~is_seed & (F2.col("vec_id") % 3 == 1))]
+        spark, sd2, [vecs.where(~is_seed & (F2.col("vec_id") % 3 == 1))]
     )
     stream = (
         spark.readStream.schema(vecs.schema)
