@@ -2937,6 +2937,20 @@ def retrain_ivfpq_index(
     return out
 
 
+def _resolve_index_path(spark, path: str) -> str:
+    """Accept either a direct index/epoch path or a LIFECYCLE ROOT
+    (a directory holding ``current.json``): the staleness reports are
+    per-epoch operational tooling, so letting them take the root an
+    operator already has (the retrain ops' first argument) removes a
+    get_current() every caller would otherwise write."""
+    from data_lake_with_spark_spark.sources import cow
+
+    try:
+        return cow.get_current(spark, path)
+    except FileNotFoundError:
+        return path
+
+
 def index_staleness_report(
     spark,
     path: str,
@@ -2980,10 +2994,11 @@ def index_staleness_report(
     sample stripe's rows are ever joined. One partial-aggregable
     pass per leg; the codes scan is column-pruned to
     (cent_id, id, subspace, code). Returns ONE row."""
-    meta, cents, cb, codes = _ivfpq_index_parts(spark, path)
-    dim, m = meta["dim"], meta["m"]
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    path = _resolve_index_path(spark, path)
+    meta, cents, cb, codes = _ivfpq_index_parts(spark, path)
+    dim, m = meta["dim"], meta["m"]
     # --- occupancy: one row per vector is its subspace-0 code row ---
     occ = (
         codes.where(F.col("subspace") == 0)
@@ -3073,10 +3088,11 @@ def pq_staleness_report(
     vs the codebook entry the STORED code points at — PQ encodes raw
     slices, no re-centering). Returns ONE row: (n_codes, dead_codes,
     n_vecs, n_sampled, recon_err_sum, mean_recon_err)."""
-    meta, cb, codes = _pq_index_parts(spark, path)
-    dim, m = meta["dim"], meta["m"]
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    path = _resolve_index_path(spark, path)
+    meta, cb, codes = _pq_index_parts(spark, path)
+    dim, m = meta["dim"], meta["m"]
     used = codes.select("subspace", "code").distinct().withColumn(
         "_u", F.lit(1)
     )
@@ -3159,6 +3175,7 @@ def ivf_staleness_report(
 
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    path = _resolve_index_path(spark, path)
     cents = cow.read_component(spark, path, "centroids")
     lists = cow.read_component(spark, path, "lists")
     occ = lists.groupBy("cent_id").agg(

@@ -222,6 +222,15 @@ def test_staleness_report_fresh_index_and_movement(spark, tmp_path):
     )
     r0 = _report(spark, idx, corpus)
     assert r0["n_cells"] == 10  # ids ≡ 0 (mod 20) in [0, 200)
+    # a lifecycle ROOT resolves transparently (the operator's handle)
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(os.path.dirname(e0), exist_ok=True)
+    import shutil as _sh
+
+    _sh.copytree(idx, e0)
+    cow.set_current(spark, root, e0, expected=None)
+    assert _report(spark, root, corpus) == r0
     assert r0["dead_cells"] == 0
     assert r0["n_vecs"] == n and r0["n_sampled"] == n
     assert r0["occ_min"] >= 1 and r0["occ_max"] >= r0["occ_min"]
