@@ -7076,8 +7076,12 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     # n_buckets × n_cells (~8×40 here); production sizes buckets with
     # the corpus (build_ivfpq_index docstring) — the bucket count
     # never affects results, only maintenance granularity
+    # vec_dim routes assignment through the Arrow argmax kernel —
+    # bit-identical to the min_by kernel (test_ivfpq_arrow_assignment_parity)
+    # and measured 33% faster on this build (MEASUREMENTS_r13 §11)
     build_ivfpq_index(
-        emb, path, dim=_PQ_DIM, m=_PQ_M, target_centroids=40, n_buckets=8
+        emb, path, dim=_PQ_DIM, m=_PQ_M, target_centroids=40,
+        n_buckets=8, vec_dim=64,
     )
     _IVFPQ_IDX_CACHE[sf_dir] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -7143,8 +7147,11 @@ def q201_ivfpq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivfpq_index(
             emb.where(~is_delta), base_idx,
             dim=_PQ_DIM, m=_PQ_M, centroid_mod=md, n_buckets=8,
+            vec_dim=64,
         )
-        merge_ivfpq_index(spark, base_idx, emb.where(is_delta), out_idx)
+        merge_ivfpq_index(
+            spark, base_idx, emb.where(is_delta), out_idx, vec_dim=64
+        )
         out = ivfpq_topk_indexed(
             spark, out_idx, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
         )
@@ -7439,7 +7446,7 @@ def q208_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0 = cow.new_epoch_path(spark, root)
         build_ivfpq_index(
             emb, e0, dim=_PQ_DIM, m=_PQ_M, target_centroids=40,
-            n_buckets=8,
+            n_buckets=8, vec_dim=64,
         )
         cow.set_current(spark, root, e0, expected=None)
         e1 = cow.new_epoch_path(spark, root, label="gdpr")
@@ -7454,7 +7461,7 @@ def q208_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         cow.set_current(spark, root, e1, expected=base)
         retrain_ivfpq_index(
             spark, root, survivors, dim=_PQ_DIM, m=_PQ_M,
-            target_centroids=40,
+            target_centroids=40, vec_dim=64,
         )
         out = ivfpq_topk_indexed(
             spark,

@@ -137,7 +137,7 @@ def main() -> int:
         shutil.rmtree(out, ignore_errors=True)
         similarity.build_ivfpq_index(
             emb.where(~is_delta), out, dim=64, m=8,
-            centroid_mod=md, n_buckets=8,
+            centroid_mod=md, n_buckets=8, vec_dim=64,
         )
 
     b201, _ = _min2(lambda out: build201(out), fresh_dir=True)
@@ -146,7 +146,7 @@ def main() -> int:
     def merge201(out):
         shutil.rmtree(out, ignore_errors=True)
         similarity.merge_ivfpq_index(
-            spark, base201, emb.where(is_delta), out
+            spark, base201, emb.where(is_delta), out, vec_dim=64
         )
 
     o201, out201 = _min2(lambda out: merge201(out), fresh_dir=True)
