@@ -3227,6 +3227,57 @@ def ivf_staleness_report(
     )
 
 
+def write_staleness_baseline(spark, root: str, report: DataFrame) -> None:
+    """Persist a staleness report row as the root's BUILD-TIME
+    BASELINE (``{root}/staleness_baseline.json``) — staleness is a
+    delta metric, so the alerting workflow is: write the baseline
+    right after build/retrain, then compare every periodic report
+    against it (:func:`staleness_drift`). Lives at the ROOT, not in
+    an epoch dir, so maintenance epochs and vacuums never lose it;
+    a retrain overwrites it (the retrained index IS the new
+    baseline). Works with any of the three family reports (the row's
+    own column names are stored)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    row = report.collect()[0].asDict()
+    cow.write_json(spark, f"{root}/staleness_baseline.json", row)
+
+
+def staleness_drift(spark, root: str, report: DataFrame) -> dict:
+    """Compare a CURRENT staleness report against the persisted
+    build-time baseline: per metric ``{"baseline", "current",
+    "ratio"}`` (ratio None when the baseline is 0 — a fresh index's
+    dead_cells). The operator alert is a threshold on the ratios the
+    probes showed move with recall: occupancy skew (occ_max/occ_min
+    widening — compute from the parts), dead_cells appearing, and
+    mean_recon_err / mean_resid rising (MEASUREMENTS_r13 §2/§7).
+    Raises FileNotFoundError when no baseline was written — alerting
+    against an unpinned baseline is the bug this helper exists to
+    prevent."""
+    from data_lake_with_spark_spark.sources import cow
+
+    base = cow.read_json(spark, f"{root}/staleness_baseline.json")
+    if base is None:
+        raise FileNotFoundError(
+            f"staleness_drift: no staleness_baseline.json under "
+            f"{root!r} — write_staleness_baseline right after the "
+            "build/retrain that this drift should be measured against"
+        )
+    cur = report.collect()[0].asDict()
+    out: dict = {}
+    for k, b in base.items():
+        c = cur.get(k)
+        ratio = None
+        if (
+            isinstance(b, (int, float))
+            and isinstance(c, (int, float))
+            and b not in (0, 0.0)
+        ):
+            ratio = c / b
+        out[k] = {"baseline": b, "current": c, "ratio": ratio}
+    return out
+
+
 def truncated_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

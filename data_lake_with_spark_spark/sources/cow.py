@@ -869,6 +869,39 @@ def vacuum_index(spark, root: str, components: "list[str]") -> dict:
     }
 
 
+def lifecycle_report(spark, root: str, components: "list[str]") -> dict:
+    """One operational status row for a lifecycle root — the numbers a
+    serving fleet's dashboard needs before anyone ssh-es into the
+    epoch directory: the current epoch, the LIVE set (epochs the
+    current resolved view still reads — its size is the read
+    amplification a resolve pays, the compaction trigger), the
+    RETIRED-but-unvacuumed count and bytes (what a vacuum would
+    reclaim — nonzero means ``vacuum_on_compact=False`` deployments
+    owe an out-of-band vacuum after quiesce), and any owners OUTSIDE
+    the root (links-layout bases vacuum must never touch). Pure
+    metadata: reads the pointer, the epoch listing, and the current
+    manifests — no parquet data is opened. Returns
+    ``{"current", "n_epochs", "live", "read_amplification",
+    "retired", "retired_bytes", "external_refs"}``."""
+    cur = get_current(spark, root)
+    keep, external = live_epochs(spark, root, components)
+    retired, retired_bytes = [], 0
+    for name in list_epochs(spark, root):
+        if name in keep:
+            continue
+        retired.append(name)
+        retired_bytes += _tree_bytes(spark, f"{root}/{_EPOCHS_SUBDIR}/{name}")
+    return {
+        "current": cur,
+        "n_epochs": len(list_epochs(spark, root)),
+        "live": sorted(keep),
+        "read_amplification": len(keep),
+        "retired": retired,
+        "retired_bytes": retired_bytes,
+        "external_refs": sorted(external),
+    }
+
+
 def write_json(spark, uri: str, obj: dict) -> None:
     """Persist a small JSON sidecar (index meta like PQ's
     ``{dim, m, n_buckets}``) — scheme-agnostic via the same FS text

@@ -206,3 +206,47 @@ def test_set_current_cas_guards(spark, tmp_path):
     # deployments, tests) — the pre-CAS behavior, unchanged
     cow.set_current(spark, root, e2)
     assert cow.get_current(spark, root) == os.path.abspath(e2)
+
+
+def test_lifecycle_report(spark, tmp_path):
+    """cow.lifecycle_report: the metadata-only status row — live set =
+    read amplification, retired (unvacuumed) epochs with reclaimable
+    bytes, external owners reported. Cross-checked against vacuum:
+    what the report calls retired is exactly what vacuum removes."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13:02d} w{(i * 5) % 13:02d}") for i in range(120)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    text.build_bm25_index(docs, e0, n_buckets=8)
+    cow.set_current(spark, root, e0, expected=None)
+    e1 = cow.new_epoch_path(spark, root, label="merge")
+    text.merge_bm25_index(
+        spark,
+        e0,
+        spark.createDataFrame([(900, "w01 w02")], ["doc_id", "text"]),
+        e1,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e1, expected=e0)
+    rep = cow.lifecycle_report(spark, root, ["postings"])
+    assert rep["current"] == os.path.abspath(e1)
+    assert rep["n_epochs"] == 2 and rep["read_amplification"] == 2
+    assert rep["retired"] == [] and rep["retired_bytes"] == 0
+    # compact: the chain retires but stays on disk until vacuum
+    e2 = cow.new_epoch_path(spark, root, label="compact")
+    text.compact_bm25_index(spark, cow.get_current(spark, root), e2)
+    cow.set_current(spark, root, e2, expected=e1)
+    rep2 = cow.lifecycle_report(spark, root, ["postings"])
+    assert rep2["read_amplification"] == 1
+    assert sorted(rep2["retired"]) == [
+        os.path.basename(e0), os.path.basename(e1)
+    ]
+    assert rep2["retired_bytes"] > 0
+    # vacuum removes exactly what the report called retired
+    vac = cow.vacuum_index(spark, root, ["postings"])
+    assert sorted(vac["removed"]) == sorted(rep2["retired"])
+    assert vac["freed_bytes"] == rep2["retired_bytes"]
+    rep3 = cow.lifecycle_report(spark, root, ["postings"])
+    assert rep3["retired"] == [] and rep3["n_epochs"] == 1

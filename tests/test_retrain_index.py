@@ -331,3 +331,48 @@ def test_pq_and_ivf_staleness_siblings(spark, tmp_path):
     similarity.merge_ivf_index(spark, ivf, drift, out2)
     s1 = similarity.ivf_staleness_report(spark, out2).collect()[0]
     assert s1["mean_resid"] > s0["mean_resid"] * 1.5
+
+
+def test_staleness_baseline_and_drift(spark, tmp_path):
+    """The operational loop the reports exist for: pin the build-time
+    baseline, then alert on drift ratios — an OOD merge lifts the
+    recon-error ratio past a threshold while the integer axes stay
+    comparable; a root without a pinned baseline refuses to report
+    drift (alerting against nothing is the bug)."""
+    rnd = random.Random(37)
+    n = 200
+    corpus = spark.createDataFrame(
+        _vecs(rnd, range(n)), ["vec_id", "embedding"]
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    similarity.build_ivfpq_index(
+        corpus, e0, dim=DIM, m=M, centroid_mod=20, n_buckets=4
+    )
+    cow.set_current(spark, root, e0, expected=None)
+    with pytest.raises(FileNotFoundError, match="staleness_baseline"):
+        similarity.staleness_drift(
+            spark, root,
+            similarity.index_staleness_report(spark, root, corpus),
+        )
+    similarity.write_staleness_baseline(
+        spark, root, similarity.index_staleness_report(spark, root, corpus)
+    )
+    # OOD merge (the insert-drift shape) as a manifest epoch
+    drift_ids = [i for i in range(1000, 1060) if i % 20 not in (0, 1)]
+    drift = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) * 5.0 for _ in range(DIM)]) for i in drift_ids],
+        ["vec_id", "embedding"],
+    )
+    e1 = cow.new_epoch_path(spark, root, label="merge")
+    similarity.merge_ivfpq_index(spark, e0, drift, e1, layout="manifest")
+    cow.set_current(spark, root, e1, expected=e0)
+    d = similarity.staleness_drift(
+        spark, root,
+        similarity.index_staleness_report(
+            spark, root, corpus.unionByName(drift)
+        ),
+    )
+    assert d["mean_recon_err"]["ratio"] > 1.5
+    assert d["n_vecs"]["current"] == n + len(drift_ids)
+    assert d["n_cells"]["ratio"] == 1.0  # frozen quantizer carried
