@@ -250,3 +250,57 @@ def test_lifecycle_report(spark, tmp_path):
     assert vac["freed_bytes"] == rep2["retired_bytes"]
     rep3 = cow.lifecycle_report(spark, root, ["postings"])
     assert rep3["retired"] == [] and rep3["n_epochs"] == 1
+
+
+def test_cas_random_interleavings_never_lose_updates(spark, tmp_path):
+    """Property: under ANY interleaving of two maintainers that each
+    resolve → derive → CAS-commit (retrying from the new pointer on
+    StalePointerError), every SUCCESSFUL commit observed the then-
+    current pointer (no lost update: a commit never overwrote a
+    pointer the committer hadn't seen), and the pointer history is
+    exactly the sequence of successful commits."""
+    rnd = random.Random(97)
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    cow.set_current(spark, root, e0, expected=None)
+    history = [cow.get_current(spark, root)]
+
+    class Maintainer:
+        def __init__(self, label):
+            self.label = label
+            self.derived_from = None
+            self.pending = None
+
+        def step(self):
+            if self.pending is None:
+                # resolve + derive a new epoch from the current state
+                self.derived_from = cow.get_current(spark, root)
+                self.pending = cow.new_epoch_path(spark, root, self.label)
+                os.makedirs(self.pending)
+            else:
+                try:
+                    cow.set_current(
+                        spark, root, self.pending,
+                        expected=self.derived_from,
+                    )
+                except cow.StalePointerError:
+                    # the pointer moved underneath us: the commit
+                    # wrote NOTHING — re-derive against the new state
+                    assert cow.get_current(spark, root) != os.path.abspath(
+                        self.pending
+                    )
+                    self.pending = None
+                    return
+                # success: we must have observed the pointer we
+                # replaced (the no-lost-update invariant)
+                assert history[-1] == self.derived_from
+                history.append(cow.get_current(spark, root))
+                assert history[-1] == os.path.abspath(self.pending)
+                self.pending = None
+
+    a, b = Maintainer("a"), Maintainer("b")
+    for _ in range(60):
+        (a if rnd.random() < 0.5 else b).step()
+    assert len(history) > 5  # the dance actually made progress
+    assert len(set(history)) == len(history)  # no pointer revisits
