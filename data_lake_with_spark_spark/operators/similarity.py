@@ -726,6 +726,10 @@ def quantized_topk(
     )
 
 
+def _ivf_meta_uri(path: str) -> str:
+    return f"{path}/ivf_meta.json"
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -773,6 +777,17 @@ def build_ivf_index(
         ).select("cent_id", id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/lists"
+    )
+    # stamp the EFFECTIVE quantizer budget rule: the streaming
+    # ingest's fresh-stripe enforcement must track the mod the INDEX
+    # was actually built with (a retrain may change it), not the mod
+    # the ingest was constructed with (r13 — retrain-under-ingest)
+    from data_lake_with_spark_spark.sources import cow
+
+    cow.write_json(
+        corpus.sparkSession,
+        _ivf_meta_uri(path),
+        {"centroid_mod": int(centroid_mod)},
     )
 
 
@@ -912,6 +927,7 @@ def merge_ivf_index(
     merged.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    _carry_ivf_meta(spark, base_path, out_path)
     if layout == "manifest":
         stats = cow.promote_via_manifest(
             spark, base_path, out_path, "lists", "cent_id", changed
@@ -925,6 +941,17 @@ def merge_ivf_index(
         spark, f"{base_path}/centroids", f"{out_path}/centroids"
     )
     return stats
+
+
+def _carry_ivf_meta(spark, base_path: str, out_path: str) -> None:
+    """Carry the IVF meta sidecar (the stamped centroid_mod) through a
+    maintenance op — tolerant of pre-meta layouts (key absent → the
+    ingest falls back to its constructor parameter)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    meta = cow.read_json(spark, _ivf_meta_uri(base_path))
+    if meta is not None:
+        cow.write_json(spark, _ivf_meta_uri(out_path), meta)
 
 
 def delete_from_ivf_index(
@@ -1002,6 +1029,7 @@ def delete_from_ivf_index(
     kept.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{out_path}/lists"
     )
+    _carry_ivf_meta(spark, base_path, out_path)
     if layout == "manifest":
         stats = cow.promote_via_manifest(
             spark, base_path, out_path, "lists", "cent_id", changed
@@ -1034,6 +1062,7 @@ def compact_ivf_index(spark, index_path: str, out_path: str) -> dict:
     cow.compact_index_component(
         spark, index_path, out_path, "centroids", None
     )
+    _carry_ivf_meta(spark, index_path, out_path)
     return stats
 
 
@@ -1797,7 +1826,15 @@ def build_pq_index(
     cow.write_json(
         spark,
         _pq_meta_uri(path),
-        {"dim": int(dim), "m": int(m), "n_buckets": int(n_buckets)},
+        {
+            "dim": int(dim),
+            "m": int(m),
+            "n_buckets": int(n_buckets),
+            # the EFFECTIVE quantizer budget rule — the streaming
+            # ingest's fresh-stripe enforcement reads it back so a
+            # retrain that changes the budget is tracked automatically
+            "centroid_mod": int(centroid_mod),
+        },
     )
 
 
@@ -2379,7 +2416,13 @@ def build_ivfpq_index(
     cow.write_json(
         spark,
         _ivfpq_meta_uri(path),
-        {"dim": int(dim), "m": int(m), "n_buckets": int(n_buckets)},
+        {
+            "dim": int(dim),
+            "m": int(m),
+            "n_buckets": int(n_buckets),
+            # see build_pq_index — the ingest reads this back
+            "centroid_mod": int(centroid_mod),
+        },
     )
 
 

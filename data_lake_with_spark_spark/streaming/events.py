@@ -624,6 +624,12 @@ def vector_index_maintenance_ingest(
     adds vectors, never re-trains — re-training is a rebuild, by
     design out-of-band (FAISS retrain ≙ build_ivf_index).
 
+    ``centroid_mod`` applies to the BOOTSTRAP build; later batches
+    enforce the stripe rule against the mod STAMPED in the index's
+    own meta sidecar (``ivf_meta.json``), so a retrain that changes
+    the budget re-keys the rule automatically (r13 — gated in
+    test_ingest_stripe_rule_tracks_retrained_mod).
+
     IMPORTANT bootstrap contract: batch 0 must CONTAIN the centroid
     stripe of the eventual corpus (route the initial/bootstrap load
     to the first file; the stream after it must not carry NEW ids
@@ -720,8 +726,15 @@ def vector_index_maintenance_ingest(
             # from a from-scratch rebuild over the same corpus (whose
             # build WOULD train on that id). Only the ingest knows
             # centroid_mod, so the contract is enforced here.
+            # the stripe rule must track the mod the INDEX was built
+            # or RETRAINED with (stamped in ivf_meta.json), not this
+            # ingest's constructor parameter — a retrain that changes
+            # the budget would otherwise make this check guard the
+            # wrong stripe (pre-meta layouts fall back to the param)
+            meta = cow.read_json(spark, _sim._ivf_meta_uri(cur)) or {}
+            eff_mod = meta.get("centroid_mod", centroid_mod)
             if (
-                fresh.where((F.col("vec_id") % centroid_mod) == 0)
+                fresh.where((F.col("vec_id") % eff_mod) == 0)
                 .limit(1)
                 .count()
                 > 0
@@ -963,7 +976,10 @@ def ivfpq_index_maintenance_ingest(
     recovery).
 
     Fresh-stripe enforcement, BOTH stripes (the r11 IVF rule,
-    doubled): after bootstrap a NEW id ≡ 0 OR ≡ 1 (mod centroid_mod)
+    doubled), keyed to the mod STAMPED in the index meta — so a
+    retrain that changes the budget re-keys the rule automatically;
+    ``centroid_mod`` itself applies to the bootstrap build only:
+    after bootstrap a NEW id ≡ 0 OR ≡ 1 (mod the stamped mod)
     raises — a from-scratch rebuild over the same corpus would train
     that id into a quantizer, so merging it as an ordinary vector
     silently diverges the streamed index from the rebuild. Only the
@@ -1078,10 +1094,13 @@ def ivfpq_index_maintenance_ingest(
             )
             if fresh.limit(1).count() == 0:
                 return  # pure bootstrap replay — nothing to merge
+            # stripe rule keyed to the INDEX's stamped mod (a retrain
+            # may have changed the budget) — see the IVF twin
+            eff_mod = meta.get("centroid_mod", centroid_mod)
             if (
                 fresh.where(
-                    (F.col("vec_id") % centroid_mod == 0)
-                    | (F.col("vec_id") % centroid_mod == 1)
+                    (F.col("vec_id") % eff_mod == 0)
+                    | (F.col("vec_id") % eff_mod == 1)
                 )
                 .limit(1)
                 .count()
@@ -1155,9 +1174,11 @@ def pq_index_maintenance_ingest(
     verify bit-identical by SLICING the raw vector (PQ codebooks store
     raw sub-vectors) against the carried entries and drop as no-ops;
     different bytes raise (retrain attempt →
-    ``similarity.retrain_pq_index``). A NEW id ≡ 0 (mod centroid_mod)
-    after bootstrap raises (fresh-stripe rule — a rebuild would train
-    on it). Pointer commits are CAS; ``compact_every`` chain-gated via
+    ``similarity.retrain_pq_index``). A NEW id ≡ 0 (mod the mod
+    STAMPED in the index meta — retrains re-key the rule;
+    ``centroid_mod`` applies to the bootstrap build only) after
+    bootstrap raises (fresh-stripe rule — a rebuild would train on
+    it). Pointer commits are CAS; ``compact_every`` chain-gated via
     ``compact_pq_index``. Returns the started ``availableNow``
     query."""
     import os
@@ -1246,8 +1267,11 @@ def pq_index_maintenance_ingest(
             fresh = batch.join(replay_ids, "vec_id", "left_anti")
             if fresh.limit(1).count() == 0:
                 return  # pure bootstrap replay — nothing to merge
+            # stripe rule keyed to the INDEX's stamped mod — see the
+            # IVF twin (a retrain may have changed the budget)
+            eff_mod = meta.get("centroid_mod", centroid_mod)
             if (
-                fresh.where((F.col("vec_id") % centroid_mod) == 0)
+                fresh.where((F.col("vec_id") % eff_mod) == 0)
                 .limit(1)
                 .count()
                 > 0

@@ -1463,3 +1463,86 @@ def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no vec_id"):
         q.awaitTermination(300)
+
+
+def test_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
+    """After a retrain CHANGES the quantizer budget, the ingest's
+    fresh-stripe enforcement must key off the mod the index was
+    actually retrained with (stamped in the meta sidecar), not the
+    ingest's constructor parameter — in BOTH directions: a finer
+    retrain (mod 20→10) makes a previously-ordinary id a seed id
+    (must now raise — pre-fix it merged silently and the streamed
+    index diverged from a rebuild); a coarser retrain (mod 20→40)
+    makes a previously-seed id ordinary (must now merge — pre-fix it
+    falsely raised)."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        vector_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(41)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+
+    def run(root, stage, cp):
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = vector_index_maintenance_ingest(
+            stream, root, centroid_mod=20, checkpoint_dir=cp
+        )
+        q.awaitTermination(300)
+        return q
+
+    # --- finer retrain: id 210 ≡ 0 (mod 10) but ≢ 0 (mod 20) --------
+    rootA = str(tmp_path / "rootA")
+    stageA = str(tmp_path / "stageA")
+    _stage_parquet_batches(spark, stageA, [corpus])
+    run(rootA, stageA, str(tmp_path / "cpA"))
+    S.retrain_ivf_index(spark, rootA, centroid_mod=10)
+    _stage_parquet_batches(
+        spark, stageA,
+        [spark.createDataFrame([(210, [0.3] * 8)], ["vec_id", "embedding"])],
+    )
+    with pytest.raises(Exception, match="NEW id"):
+        run(rootA, stageA, str(tmp_path / "cpA"))
+
+    # --- coarser retrain: id 220 ≡ 0 (mod 20) but ≢ 0 (mod 40) ------
+    rootB = str(tmp_path / "rootB")
+    stageB = str(tmp_path / "stageB")
+    _stage_parquet_batches(spark, stageB, [corpus])
+    run(rootB, stageB, str(tmp_path / "cpB"))
+    S.retrain_ivf_index(spark, rootB, centroid_mod=40)
+    b1 = spark.createDataFrame(
+        [(220, [rnd.uniform(-1, 1) for _ in range(8)])],
+        ["vec_id", "embedding"],
+    )
+    _stage_parquet_batches(spark, stageB, [b1])
+    run(rootB, stageB, str(tmp_path / "cpB"))  # must NOT raise
+    scratch = str(tmp_path / "scratch")
+    S.build_ivf_index(corpus.unionByName(b1), scratch, centroid_mod=40)
+    qs = corpus.where(F2.col("vec_id") < 5)
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(
+                spark, cow.get_current(spark, rootB), qs, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed(spark, scratch, qs, k=5, nprobe=3).collect(),
+        )
+    )
+    assert got == exp and len(got) == 5 * 5
