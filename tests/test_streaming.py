@@ -1546,3 +1546,71 @@ def test_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
         )
     )
     assert got == exp and len(got) == 5 * 5
+
+
+def test_pq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
+    """The PQ twin of test_ingest_stripe_rule_tracks_retrained_mod: a
+    coarser retrain (mod 20→40) makes a previously-seed id ordinary —
+    the resumed ingest must merge it (the constructor-mod rule would
+    falsely raise) and serve equal to the rebuild with the retrained
+    codebooks."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        pq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(43)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root, stage, cp = (str(tmp_path / d) for d in ("root", "stage", "cp"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = pq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=20, n_buckets=2,
+            checkpoint_dir=cp,
+        )
+        q.awaitTermination(300)
+
+    _stage_parquet_batches(spark, stage, [corpus])
+    run()
+    S.retrain_pq_index(
+        spark, root, corpus, dim=8, m=2, centroid_mod=40, n_buckets=2
+    )
+    # id 220 ≡ 0 (mod 20) but ≢ 0 (mod 40): ordinary under the
+    # retrained codebooks — must merge, not raise
+    b1 = spark.createDataFrame(
+        [(220, [rnd.uniform(-1, 1) for _ in range(8)])],
+        ["vec_id", "embedding"],
+    )
+    _stage_parquet_batches(spark, stage, [b1])
+    run()
+    scratch = str(tmp_path / "scratch")
+    S.build_pq_index(
+        corpus.unionByName(b1), scratch, dim=8, m=2, centroid_mod=40,
+        n_buckets=2,
+    )
+    qs = corpus.where(F2.col("vec_id") < 5)
+    got = sorted(
+        map(
+            tuple,
+            S.pq_topk_indexed(
+                spark, cow.get_current(spark, root), qs, k=5
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, S.pq_topk_indexed(spark, scratch, qs, k=5).collect())
+    )
+    assert got == exp and len(got) == 5 * 5
