@@ -1614,3 +1614,71 @@ def test_pq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
         map(tuple, S.pq_topk_indexed(spark, scratch, qs, k=5).collect())
     )
     assert got == exp and len(got) == 5 * 5
+
+
+def test_ivfpq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
+    """The IVFPQ twin: after a coarser retrain (mod 20→40), an id that
+    was a seed under the bootstrap mod is ordinary under the retrained
+    quantizers — the resumed ingest must merge it and serve equal to
+    the rebuild (the constructor-mod rule would falsely raise)."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        ivfpq_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(47)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root, stage, cp = (str(tmp_path / d) for d in ("root", "stage", "cp"))
+    md = 20
+    frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
+
+    def run():
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = ivfpq_index_maintenance_ingest(
+            stream, root, dim=8, m=2, centroid_mod=md, n_buckets=4,
+            checkpoint_dir=cp,
+        )
+        q.awaitTermination(300)
+
+    _stage_parquet_batches(
+        spark, stage, [vecs.where(frozen | (F2.col("vec_id") % 3 == 0))]
+    )
+    run()
+    survivors = vecs.where(frozen | (F2.col("vec_id") % 3 == 0))
+    S.retrain_ivfpq_index(
+        spark, root, survivors, dim=8, m=2, centroid_mod=40, n_buckets=4
+    )
+    # 220 ≡ 0 (mod 20), 221 ≡ 1 (mod 20) — BOTH ordinary under mod 40
+    b1 = spark.createDataFrame(
+        [
+            (220, [rnd.uniform(-1, 1) for _ in range(8)]),
+            (221, [rnd.uniform(-1, 1) for _ in range(8)]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    _stage_parquet_batches(spark, stage, [b1])
+    run()  # must NOT raise
+    scratch = str(tmp_path / "scratch")
+    S.build_ivfpq_index(
+        survivors.unionByName(b1), scratch, dim=8, m=2, centroid_mod=40,
+        n_buckets=4,
+    )
+    qs = survivors.where(F2.col("vec_id") < 5)
+    got = _ivfpq_rows(
+        spark, cow.get_current(spark, root), qs, k=5, nprobe=3
+    )
+    exp = _ivfpq_rows(spark, scratch, qs, k=5, nprobe=3)
+    # only the bootstrap-filter survivors among ids 0..4 are queries
+    assert got == exp and len(got) > 0
