@@ -885,15 +885,18 @@ def lifecycle_report(spark, root: str, components: "list[str]") -> dict:
     "retired", "retired_bytes", "external_refs"}``."""
     cur = get_current(spark, root)
     keep, external = live_epochs(spark, root, components)
+    # list ONCE: a helper advertised as cheap metadata shouldn't pay
+    # the object-store directory listing twice (r13 ADVICE)
+    epochs = list_epochs(spark, root)
     retired, retired_bytes = [], 0
-    for name in list_epochs(spark, root):
+    for name in epochs:
         if name in keep:
             continue
         retired.append(name)
         retired_bytes += _tree_bytes(spark, f"{root}/{_EPOCHS_SUBDIR}/{name}")
     return {
         "current": cur,
-        "n_epochs": len(list_epochs(spark, root)),
+        "n_epochs": len(epochs),
         "live": sorted(keep),
         "read_amplification": len(keep),
         "retired": retired,

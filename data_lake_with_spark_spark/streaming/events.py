@@ -852,6 +852,10 @@ def related_items_maintenance_ingest(
             cur = None
         else:
             meta = cow.read_json(spark, _graph._ri_meta_uri(cur))
+            if meta is None:
+                # surface the batch ops' clear error instead of an
+                # AttributeError on None inside the format check
+                raise FileNotFoundError(f"no ri_meta.json under {cur!r}")
             _graph._ri_check_format(meta, cur)
             nbk = meta["n_buckets"]
             ids = batch.select("basket").distinct()
@@ -1024,6 +1028,8 @@ def ivfpq_index_maintenance_ingest(
             cur = None
         else:
             meta = cow.read_json(spark, _sim._ivfpq_meta_uri(cur))
+            if meta is None:
+                raise FileNotFoundError(f"no ivfpq_meta.json under {cur!r}")
             cents = cow.read_component(spark, cur, "centroids")
             cb = cow.read_component(spark, cur, "codebooks")
             # (1) centroid-source ids: bit-identical = bootstrap
@@ -1221,6 +1227,8 @@ def pq_index_maintenance_ingest(
         else:
             cb = cow.read_component(spark, cur, "codebooks")
             meta = cow.read_json(spark, _sim._pq_meta_uri(cur))
+            if meta is None:
+                raise FileNotFoundError(f"no pq_meta.json under {cur!r}")
             cb_ids = cb.select(F.col("code").alias("vec_id")).distinct()
             cb_rows = batch.join(F.broadcast(cb_ids), "vec_id", "left_semi")
             replay_ids = cb_rows.select("vec_id").limit(0)
