@@ -2868,8 +2868,11 @@ def retrain_ivf_index(
         "n_centroids": spark.read.parquet(f"{epoch}/centroids").count(),
     }
     if vacuum:
+    # min_age 0 is safe HERE: this op just WON the CAS, so a racing
+    # maintainer's commit raises StalePointerError regardless —
+    # vacuuming its written-not-committed epoch can't corrupt the root
         out["vacuum"] = cow.vacuum_index(
-            spark, root, ["lists", "centroids"]
+            spark, root, ["lists", "centroids"], min_age_seconds=0.0
         )
     return out
 
@@ -2918,7 +2921,12 @@ def retrain_pq_index(
     cow.set_current(spark, root, epoch, expected=cur)
     out = {"epoch": epoch, "n_vectors": corpus.count()}
     if vacuum:
-        out["vacuum"] = cow.vacuum_index(spark, root, ["codes", "codebooks"])
+    # min_age 0 is safe HERE: this op just WON the CAS, so a racing
+    # maintainer's commit raises StalePointerError regardless —
+    # vacuuming its written-not-committed epoch can't corrupt the root
+        out["vacuum"] = cow.vacuum_index(
+            spark, root, ["codes", "codebooks"], min_age_seconds=0.0
+        )
     return out
 
 
@@ -2974,8 +2982,12 @@ def retrain_ivfpq_index(
     cow.set_current(spark, root, epoch, expected=cur)
     out = {"epoch": epoch, "n_vectors": corpus.count()}
     if vacuum:
+    # min_age 0 is safe HERE: this op just WON the CAS, so a racing
+    # maintainer's commit raises StalePointerError regardless —
+    # vacuuming its written-not-committed epoch can't corrupt the root
         out["vacuum"] = cow.vacuum_index(
-            spark, root, ["codes", "codebooks", "centroids"]
+            spark, root, ["codes", "codebooks", "centroids"],
+            min_age_seconds=0.0,
         )
     return out
 

@@ -1246,6 +1246,131 @@ def bm25_topk_indexed(
         query_id_col,
     )
 
+def bm25_staleness_report(spark, path: str) -> DataFrame:
+    """Index-health report for a :func:`build_bm25_index` layout — the
+    WHEN-to-maintain signal for the lexical serving family (r13
+    verdict #3: q209/q211/q212 gave the three quantized ANN families
+    a cheap per-epoch staleness report; BM25 had none). One row, read
+    off the index's OWN components (no corpus re-tokenize):
+
+    - **corpus drift** (doclens + stats): ``n_docs`` / ``dl_sum`` /
+      ``avgdl_live`` (the double division of the exact parts, the
+      build's own expression) vs the STAMPED ``n_corpus_stamped`` /
+      ``avgdl_stamped`` the scorer actually uses. On a fresh build
+      they are equal by construction; staleness is a DELTA metric —
+      pin the build-time row (``similarity.write_staleness_baseline``
+      works on any one-row report) and alert on
+      ``similarity.staleness_drift`` ratios: an upsert-heavy index
+      drifts avgdl away from the pinned baseline, shifting every
+      score's length-normalization term.
+    - **posting-mass shape** (postings, column-pruned to ``tok``):
+      ``n_postings`` / ``n_types`` / ``max_df`` and the HEAD mass —
+      ``head_types`` / ``head_postings`` over terms with
+      ``2·df > n_docs`` (idf < 1 under the rational Robertson form).
+      Head mass is the candidate-cost lever: the posting join's cost
+      is Σ df over matched terms, so rising head mass means rising
+      per-query candidates — the signal to engage/lower
+      ``max_df_ratio`` or re-shard.
+    - **bucket-layout health** (postings, partition column ONLY):
+      ``dead_buckets`` / ``bucket_min`` / ``bucket_max`` row counts
+      over the stamped ``n_buckets_stamped`` hash buckets — occupancy
+      skew degrades the probe's pruning guarantee (one hot bucket
+      absorbs the scan). Ground truth for these three is the hash
+      layout itself (gated in tests against a from-scratch rebuild —
+      DuckDB has no xxhash64, so the driver oracle covers every
+      column EXCEPT these; see q214).
+
+    All legs are partial-aggregable single passes; nothing corpus-
+    sized is collected. Accepts a direct index/epoch path or a
+    lifecycle ROOT (resolved via ``current.json``)."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        _resolve_index_path,
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    path = _resolve_index_path(spark, path)
+    stats = spark.read.parquet(f"{path}/stats")
+    dl = spark.read.parquet(f"{path}/doclens")
+    postings = cow.read_component(spark, path, "postings")
+    n_buckets = stats.select("n_buckets").first()["n_buckets"]
+
+    doc_agg = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("dl_sum"),
+        # the build's own avgdl expression: double division of exact
+        # integer parts (bit-identical to the stamped value on a
+        # fresh build, and to the oracle's SUM/COUNT)
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl_live"),
+    )
+    stamped = stats.select(
+        F.col("n_corpus").cast("bigint").alias("n_corpus_stamped"),
+        F.col("avgdl").alias("avgdl_stamped"),
+        F.col("n_buckets").cast("int").alias("n_buckets_stamped"),
+    )
+    dfs = postings.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    tok_agg = (
+        dfs.crossJoin(F.broadcast(doc_agg.select("n_docs")))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.sum(
+                F.when(F.lit(2) * F.col("df") > F.col("n_docs"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("head_types"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("df") > F.col("n_docs"), F.col("df")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("head_postings"),
+        )
+    )
+    # occupancy: partition-column-only scan (no data columns read)
+    occ = postings.groupBy("tok_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_occ")
+    )
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("tok_bucket")
+    )
+    bucket_agg = (
+        buckets.join(occ, "tok_bucket", "left")
+        .agg(
+            F.sum(F.when(F.col("_occ").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dead_buckets"),
+            F.min("_occ").cast("bigint").alias("bucket_min"),
+            F.max("_occ").cast("bigint").alias("bucket_max"),
+        )
+    )
+    return (
+        doc_agg.crossJoin(stamped)
+        .crossJoin(tok_agg)
+        .crossJoin(bucket_agg)
+        .select(
+            "n_docs",
+            "dl_sum",
+            "avgdl_live",
+            "n_corpus_stamped",
+            "avgdl_stamped",
+            "n_buckets_stamped",
+            "n_postings",
+            "n_types",
+            "max_df",
+            "head_types",
+            "head_postings",
+            "dead_buckets",
+            "bucket_min",
+            "bucket_max",
+        )
+    )
+
+
 def slice_drift(
     df: DataFrame,
     stratum_col: str = "source",

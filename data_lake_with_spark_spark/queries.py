@@ -6771,7 +6771,9 @@ def q198_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = cow.get_current(spark, root)
         compact_ivf_index(spark, base, flat)
         cow.set_current(spark, root, flat, expected=base)
-        vac = cow.vacuum_index(spark, root, ["lists", "centroids"])
+        vac = cow.vacuum_index(
+            spark, root, ["lists", "centroids"], min_age_seconds=0.0
+        )
         if sorted(vac["removed"]) != sorted(
             os.path.basename(p) for p in epochs
         ):

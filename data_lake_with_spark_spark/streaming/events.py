@@ -588,7 +588,9 @@ def index_maintenance_ingest(
             _text.compact_bm25_index(spark, base, flat)
             cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
-                cow.vacuum_index(spark, root, ["postings"])
+                cow.vacuum_index(
+                    spark, root, ["postings"], min_age_seconds=0.0
+                )
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -768,7 +770,10 @@ def vector_index_maintenance_ingest(
             _sim.compact_ivf_index(spark, base, flat)
             cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
-                cow.vacuum_index(spark, root, ["lists", "centroids"])
+                cow.vacuum_index(
+                    spark, root, ["lists", "centroids"],
+                    min_age_seconds=0.0,
+                )
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)
@@ -920,7 +925,8 @@ def related_items_maintenance_ingest(
             cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
                 cow.vacuum_index(
-                    spark, root, ["pairs", "items", "baskets", "topk"]
+                    spark, root, ["pairs", "items", "baskets", "topk"],
+                    min_age_seconds=0.0,
                 )
 
     return (
@@ -1141,7 +1147,8 @@ def ivfpq_index_maintenance_ingest(
             cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
                 cow.vacuum_index(
-                    spark, root, ["codes", "codebooks", "centroids"]
+                    spark, root, ["codes", "codebooks", "centroids"],
+                    min_age_seconds=0.0,
                 )
 
     return (
@@ -1307,7 +1314,10 @@ def pq_index_maintenance_ingest(
             _sim.compact_pq_index(spark, base, flat)
             cow.set_current(spark, root, flat, expected=base)
             if vacuum_on_compact:
-                cow.vacuum_index(spark, root, ["codes", "codebooks"])
+                cow.vacuum_index(
+                    spark, root, ["codes", "codebooks"],
+                    min_age_seconds=0.0,
+                )
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)

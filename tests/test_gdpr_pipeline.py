@@ -261,7 +261,7 @@ def test_gdpr_physical_erasure_delete_compact_vacuum(spark, tmp_path):
     e2 = cow.new_epoch_path(spark, root, label="compact")
     text.compact_bm25_index(spark, cow.get_current(spark, root), e2)
     cow.set_current(spark, root, e2)
-    vac = cow.vacuum_index(spark, root, ["postings"])
+    vac = cow.vacuum_index(spark, root, ["postings"], min_age_seconds=0.0)
     assert sorted(vac["removed"]) == sorted(
         os.path.basename(p) for p in (e0, e1)
     )
@@ -341,7 +341,8 @@ def test_gdpr_physical_erasure_related_items_state(spark, tmp_path):
     )
     cow.set_current(spark, root, e2)
     vac = cow.vacuum_index(
-        spark, root, ["pairs", "items", "baskets", "topk"]
+        spark, root, ["pairs", "items", "baskets", "topk"],
+        min_age_seconds=0.0,
     )
     assert sorted(vac["removed"]) == sorted(
         os.path.basename(p) for p in (e0, e1)

@@ -79,7 +79,7 @@ def test_ivf_lifecycle_merge_merge_compact_vacuum_serve(spark, tmp_path):
     state.update(batch1)
 
     # vacuum NOW is a no-op: e1's manifest still owns bytes in e0
-    vac0 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    vac0 = cow.vacuum_index(spark, root, ["lists", "centroids"], min_age_seconds=0.0)
     assert vac0["removed"] == [] and vac0["freed_bytes"] == 0
     assert len(vac0["kept"]) == 2 and vac0["external_refs"] == []
 
@@ -119,7 +119,7 @@ def test_ivf_lifecycle_merge_merge_compact_vacuum_serve(spark, tmp_path):
 
     # vacuum with the chain live: keeps e0/e1/e2 (all referenced),
     # removes EXACTLY the abandoned epoch
-    vac1 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    vac1 = cow.vacuum_index(spark, root, ["lists", "centroids"], min_age_seconds=0.0)
     assert vac1["removed"] == [os.path.basename(e_abandoned)]
     assert vac1["freed_bytes"] > 0
     assert not os.path.exists(e_abandoned)
@@ -129,7 +129,7 @@ def test_ivf_lifecycle_merge_merge_compact_vacuum_serve(spark, tmp_path):
     e3 = cow.new_epoch_path(spark, root, label="compact")
     similarity.compact_ivf_index(spark, cow.get_current(spark, root), e3)
     cow.set_current(spark, root, e3)
-    vac2 = cow.vacuum_index(spark, root, ["lists", "centroids"])
+    vac2 = cow.vacuum_index(spark, root, ["lists", "centroids"], min_age_seconds=0.0)
     assert vac2["removed"] == [
         os.path.basename(p) for p in (e0, e1, e2)
     ]
@@ -158,7 +158,7 @@ def test_vacuum_leaves_external_links_base_alone(spark, tmp_path):
         layout="manifest",
     )
     cow.set_current(spark, root, e0)
-    vac = cow.vacuum_index(spark, root, ["postings"])
+    vac = cow.vacuum_index(spark, root, ["postings"], min_age_seconds=0.0)
     assert vac["removed"] == []
     assert vac["external_refs"] == [os.path.abspath(f"{outside_base}/postings")]
     assert os.path.isdir(outside_base)
@@ -245,7 +245,7 @@ def test_lifecycle_report(spark, tmp_path):
     ]
     assert rep2["retired_bytes"] > 0
     # vacuum removes exactly what the report called retired
-    vac = cow.vacuum_index(spark, root, ["postings"])
+    vac = cow.vacuum_index(spark, root, ["postings"], min_age_seconds=0.0)
     assert sorted(vac["removed"]) == sorted(rep2["retired"])
     assert vac["freed_bytes"] == rep2["retired_bytes"]
     rep3 = cow.lifecycle_report(spark, root, ["postings"])
@@ -304,3 +304,209 @@ def test_cas_random_interleavings_never_lose_updates(spark, tmp_path):
         (a if rnd.random() < 0.5 else b).step()
     assert len(history) > 5  # the dance actually made progress
     assert len(set(history)) == len(history)  # no pointer revisits
+
+
+def test_vacuum_retention_window_protects_inflight_epoch(spark, tmp_path):
+    """r13 verdict #1 — the vacuum-vs-in-flight-maintainer race: a
+    maintainer that has WRITTEN its epoch but not yet CAS-committed is
+    invisible to live_epochs, so an unguarded concurrent vacuum
+    deletes that epoch and the maintainer's set_current then SUCCEEDS
+    (the pointer never moved → the CAS passes), leaving current.json
+    pointing at a deleted directory. Two independent guards close it:
+
+    1. the retention window — vacuum never deletes an epoch younger
+       than ``min_age_seconds`` (reported under ``kept_recent``);
+    2. the existence check — set_current raises StalePointerError when
+       the target epoch directory is gone (forced vacuum case).
+
+    Either way: never a current.json pointing at a deleted epoch."""
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    with open(f"{e0}/data.bin", "wb") as f:
+        f.write(b"x" * 64)
+    cow.set_current(spark, root, e0, expected=None)
+
+    # maintainer writes its epoch but has NOT committed yet
+    pending = cow.new_epoch_path(spark, root, label="inflight")
+    os.makedirs(pending)
+    with open(f"{pending}/data.bin", "wb") as f:
+        f.write(b"y" * 64)
+
+    # (1) windowed vacuum: the in-flight epoch survives, reported
+    vac = cow.vacuum_index(spark, root, [])
+    assert vac["removed"] == []
+    assert vac["kept_recent"] == [os.path.basename(pending)]
+    assert os.path.isdir(pending)
+    # the maintainer's commit then lands normally
+    cow.set_current(spark, root, pending, expected=e0)
+    assert cow.get_current(spark, root) == os.path.abspath(pending)
+
+    # (2) forced vacuum (min_age 0, e.g. a mis-run GDPR job): a second
+    # in-flight epoch is deleted — but the commit RAISES instead of
+    # corrupting the root
+    pending2 = cow.new_epoch_path(spark, root, label="inflight2")
+    os.makedirs(pending2)
+    with open(f"{pending2}/data.bin", "wb") as f:
+        f.write(b"z" * 64)
+    vac2 = cow.vacuum_index(spark, root, [], min_age_seconds=0.0)
+    assert os.path.basename(pending2) in vac2["removed"]
+    assert vac2["kept_recent"] == []
+    with pytest.raises(cow.StalePointerError, match="no longer exists"):
+        cow.set_current(spark, root, pending2, expected=pending)
+    # the pointer still resolves to a COMPLETE epoch
+    assert cow.get_current(spark, root) == os.path.abspath(pending)
+    assert os.path.isdir(cow.get_current(spark, root))
+
+
+def test_vacuum_retention_window_ages_out(spark, tmp_path):
+    """An unreferenced epoch OLDER than the window is reclaimed by a
+    windowed vacuum (the guard defers deletion, it doesn't leak
+    epochs forever) — aged via a backdated dir mtime, the signal the
+    window keys on. Long-running readers get the same window: a
+    reader mid-scan on a just-retired epoch keeps its files until the
+    window elapses (same mechanism, documented here)."""
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    cow.set_current(spark, root, e0, expected=None)
+    retired = cow.new_epoch_path(spark, root, label="old")
+    os.makedirs(retired)
+    with open(f"{retired}/data.bin", "wb") as f:
+        f.write(b"o" * 32)
+    os.utime(retired, (1_000_000_000, 1_000_000_000))  # long past
+    vac = cow.vacuum_index(spark, root, [])
+    assert vac["removed"] == [os.path.basename(retired)]
+    assert vac["kept_recent"] == []
+    assert not os.path.isdir(retired)
+    with pytest.raises(ValueError, match="min_age_seconds"):
+        cow.vacuum_index(spark, root, [], min_age_seconds=-1.0)
+
+
+def test_locked_pointer_store_hammer_no_double_pass(spark, tmp_path):
+    """r13 verdict #2 — the PointerStore seam, proven with a real
+    mutual exclusion: N threads hammer CAS commits against one root
+    through LockedPointerStore (O_CREAT|O_EXCL around check+replace).
+    With the plain FilePointerStore two racers can both pass the
+    compare inside the check-then-rename window; under the lock that
+    window is CLOSED, so the successful commits must form a single
+    linear chain — every success's ``expected`` is the previous
+    success's committed epoch, no two successes share an expected
+    value (a shared expected IS the double-pass)."""
+    import threading
+
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    store = cow.LockedPointerStore(timeout_seconds=60.0)
+    cow.set_current(spark, root, e0, expected=None, store=store)
+
+    successes = []  # (expected_abs, committed_abs) — appended in commit order
+    log_lock = threading.Lock()
+    errors = []
+
+    def maintainer(tid: int) -> None:
+        try:
+            for i in range(12):
+                while True:
+                    cur = cow.get_current(spark, root)
+                    pend = f"{root}/epochs/epoch_t{tid}_{i:03d}"
+                    os.makedirs(pend, exist_ok=True)
+                    try:
+                        cow.set_current(
+                            spark, root, pend, expected=cur, store=store
+                        )
+                    except cow.StalePointerError:
+                        continue  # lost the race: re-resolve and retry
+                    with log_lock:
+                        successes.append((os.path.abspath(cur),
+                                          os.path.abspath(pend)))
+                    break
+        except Exception as exc:  # pragma: no cover - debugging aid
+            errors.append(exc)
+
+    threads = [threading.Thread(target=maintainer, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert len(successes) == 6 * 12
+    # zero double-pass: all expected values distinct, all committed
+    # values distinct, and they chain from e0 to the final pointer
+    exps = [e for e, _ in successes]
+    news = [n for _, n in successes]
+    assert len(set(exps)) == len(exps), "two commits passed the same CAS"
+    assert len(set(news)) == len(news)
+    final = os.path.abspath(cow.get_current(spark, root))
+    assert set(exps) == ({os.path.abspath(e0), *news} - {final})
+    # the lock is released (no leaked .lock file)
+    assert not os.path.exists(f"{root}/current.json.lock")
+
+
+def test_pointer_reader_never_sees_absent_current(spark, tmp_path):
+    """The reader-gap half of r13 verdict #2: while a maintainer loop
+    commits pointer updates, a concurrent reader polling the pointer
+    must NEVER observe it absent — locally the commit is one atomic
+    os.replace (and the remote branch now renames with OVERWRITE
+    instead of delete-then-rename, same contract on HDFS)."""
+    import threading
+
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    cow.set_current(spark, root, e0, expected=None)
+
+    stop = threading.Event()
+    gaps = []
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                cow.get_current(spark, root)
+            except FileNotFoundError as exc:  # pragma: no cover
+                gaps.append(exc)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(200):
+            pend = f"{root}/epochs/epoch_r{i:04d}"
+            os.makedirs(pend)
+            cow.set_current(spark, root, pend)
+    finally:
+        stop.set()
+        t.join()
+    assert gaps == []
+
+
+def test_locked_pointer_store_guards(spark, tmp_path):
+    """LockedPointerStore contract edges: remote roots raise toward
+    the conditional-put seam; a dead maintainer's stale lock is
+    broken after the lease; an in-lease lock times out."""
+    store = cow.LockedPointerStore(
+        timeout_seconds=0.2, stale_lock_seconds=60.0
+    )
+    with pytest.raises(NotImplementedError, match="conditional-put"):
+        store.commit(spark, "s3a://bucket/root", "s3a://bucket/root/epochs/e", None)
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    os.makedirs(e0)
+    # a held (fresh) lock blocks until timeout
+    os.makedirs(root, exist_ok=True)
+    lock = f"{root}/current.json.lock"
+    open(lock, "w").close()
+    with pytest.raises(TimeoutError, match="could not acquire"):
+        cow.set_current(spark, root, e0, expected=None, store=store)
+    # a STALE lock (dead maintainer) is broken after the lease
+    os.utime(lock, (1_000_000_000, 1_000_000_000))
+    cow.set_current(spark, root, e0, expected=None, store=store)
+    assert cow.get_current(spark, root) == os.path.abspath(e0)
+    assert not os.path.exists(lock)
+    # set_pointer_store swaps the process default and returns the old
+    prev = cow.set_pointer_store(store)
+    try:
+        assert cow._POINTER_STORE is store
+    finally:
+        cow.set_pointer_store(prev)
+    assert cow._POINTER_STORE is prev

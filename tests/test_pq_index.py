@@ -200,7 +200,7 @@ def test_pq_manifest_chain_merge_delete_compact_vacuum(spark, tmp_path):
     e4 = cow.new_epoch_path(spark, root, label="compact")
     similarity.compact_pq_index(spark, cow.get_current(spark, root), e4)
     cow.set_current(spark, root, e4)
-    vac = cow.vacuum_index(spark, root, ["codes", "codebooks"])
+    vac = cow.vacuum_index(spark, root, ["codes", "codebooks"], min_age_seconds=0.0)
     assert sorted(vac["removed"]) == sorted(
         os.path.basename(p) for p in (e0, e1, e2, e3)
     )

@@ -873,7 +873,7 @@ def test_index_ingest_deferred_vacuum_compacts_on_live_count(
     )
     assert got == exp and len(got) > 0
     # out-of-band vacuum (after reader quiesce) reclaims the rest
-    vac = cow.vacuum_index(spark, root, ["postings"])
+    vac = cow.vacuum_index(spark, root, ["postings"], min_age_seconds=0.0)
     assert len(vac["removed"]) == 6
     assert cow.list_epochs(spark, root) == [compacts[-1]]
 
