@@ -1123,6 +1123,119 @@ def related_items_topk(spark, path: str) -> DataFrame:
     )
 
 
+def related_items_health(spark, path: str) -> DataFrame:
+    """State-health report for a :func:`build_related_items_state`
+    layout — the WHEN-to-maintain signal for the co-occurrence
+    serving family (r13 verdict #3: the quantized ANN families got
+    staleness reports in q209/q211/q212 and BM25 its twin; this
+    closes the set). One row, read off the state's OWN components
+    (never the source history):
+
+    - **stamped config** (meta sidecar): ``k_stamped`` /
+      ``min_count_stamped`` / ``n_buckets_stamped`` — what the
+      serving derivation actually uses.
+    - **support shape** (pairs, column-pruned to ``n_ab``):
+      ``n_pairs`` (unfloored — the state persists the full
+      aggregate), ``pairs_below_floor`` (support < min_count: stored
+      but unserved — the floor debt a future batch can resurrect,
+      and the bytes a support-pruning compaction would reclaim) and
+      ``max_support``.
+    - **ledger size** (baskets): ``n_incidence`` / ``n_baskets`` —
+      the read amplification the NEXT ledger-driven erasure pays,
+      and the denominator of the build's grain contract.
+    - **serving coverage** (topk + items): ``n_items`` vs
+      ``served_items`` (items with at least one above-floor pair)
+      and ``topk_rows`` — a coverage ratio that falls under
+      delete-heavy churn is the re-derive/compact signal.
+    - **ledger-bucket health** (baskets, partition column only):
+      ``dead_buckets`` / ``bucket_min`` / ``bucket_max`` incidence
+      rows over the stamped hash buckets — skew degrades every
+      bucket-pruned maintenance read. Hash-layout ground truth is
+      gated in tests against a from-scratch rebuild (DuckDB has no
+      xxhash64, so the driver oracle covers every column except
+      these three; see q215).
+
+    Staleness is a DELTA metric: pin the build-time row
+    (``similarity.write_staleness_baseline``) and alert on
+    ``similarity.staleness_drift`` ratios — a delete-heavy state
+    shrinks the ledger and coverage; an upsert-heavy one grows floor
+    debt. All legs are partial-aggregable single passes. Accepts a
+    direct state/epoch path or a lifecycle ROOT."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        _resolve_index_path,
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    path = _resolve_index_path(spark, path)
+    meta = cow.read_json(spark, _ri_meta_uri(path))
+    if meta is None:
+        raise FileNotFoundError(f"no ri_meta.json under {path!r}")
+    _ri_check_format(meta, path)
+    n_buckets = int(meta["n_buckets"])
+    min_count = int(meta["min_count"])
+
+    stamped = spark.createDataFrame(
+        [(int(meta["k"]), min_count, n_buckets)],
+        "k_stamped int, min_count_stamped int, n_buckets_stamped int",
+    )
+    pair_agg = _ri_read(spark, path, "pairs", meta).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("n_ab") < min_count, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pairs_below_floor"),
+        F.max("n_ab").cast("bigint").alias("max_support"),
+    )
+    ledger = _ri_read(spark, path, "baskets", meta)
+    ledger_agg = ledger.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incidence"),
+        F.count_distinct(F.col("basket")).cast("bigint").alias("n_baskets"),
+    )
+    item_agg = _ri_read(spark, path, "items", meta).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    topk_agg = _ri_read(spark, path, "topk", meta).agg(
+        F.count(F.lit(1)).cast("bigint").alias("topk_rows"),
+        F.count_distinct(F.col("item")).cast("bigint").alias("served_items"),
+    )
+    # ledger-bucket occupancy: partition-column-only scan
+    occ = ledger.groupBy("basket_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_occ")
+    )
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("basket_bucket")
+    )
+    bucket_agg = buckets.join(occ, "basket_bucket", "left").agg(
+        F.sum(F.when(F.col("_occ").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dead_buckets"),
+        F.min("_occ").cast("bigint").alias("bucket_min"),
+        F.max("_occ").cast("bigint").alias("bucket_max"),
+    )
+    return (
+        stamped.crossJoin(pair_agg)
+        .crossJoin(ledger_agg)
+        .crossJoin(item_agg)
+        .crossJoin(topk_agg)
+        .crossJoin(bucket_agg)
+        .select(
+            "k_stamped",
+            "min_count_stamped",
+            "n_buckets_stamped",
+            "n_pairs",
+            "pairs_below_floor",
+            "max_support",
+            "n_incidence",
+            "n_baskets",
+            "n_items",
+            "served_items",
+            "topk_rows",
+            "dead_buckets",
+            "bucket_min",
+            "bucket_max",
+        )
+    )
+
+
 def merge_related_items_state(
     spark,
     base_path: str,

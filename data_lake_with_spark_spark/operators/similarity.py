@@ -3009,7 +3009,7 @@ def _resolve_index_path(spark, path: str) -> str:
 def index_staleness_report(
     spark,
     path: str,
-    corpus: DataFrame,
+    corpus: "DataFrame | None" = None,
     sample_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -3076,6 +3076,20 @@ def index_staleness_report(
         )
     )
     # --- ADC reconstruction error on the sample stripe --------------
+    # corpus=None (occupancy-only mode — the streaming stats sink's
+    # per-batch probe, where the ingest holds no corpus handle): the
+    # error leg is SKIPPED and its columns are NULL (distinct from a
+    # sampled-zero-rows 0.0), keeping one schema across both modes.
+    if corpus is None:
+        err_stats = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_sampled"),
+            F.lit(None).cast("double").alias("recon_err_sum"),
+            F.lit(None).cast("double").alias("mean_recon_err"),
+        )
+        return cell_stats.crossJoin(err_stats).select(
+            "n_cells", "dead_cells", "occ_min", "occ_max", "n_vecs",
+            "n_sampled", "recon_err_sum", "mean_recon_err",
+        )
     sv = corpus.where(F.col(id_col) % sample_mod == 0).select(
         F.col(id_col), F.col(vec_col)
     )
@@ -3126,7 +3140,7 @@ def index_staleness_report(
 def pq_staleness_report(
     spark,
     path: str,
-    corpus: DataFrame,
+    corpus: "DataFrame | None" = None,
     sample_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -3164,6 +3178,17 @@ def pq_staleness_report(
     n_vecs = codes.where(F.col("subspace") == 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
     )
+    # corpus=None: utilization-only mode (see index_staleness_report)
+    if corpus is None:
+        err_stats = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_sampled"),
+            F.lit(None).cast("double").alias("recon_err_sum"),
+            F.lit(None).cast("double").alias("mean_recon_err"),
+        )
+        return cb_stats.crossJoin(n_vecs).crossJoin(err_stats).select(
+            "n_codes", "dead_codes", "n_vecs", "n_sampled",
+            "recon_err_sum", "mean_recon_err",
+        )
     sv = corpus.where(F.col(id_col) % sample_mod == 0).select(
         F.col(id_col), F.col(vec_col)
     )

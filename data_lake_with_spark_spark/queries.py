@@ -8795,6 +8795,262 @@ FROM sa
 """
 
 
+def q214_bm25_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report for the persisted BM25 layout
+    (text.bm25_staleness_report — r13 verdict #3: the three quantized
+    ANN families earned when-to-retrain reports in q209/q211/q212;
+    this is the lexical family's twin): corpus drift (live doclens
+    aggregates vs the STAMPED n_corpus/avgdl the scorer uses) plus
+    the posting-mass shape (type/posting counts, max df, and the
+    head mass — terms in over half the corpus, the candidate-cost
+    lever behind max_df_ratio). Every emitted column re-derives in
+    the oracle from the q140 corpus via the same tokenize → postings
+    → doclens pipeline, so the driver hash-verifies that the report
+    read off the persisted index equals the ground-truth derivation.
+    The bucket-occupancy leg (xxhash64 layout — no DuckDB twin) is
+    gated in pytest against a from-scratch rebuild, and drift
+    MOVEMENT under an upsert-heavy merge is gated in
+    tests/test_text.py."""
+    rep = text.bm25_staleness_report(
+        spark, _bm25_index(spark, sf_dir, "q140")
+    )
+    return rep.select(
+        "n_docs", "dl_sum", "avgdl_live", "n_corpus_stamped",
+        "avgdl_stamped", "n_buckets_stamped", "n_postings", "n_types",
+        "max_df", "head_types", "head_postings",
+    )
+
+
+# O_Q214: the report's ground truth re-derived from the corpus — the
+# stamped stats of a fresh build ARE the derived stats (n_buckets is
+# the build call's constant, 64 = build_bm25_index's default).
+O_Q214 = """
+WITH ctf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 200 <> 0)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+doc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS dl_sum,
+               SUM(dl) / COUNT(*) AS avgdl_live FROM dl),
+dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY tok),
+ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(df) AS BIGINT) AS n_postings,
+              CAST(MAX(df) AS BIGINT) AS max_df,
+              CAST(SUM(CASE WHEN 2 * df > d.n_docs THEN 1 ELSE 0 END)
+                   AS BIGINT) AS head_types,
+              CAST(SUM(CASE WHEN 2 * df > d.n_docs THEN df ELSE 0 END)
+                   AS BIGINT) AS head_postings
+       FROM dfs, doc d)
+SELECT d.n_docs, d.dl_sum, d.avgdl_live,
+       d.n_docs AS n_corpus_stamped,
+       d.avgdl_live AS avgdl_stamped,
+       CAST(64 AS INT) AS n_buckets_stamped,
+       ts.n_postings, ts.n_types, ts.max_df, ts.head_types,
+       ts.head_postings
+FROM doc d, ts
+"""
+
+
+def q215_related_items_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-health report for the related-items serving state
+    (graph.related_items_health — the co-occurrence family's
+    when-to-maintain twin of q214): stamped config, the UNFLOORED
+    pair-support shape (count, floor debt, max support), ledger size
+    (the next erasure's read amplification), and serving coverage
+    (items vs items actually served ≥1 top-k row). Every emitted
+    column re-derives in the oracle from the basket history through
+    O_Q188's own CTE pipeline (incidence → supports → floored top-k),
+    so the driver hash-verifies the report against ground truth. The
+    ledger-bucket occupancy leg (xxhash64 layout) is pytest-gated
+    against a rebuild; MOVEMENT under delete-heavy churn is gated in
+    tests/test_related_items_state.py."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.graph import (
+        build_related_items_state,
+        related_items_health,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = tempfile.mkdtemp(prefix="dlws_ri_health_")
+    try:
+        build_related_items_state(
+            li, p, basket_col="l_orderkey", item_col="l_partkey",
+            k=5, min_count=2, n_buckets=32,
+        )
+        rep = related_items_health(spark, p).select(
+            "k_stamped", "min_count_stamped", "n_buckets_stamped",
+            "n_pairs", "pairs_below_floor", "max_support",
+            "n_incidence", "n_baskets", "n_items", "served_items",
+            "topk_rows",
+        )
+        return rep.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+# O_Q215: ground truth from the basket history — unfloored supports,
+# the floored (min_count=2) k=5 serving derivation, ledger counts.
+# The stamped config is the build call's constants.
+O_Q215 = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM b
+      GROUP BY item),
+p AS (SELECT x.item AS a, y.item AS b2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+      GROUP BY x.item, y.item),
+pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(CASE WHEN n_ab < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS pairs_below_floor,
+              CAST(MAX(n_ab) AS BIGINT) AS max_support FROM p),
+la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_incidence,
+              CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM n),
+sym AS (SELECT a AS item, b2 AS other, n_ab FROM p WHERE n_ab >= 2
+        UNION ALL
+        SELECT b2 AS item, a AS other, n_ab FROM p WHERE n_ab >= 2),
+sc AS (SELECT sym.item, sym.other, sym.n_ab,
+              (sym.n_ab * sym.n_ab) / (ni.n_item * no.n_item) AS score
+       FROM sym JOIN n ni ON ni.item = sym.item
+                JOIN n no ON no.item = sym.other),
+r AS (SELECT item, CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                           ORDER BY score DESC, other)
+                        AS BIGINT) AS rank
+      FROM sc),
+ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS topk_rows,
+              CAST(COUNT(DISTINCT item) AS BIGINT) AS served_items
+       FROM r WHERE rank <= 5)
+SELECT CAST(5 AS INT) AS k_stamped,
+       CAST(2 AS INT) AS min_count_stamped,
+       CAST(32 AS INT) AS n_buckets_stamped,
+       pa.n_pairs, pa.pairs_below_floor, pa.max_support,
+       la.n_incidence, la.n_baskets, ia.n_items,
+       ta.served_items, ta.topk_rows
+FROM pa, la, ia, ta
+"""
+
+
+def q216_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly maintenance DECISION row (cow.maintenance_plan —
+    r13 verdict #4: the staleness reports and the alerting loop
+    existed as pieces; this composes them into the operator-facing
+    "what should I run tonight" op). Fixture trips ALL THREE branches
+    on a BM25 lifecycle root: build the doc_id%3=0 stripe as epoch 0
+    and PIN its health row as the baseline; manifest-merge the %3=1
+    stripe with TRIPLED text (upsert drift — avgdl rises); compact
+    WITHOUT vacuuming (two retired epochs → vacuum debt); manifest-
+    merge the %3=2 stripe as a NARROW-vocabulary batch ('zq zq zq' —
+    it touches one posting bucket, so the merge epoch carries the
+    compacted epoch's other buckets by manifest and the live chain is
+    exactly 2 epochs; a natural-language batch would touch every
+    bucket and collapse the chain to 1). With
+    thresholds {avgdl_live: 1.02}, max_read_amplification=1,
+    min_retired_bytes=1 the plan must say retrain_due AND compact_due
+    AND vacuum_due, with trigger_ratio = the avgdl drift ratio — the
+    oracle re-derives that ratio from the documents table (merged
+    corpus avgdl / base-stripe avgdl) and pins the lifecycle counts
+    the fixture's op sequence determines (live=2, retired=2).
+    retired_bytes is filesystem-dependent and stays out of the
+    oracled row (vacuum_due is its thresholded consequence)."""
+    import shutil
+    import tempfile
+
+    from data_lake_with_spark_spark.operators.similarity import (
+        write_staleness_baseline,
+    )
+    from data_lake_with_spark_spark.sources import cow
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    b = d.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id", F.concat_ws(" ", "text", "text", "text").alias("text")
+    )
+    c = d.where(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.lit("zq zq zq").alias("text")
+    )
+    root = tempfile.mkdtemp(prefix="dlws_maint_plan_")
+    try:
+        e0 = cow.new_epoch_path(spark, root)
+        text.build_bm25_index(a, e0, n_buckets=8)
+        cow.set_current(spark, root, e0, expected=None)
+        write_staleness_baseline(
+            spark, root, text.bm25_staleness_report(spark, root)
+        )
+        e1 = cow.new_epoch_path(spark, root, label="merge")
+        text.merge_bm25_index(
+            spark, cow.get_current(spark, root), b, e1, layout="manifest"
+        )
+        cow.set_current(spark, root, e1, expected=e0)
+        e2 = cow.new_epoch_path(spark, root, label="compact")
+        text.compact_bm25_index(spark, cow.get_current(spark, root), e2)
+        cow.set_current(spark, root, e2, expected=e1)  # NO vacuum: debt
+        e3 = cow.new_epoch_path(spark, root, label="merge2")
+        text.merge_bm25_index(
+            spark, cow.get_current(spark, root), c, e3, layout="manifest"
+        )
+        cow.set_current(spark, root, e3, expected=e2)
+        plan = cow.maintenance_plan(
+            spark,
+            root,
+            ["postings"],
+            text.bm25_staleness_report(spark, root),
+            drift_thresholds={"avgdl_live": 1.02},
+            max_read_amplification=1,
+            min_retired_bytes=1,
+        ).select(
+            "read_amplification", "n_retired", "retrain_due",
+            "compact_due", "vacuum_due", "trigger_metric",
+            "trigger_ratio",
+        )
+        return plan.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# O_Q216: the decision row's ground truth — the drift ratio re-derived
+# from the documents table (merged-corpus avgdl over base-stripe
+# avgdl, same tokenize pipeline as O_Q214); the lifecycle counts are
+# the fixture's deterministic op-sequence consequences (compact leaves
+# epochs {0,1} retired; the post-compact merge chain spans 2 live
+# epochs), and the booleans are those values against the thresholds.
+O_Q216 = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, text || ' ' || text || ' ' || text AS text
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'zq zq zq' AS text FROM documents WHERE doc_id % 3 = 2),
+ctf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM corpus)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf GROUP BY doc_id),
+cur AS (SELECT SUM(dl) / COUNT(*) AS avgdl FROM dl),
+ctf0 AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 3 = 0)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+dl0 AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ctf0
+        GROUP BY doc_id),
+base AS (SELECT SUM(dl) / COUNT(*) AS avgdl FROM dl0)
+SELECT CAST(2 AS BIGINT) AS read_amplification,
+       CAST(2 AS BIGINT) AS n_retired,
+       (cur.avgdl / base.avgdl) >= 1.02 AS retrain_due,
+       2 > 1 AS compact_due,
+       TRUE AS vacuum_due,
+       'avgdl_live' AS trigger_metric,
+       cur.avgdl / base.avgdl AS trigger_ratio
+FROM cur, base
+"""
+
+
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, O_Q01),
     "q02_not_in_subquery": (q02_not_in_subquery, O_Q02),
@@ -9065,6 +9321,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # trains the frozen codebooks) must serve the from-scratch ADC
     # build bit-for-bit — O_Q118 verbatim (the q196 pin, streamed).
     "q213_streaming_pq": (q213_streaming_pq, O_Q118),
+    # BM25 index health: every column of the report read off the
+    # persisted index must equal the from-corpus derivation.
+    "q214_bm25_staleness": (q214_bm25_staleness, O_Q214),
+    # Related-items state health: report off the persisted state must
+    # equal the O_Q188-pipeline derivation (unfloored supports +
+    # floored serving coverage).
+    "q215_related_items_health": (q215_related_items_health, O_Q215),
+    # Maintenance decision row: drift ratio re-derived from source,
+    # lifecycle counts pinned by the fixture's op sequence.
+    "q216_maintenance_plan": (q216_maintenance_plan, O_Q216),
 }
 
 
@@ -9361,6 +9627,18 @@ _ROTATED_IN = (
     # O_Q118 verbatim) — with q210 this closes the r12 verdict's #3
     # for both named families. Same promotion discipline.
     "q213_streaming_pq",
+    # round 14: the two new health reports — the when-to-maintain
+    # signal for the LAST two serving families without one (BM25
+    # posting/corpus drift, related-items support/ledger/coverage).
+    # Promoted same-round after 3-SF oracle sweeps + a full
+    # driver_sim replay, per the standing discipline.
+    "q214_bm25_staleness",
+    "q215_related_items_health",
+    # round 14b: the maintenance decision row — the runbook op
+    # composing lifecycle_report + pinned-baseline drift into
+    # retrain/compact/vacuum calls, all three branches tripped by the
+    # fixture. Same promotion discipline (3-SF sweep + driver_sim).
+    "q216_maintenance_plan",
 )
 _ROTATED_OUT = (
     # round 4
@@ -9721,6 +9999,19 @@ _ROTATED_OUT = (
     # links-layout delete semantics stay value-verified in the local
     # sweep + pytest.
     "q178_bm25_delete",
+    # round 14 demotions — both driver-hard verified in rounds 7–13
+    # and their operator code untouched this round: span dedup keeps
+    # q128 (canonical survivor) + q129 (incremental) + q130 (shard
+    # batches) + q138 (QA report) in-window; event co-occurrence
+    # keeps q155 (multi-touch attribution) in-window and the lift
+    # derivation stays value-verified in the local sweep + pytest.
+    "q126_remove_duplicated_spans",
+    "q159_event_lift",
+    # round 14b demotion — window-verified r7–r13, operator code
+    # untouched this round; decontamination keeps q139 (span
+    # decontaminate + rewrite) in-window, and the C4-style blocklist
+    # semantics stay value-verified in the local sweep + pytest.
+    "q137_blocklist_filter",
 )
 
 

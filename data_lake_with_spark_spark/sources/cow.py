@@ -1159,6 +1159,94 @@ def lifecycle_report(spark, root: str, components: "list[str]") -> dict:
     }
 
 
+def maintenance_plan(
+    spark,
+    root: str,
+    components: "list[str]",
+    current_report,
+    drift_thresholds: "dict[str, float]",
+    max_read_amplification: int = 4,
+    min_retired_bytes: int = 1,
+):
+    """The nightly "what should I run" decision row (r13 verdict #4)
+    — closes the alerting loop the staleness/health reports opened
+    into ONE operator-facing op: read :func:`lifecycle_report` (read
+    amplification, retired debt) and the family's staleness drift vs
+    its pinned baseline (``{root}/staleness_baseline.json`` —
+    ``similarity.staleness_drift``), apply the CALLER's thresholds
+    (arguments, never magic), and emit one row:
+
+    - ``retrain_due``: any metric in ``drift_thresholds`` whose
+      current/baseline ratio crossed its threshold — a threshold
+      ≥ 1 alerts on the ratio RISING to/above it (recon error,
+      avgdl, floor debt), < 1 on FALLING to/below it (coverage,
+      ledger size under erasure). ``trigger_metric`` /
+      ``trigger_ratio`` name the first tripping metric
+      (deterministic: sorted metric order) — the "why" an operator
+      reads before running the family's retrain/rebuild op.
+    - ``compact_due``: ``read_amplification`` (live-epoch count — the
+      chain length every resolve pays) exceeds
+      ``max_read_amplification``.
+    - ``vacuum_due``: retired (unreferenced, unvacuumed) bytes ≥
+      ``min_retired_bytes`` — the out-of-band vacuum owed by
+      ``vacuum_on_compact=False`` deployments, run AFTER quiesce
+      with :func:`vacuum_index`'s retention window.
+
+    ``current_report`` is any family's one-row health report
+    (``index_staleness_report`` / ``pq_staleness_report`` /
+    ``ivf_staleness_report`` / ``text.bm25_staleness_report`` /
+    ``graph.related_items_health``) — the plan op is pure composition
+    of shipped pieces and stays family-agnostic. Pure metadata plus
+    the report's own bounded legs; returns a one-row DataFrame
+    ``(read_amplification, n_retired, retired_bytes, retrain_due,
+    compact_due, vacuum_due, trigger_metric, trigger_ratio)``."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        staleness_drift,
+    )
+
+    if max_read_amplification < 1:
+        raise ValueError(
+            f"max_read_amplification must be >= 1, got "
+            f"{max_read_amplification}"
+        )
+    life = lifecycle_report(spark, root, components)
+    drift = staleness_drift(spark, root, current_report)
+    missing = sorted(set(drift_thresholds) - set(drift))
+    if missing:
+        raise ValueError(
+            f"maintenance_plan: drift_thresholds name metrics absent "
+            f"from the report: {missing} (report carries "
+            f"{sorted(drift)})"
+        )
+    trigger_metric, trigger_ratio = None, None
+    for metric in sorted(drift_thresholds):
+        thr = drift_thresholds[metric]
+        ratio = drift[metric]["ratio"]
+        if ratio is None:
+            continue  # zero baseline — q209 docstring's dead_cells case
+        tripped = ratio >= thr if thr >= 1.0 else ratio <= thr
+        if tripped:
+            trigger_metric, trigger_ratio = metric, float(ratio)
+            break
+    row = (
+        int(life["read_amplification"]),
+        int(len(life["retired"])),
+        int(life["retired_bytes"]),
+        trigger_metric is not None,
+        life["read_amplification"] > max_read_amplification,
+        life["retired_bytes"] >= min_retired_bytes,
+        trigger_metric,
+        trigger_ratio,
+    )
+    return spark.createDataFrame(
+        [row],
+        "read_amplification bigint, n_retired bigint, "
+        "retired_bytes bigint, retrain_due boolean, "
+        "compact_due boolean, vacuum_due boolean, "
+        "trigger_metric string, trigger_ratio double",
+    )
+
+
 def write_json(spark, uri: str, obj: dict) -> None:
     """Persist a small JSON sidecar (index meta like PQ's
     ``{dim, m, n_buckets}``) — scheme-agnostic via the same FS text

@@ -492,6 +492,29 @@ def _epochs_since_compact(spark, root: str) -> int:
     return after if last < 0 else after + 1
 
 
+def _emit_batch_stats(root: str, stats_dir: str, batch_id: int, report) -> None:
+    """Append one health row per COMMITTED micro-batch to
+    ``stats_dir`` (parquet, schema = the family's health report plus
+    ``batch_id``/``epoch``) — the r13 verdict #5 stats sink: drift is
+    observed DURING maintenance instead of by a separate probe. Runs
+    AFTER set_current, so every row describes a published epoch; the
+    report legs are the same bounded column-pruned scans the
+    standalone reports pay (the quantized families emit their
+    occupancy/utilization legs — the ingest holds no corpus handle,
+    so the sampled-error leg stays NULL; run the full report
+    out-of-band when the error axis is needed)."""
+    from data_lake_with_spark_spark.sources import cow
+
+    spark = report.sparkSession
+    (
+        report.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        .withColumn("epoch", F.lit(cow.get_current(spark, root)))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(stats_dir)
+    )
+
+
 def index_maintenance_ingest(
     stream_docs: DataFrame,
     root: str,
@@ -499,6 +522,7 @@ def index_maintenance_ingest(
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_on_compact: bool = True,
+    stats_dir: str | None = None,
 ) -> "object":
     """Continuous SERVING-INDEX maintenance — the streaming half of
     the index lifecycle (``sources/cow.py``): each document
@@ -591,6 +615,11 @@ def index_maintenance_ingest(
                 cow.vacuum_index(
                     spark, root, ["postings"], min_age_seconds=0.0
                 )
+        if stats_dir is not None:
+            _emit_batch_stats(
+                root, stats_dir, batch_id,
+                _text.bm25_staleness_report(spark, root),
+            )
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -612,6 +641,7 @@ def vector_index_maintenance_ingest(
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_on_compact: bool = True,
+    stats_dir: str | None = None,
 ) -> "object":
     """The dense-side twin of :func:`index_maintenance_ingest`:
     continuous IVF serving-index maintenance from an EMBEDDING
@@ -774,6 +804,11 @@ def vector_index_maintenance_ingest(
                     spark, root, ["lists", "centroids"],
                     min_age_seconds=0.0,
                 )
+        if stats_dir is not None:
+            _emit_batch_stats(
+                root, stats_dir, batch_id,
+                _sim.ivf_staleness_report(spark, root),
+            )
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)
@@ -796,6 +831,7 @@ def related_items_maintenance_ingest(
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_on_compact: bool = True,
+    stats_dir: str | None = None,
 ) -> "object":
     """Continuous maintenance of the related-items SERVING state from
     a (basket, item) stream — the co-occurrence twin of
@@ -928,6 +964,11 @@ def related_items_maintenance_ingest(
                     spark, root, ["pairs", "items", "baskets", "topk"],
                     min_age_seconds=0.0,
                 )
+        if stats_dir is not None:
+            _emit_batch_stats(
+                root, stats_dir, batch_id,
+                _graph.related_items_health(spark, root),
+            )
 
     return (
         stream_baskets.writeStream.foreachBatch(apply_batch)
@@ -952,6 +993,7 @@ def ivfpq_index_maintenance_ingest(
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_on_compact: bool = True,
+    stats_dir: str | None = None,
 ) -> "object":
     """Continuous maintenance of the PRODUCTION serving family — the
     IVFPQ composite index (r12 verdict #3: BM25, IVF, and the
@@ -1150,6 +1192,11 @@ def ivfpq_index_maintenance_ingest(
                     spark, root, ["codes", "codebooks", "centroids"],
                     min_age_seconds=0.0,
                 )
+        if stats_dir is not None:
+            _emit_batch_stats(
+                root, stats_dir, batch_id,
+                _sim.index_staleness_report(spark, root),
+            )
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)
@@ -1173,6 +1220,7 @@ def pq_index_maintenance_ingest(
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_on_compact: bool = True,
+    stats_dir: str | None = None,
 ) -> "object":
     """The plain-PQ member of the streaming index-maintenance family
     (r12 verdict #3 named BOTH composite and plain PQ): batch 0
@@ -1318,6 +1366,11 @@ def pq_index_maintenance_ingest(
                     spark, root, ["codes", "codebooks"],
                     min_age_seconds=0.0,
                 )
+        if stats_dir is not None:
+            _emit_batch_stats(
+                root, stats_dir, batch_id,
+                _sim.pq_staleness_report(spark, root),
+            )
 
     return (
         stream_vecs.writeStream.foreachBatch(apply_batch)

@@ -510,3 +510,103 @@ def test_locked_pointer_store_guards(spark, tmp_path):
     finally:
         cow.set_pointer_store(prev)
     assert cow._POINTER_STORE is prev
+
+
+def test_maintenance_plan_branches(spark, tmp_path):
+    """r13 verdict #4: cow.maintenance_plan composes lifecycle_report
+    + pinned-baseline drift into one decision row. Each branch trips
+    independently on its own trigger; thresholds are arguments:
+    ratio-rising (>= thr >= 1) and ratio-falling (<= thr < 1)
+    directions both work; a zero-baseline metric (ratio None) never
+    trips; naming a metric the report lacks raises."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators import text
+    from data_lake_with_spark_spark.operators.similarity import (
+        write_staleness_baseline,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} w{i % 5} w{i % 7} common filler") for i in range(120)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    text.build_bm25_index(docs.where(F.col("doc_id") < 60), e0, n_buckets=2)
+    cow.set_current(spark, root, e0, expected=None)
+    write_staleness_baseline(
+        spark, root, text.bm25_staleness_report(spark, root)
+    )
+
+    def plan(**kw):
+        base = dict(
+            drift_thresholds={"avgdl_live": 1.05},
+            max_read_amplification=4,
+            min_retired_bytes=1,
+        )
+        base.update(kw)
+        return cow.maintenance_plan(
+            spark, root, ["postings"],
+            text.bm25_staleness_report(spark, root), **base,
+        ).collect()[0].asDict()
+
+    # fresh root: nothing due
+    p0 = plan()
+    assert (p0["retrain_due"], p0["compact_due"], p0["vacuum_due"]) == (
+        False, False, False,
+    )
+    assert p0["trigger_metric"] is None and p0["trigger_ratio"] is None
+    assert p0["read_amplification"] == 1 and p0["n_retired"] == 0
+
+    # compact branch alone: tighten the amplification threshold after
+    # a manifest merge (narrow-vocab batch → one changed bucket →
+    # chain length 2); drift stays under 1.05
+    e1 = cow.new_epoch_path(spark, root, label="m")
+    text.merge_bm25_index(
+        spark, cow.get_current(spark, root),
+        docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 70))
+        .select("doc_id", F.lit("zz zz zz zz zz").alias("text")),
+        e1, layout="manifest",
+    )
+    cow.set_current(spark, root, e1, expected=e0)
+    p1 = plan(max_read_amplification=1)
+    assert p1["compact_due"] and p1["read_amplification"] == 2
+    assert not p1["vacuum_due"]
+
+    # vacuum branch: compact without vacuuming leaves retired bytes
+    e2 = cow.new_epoch_path(spark, root, label="c")
+    text.compact_bm25_index(spark, cow.get_current(spark, root), e2)
+    cow.set_current(spark, root, e2, expected=e1)
+    p2 = plan()
+    assert p2["vacuum_due"] and p2["n_retired"] == 2
+    assert not p2["compact_due"]
+    # ...and min_retired_bytes is a real threshold
+    assert not plan(min_retired_bytes=10**15)["vacuum_due"]
+
+    # retrain branch, rising direction: long-doc upsert drifts avgdl
+    e3 = cow.new_epoch_path(spark, root, label="m2")
+    text.merge_bm25_index(
+        spark, cow.get_current(spark, root),
+        docs.where(F.col("doc_id") >= 70).select(
+            "doc_id",
+            F.concat_ws(" ", "text", "text", "text", "text").alias("text"),
+        ),
+        e3, layout="manifest",
+    )
+    cow.set_current(spark, root, e3, expected=e2)
+    p3 = plan()
+    assert p3["retrain_due"] and p3["trigger_metric"] == "avgdl_live"
+    assert p3["trigger_ratio"] > 1.05
+    # falling direction: n_docs GREW, so a <1 threshold must NOT trip
+    # on it, and the first tripping metric in sorted order is named
+    p4 = plan(drift_thresholds={"n_docs": 0.5, "avgdl_live": 1.05})
+    assert p4["retrain_due"] and p4["trigger_metric"] == "avgdl_live"
+    # falling threshold that DOES trip: head_postings can only grow
+    # here, so use a >=1.0 "any change" threshold on n_docs instead
+    p5 = plan(drift_thresholds={"n_docs": 1.0})
+    assert p5["retrain_due"] and p5["trigger_metric"] == "n_docs"
+
+    with pytest.raises(ValueError, match="absent from the report"):
+        plan(drift_thresholds={"not_a_metric": 2.0})
+    with pytest.raises(ValueError, match="max_read_amplification"):
+        plan(max_read_amplification=0)

@@ -650,3 +650,57 @@ def test_r13_staleness_report_plan_budget(spark, tmp_path):
     # here is Python-free compilation and the bounded exchange count
     assert "BatchEvalPython" not in p3 and "ArrowEval" not in p3
     assert p3.count("Exchange") <= 10, p3.count("Exchange")
+
+
+def test_r14_health_report_plan_budget(spark, tmp_path):
+    """The r14 health reports (BM25 + related-items — the
+    when-to-maintain family's last two members) must stay cheap at
+    100 TB, same contract as the r13 staleness gates: zero Python
+    eval nodes, bounded exchange counts, and column-pruned component
+    scans — the BM25 postings legs never read doc_id/tf (df needs
+    only tok; occupancy only the partition column), and the RI pairs
+    leg reads only n_ab (never the item keys or the serving
+    columns)."""
+    import re
+
+    from data_lake_with_spark_spark.operators import graph, text
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} tok{i % 11} common") for i in range(300)],
+        ["doc_id", "text"],
+    )
+    bm25 = str(tmp_path / "bm25")
+    text.build_bm25_index(docs, bm25, n_buckets=4)
+    p = (
+        text.bm25_staleness_report(spark, bm25)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+    assert p.count("Exchange") <= 12, p.count("Exchange")
+    for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", p):
+        schema = m.group(1)
+        # postings data columns beyond tok are never read; doclens
+        # prunes to dl (doc_id unused by any leg)
+        assert "doc_id" not in schema, schema
+        assert "tf" not in schema, schema
+
+    rows = [(b, f"it{(b * 7 + j) % 20}") for b in range(200) for j in range(3)]
+    ri = str(tmp_path / "ri")
+    graph.build_related_items_state(
+        spark.createDataFrame(rows, ["basket", "item"]),
+        ri, k=3, min_count=2, n_buckets=4,
+    )
+    p2 = (
+        graph.related_items_health(spark, ri)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "BatchEvalPython" not in p2 and "ArrowEval" not in p2
+    assert p2.count("Exchange") <= 14, p2.count("Exchange")
+    for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", p2):
+        schema = m.group(1)
+        # pairs prunes to n_ab (no a/b keys); topk prunes to item
+        # (no serving columns); nothing reads score or n_item
+        assert "score" not in schema, schema
+        assert "n_item" not in schema, schema
+        if "n_ab" in schema:
+            assert not re.search(r"<a:|,a:|,b:|<b:", schema), schema

@@ -1682,3 +1682,118 @@ def test_ivfpq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     exp = _ivfpq_rows(spark, scratch, qs, k=5, nprobe=3)
     # only the bootstrap-filter survivors among ids 0..4 are queries
     assert got == exp and len(got) > 0
+
+
+def test_ingest_stats_sink_matches_posthoc_reports(spark, tmp_path):
+    """r13 verdict #5 — the per-batch stats sink: an ingest run with
+    stats_dir emits ONE health row per committed micro-batch, so
+    drift is observed DURING maintenance instead of by a separate
+    probe. Gates: (a) one row per non-empty batch, batch_ids ordered,
+    every row names a published epoch; (b) the FINAL row equals the
+    post-hoc report over the final root (BM25: bm25_staleness_report
+    verbatim; IVFPQ: the occupancy leg of index_staleness_report,
+    with the sampled-error columns NULL in-stream — the ingest holds
+    no corpus handle); (c) the drift story composes: avgdl in the
+    BM25 stats stream moves batch-over-batch as the corpus grows."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.operators import text as T
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+        ivfpq_index_maintenance_ingest,
+    )
+
+    # --- BM25 family ------------------------------------------------
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(3 + i % 5)),
+             "en", "s")
+            for i in range(120)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stage, root, cp, stats = (
+        str(tmp_path / d) for d in ("stage", "root", "cp", "stats")
+    )
+    for part in range(3):
+        docs.where(F2.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+    stream = (
+        spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+    )
+    q = index_maintenance_ingest(stream, root, checkpoint_dir=cp,
+                                 stats_dir=stats)
+    q.awaitTermination(300)
+    rows = sorted(
+        (r.asDict() for r in spark.read.parquet(stats).collect()),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in rows] == [0, 1, 2]
+    epochs = {f"{root}/epochs/{e}" for e in cow.list_epochs(spark, root)}
+    assert all(r["epoch"] in {os.path.abspath(e) for e in epochs}
+               for r in rows)
+    # final row == post-hoc report on the final root, column for column
+    post = T.bm25_staleness_report(spark, root).collect()[0].asDict()
+    final = {k: v for k, v in rows[-1].items()
+             if k not in ("batch_id", "epoch")}
+    assert final == post
+    # the drift signal moved DURING maintenance: doc count grew
+    assert rows[0]["n_docs"] < rows[1]["n_docs"] < rows[2]["n_docs"]
+
+    # --- IVFPQ family (occupancy-only in-stream) ---------------------
+    import random
+
+    rnd = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(240)],
+        ["vec_id", "embedding"],
+    )
+    vstage, vroot, vcp, vstats = (
+        str(tmp_path / d) for d in ("vstage", "vroot", "vcp", "vstats")
+    )
+    md = 12
+    is_frozen = (F2.col("vec_id") % md == 0) | (F2.col("vec_id") % md == 1)
+    batches = [
+        emb.where(is_frozen | (F2.col("vec_id") % 3 == 0)),
+        emb.where(~is_frozen & (F2.col("vec_id") % 3 == 1)),
+        emb.where(~is_frozen & (F2.col("vec_id") % 3 == 2)),
+    ]
+    _stage_parquet_batches(spark, vstage, batches)
+    vstream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vstage)
+    )
+    vq = ivfpq_index_maintenance_ingest(
+        vstream, vroot, dim=8, m=2, centroid_mod=md, n_buckets=4,
+        checkpoint_dir=vcp, stats_dir=vstats,
+    )
+    vq.awaitTermination(300)
+    vrows = sorted(
+        (r.asDict() for r in spark.read.parquet(vstats).collect()),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in vrows] == [0, 1, 2]
+    # in-stream rows carry the occupancy leg; the error leg is NULL
+    assert all(r["recon_err_sum"] is None and r["n_sampled"] == 0
+               for r in vrows)
+    vpost = S.index_staleness_report(spark, vroot).collect()[0].asDict()
+    vfinal = {k: v for k, v in vrows[-1].items()
+              if k not in ("batch_id", "epoch")}
+    assert vfinal == vpost
+    # the occupancy columns agree with the FULL (corpus-fed) report
+    vfull = S.index_staleness_report(spark, vroot, emb).collect()[0].asDict()
+    for k in ("n_cells", "dead_cells", "occ_min", "occ_max", "n_vecs"):
+        assert vfinal[k] == vfull[k]
+    # ...which does carry the error leg
+    assert vfull["n_sampled"] > 0 and vfull["recon_err_sum"] is not None
+    # vectors accumulated batch-over-batch
+    assert vrows[0]["n_vecs"] < vrows[1]["n_vecs"] < vrows[2]["n_vecs"]
