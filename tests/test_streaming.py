@@ -1797,3 +1797,112 @@ def test_ingest_stats_sink_matches_posthoc_reports(spark, tmp_path):
     assert vfull["n_sampled"] > 0 and vfull["recon_err_sum"] is not None
     # vectors accumulated batch-over-batch
     assert vrows[0]["n_vecs"] < vrows[1]["n_vecs"] < vrows[2]["n_vecs"]
+
+
+def test_ingest_stats_sink_remaining_families(spark, tmp_path):
+    """The stats sink's other three families (IVF / plain-PQ /
+    related-items): wiring gate — each ingest run with stats_dir
+    emits one row per batch whose FINAL row equals the family's
+    post-hoc report over the final root (IVF's report is
+    self-contained; PQ's in-stream mode is utilization-only with the
+    error columns NULL; related-items' report is the full health
+    row). A typo in any family's report call would only ever surface
+    here or in production."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import graph
+    from data_lake_with_spark_spark.operators import similarity as S
+    from data_lake_with_spark_spark.streaming.events import (
+        pq_index_maintenance_ingest,
+        related_items_maintenance_ingest,
+        vector_index_maintenance_ingest,
+    )
+
+    rnd = random.Random(19)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(180)],
+        ["vec_id", "embedding"],
+    )
+    md = 15
+
+    def stats_rows(path):
+        return sorted(
+            (r.asDict() for r in spark.read.parquet(path).collect()),
+            key=lambda r: r["batch_id"],
+        )
+
+    def strip(row):
+        return {k: v for k, v in row.items() if k not in ("batch_id", "epoch")}
+
+    # --- IVF -----------------------------------------------------------
+    stage, root, cp, stats = (
+        str(tmp_path / d) for d in ("is", "ir", "ic", "ist")
+    )
+    frozen = F2.col("vec_id") % md == 0
+    _stage_parquet_batches(
+        spark, stage,
+        [emb.where(frozen | (F2.col("vec_id") % 2 == 0)),
+         emb.where(~frozen & (F2.col("vec_id") % 2 == 1))],
+    )
+    q = vector_index_maintenance_ingest(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        root, centroid_mod=md, vec_dim=8, checkpoint_dir=cp,
+        stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    rows = stats_rows(stats)
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    post = S.ivf_staleness_report(spark, root).collect()[0].asDict()
+    assert strip(rows[-1]) == post
+    # IVF's report is self-contained: the residual leg is populated
+    assert rows[-1]["n_sampled"] > 0
+
+    # --- plain PQ ------------------------------------------------------
+    stage, root, cp, stats = (
+        str(tmp_path / d) for d in ("ps", "pr", "pc", "pst")
+    )
+    _stage_parquet_batches(
+        spark, stage,
+        [emb.where(frozen | (F2.col("vec_id") % 2 == 0)),
+         emb.where(~frozen & (F2.col("vec_id") % 2 == 1))],
+    )
+    q = pq_index_maintenance_ingest(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        root, dim=8, m=2, centroid_mod=md, checkpoint_dir=cp,
+        stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    rows = stats_rows(stats)
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    post = S.pq_staleness_report(spark, root).collect()[0].asDict()
+    assert strip(rows[-1]) == post
+    assert rows[-1]["recon_err_sum"] is None  # utilization-only in-stream
+
+    # --- related items -------------------------------------------------
+    baskets = spark.createDataFrame(
+        [(b, f"it{(b * 3 + j) % 25}") for b in range(150) for j in range(3)],
+        ["basket", "item"],
+    )
+    stage, root, cp, stats = (
+        str(tmp_path / d) for d in ("rs", "rr", "rc", "rst")
+    )
+    _stage_parquet_batches(
+        spark, stage,
+        [baskets.where(F2.col("basket") % 2 == p) for p in range(2)],
+    )
+    q = related_items_maintenance_ingest(
+        spark.readStream.schema(baskets.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage),
+        root, k=3, min_count=2, n_buckets=4, checkpoint_dir=cp,
+        stats_dir=stats,
+    )
+    q.awaitTermination(300)
+    rows = stats_rows(stats)
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    post = graph.related_items_health(spark, root).collect()[0].asDict()
+    assert strip(rows[-1]) == post
+    assert rows[-1]["n_incidence"] == baskets.distinct().count()
