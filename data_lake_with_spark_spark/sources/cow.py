@@ -1163,8 +1163,8 @@ def maintenance_plan(
     spark,
     root: str,
     components: "list[str]",
-    current_report,
-    drift_thresholds: "dict[str, float]",
+    current_report=None,
+    drift_thresholds: "dict[str, float] | None" = None,
     max_read_amplification: int = 4,
     min_retired_bytes: int = 1,
 ):
@@ -1196,8 +1196,14 @@ def maintenance_plan(
     (``index_staleness_report`` / ``pq_staleness_report`` /
     ``ivf_staleness_report`` / ``text.bm25_staleness_report`` /
     ``graph.related_items_health``) — the plan op is pure composition
-    of shipped pieces and stays family-agnostic. Pure metadata plus
-    the report's own bounded legs; returns a one-row DataFrame
+    of shipped pieces and stays family-agnostic. Omitting BOTH
+    ``current_report`` and ``drift_thresholds`` skips the retrain leg
+    entirely (``retrain_due`` False — a deployment that only wants the
+    compact/vacuum decisions, or a root whose baseline isn't pinned
+    yet); supplying one without the other raises — thresholds without
+    a report (or vice versa) is a half-configured alert, the silent
+    kind this op exists to prevent. Pure metadata plus the report's
+    own bounded legs; returns a one-row DataFrame
     ``(read_amplification, n_retired, retired_bytes, retrain_due,
     compact_due, vacuum_due, trigger_metric, trigger_ratio)``."""
     from data_lake_with_spark_spark.operators.similarity import (
@@ -1209,25 +1215,32 @@ def maintenance_plan(
             f"max_read_amplification must be >= 1, got "
             f"{max_read_amplification}"
         )
-    life = lifecycle_report(spark, root, components)
-    drift = staleness_drift(spark, root, current_report)
-    missing = sorted(set(drift_thresholds) - set(drift))
-    if missing:
+    if (current_report is None) != (drift_thresholds is None):
         raise ValueError(
-            f"maintenance_plan: drift_thresholds name metrics absent "
-            f"from the report: {missing} (report carries "
-            f"{sorted(drift)})"
+            "maintenance_plan: pass current_report AND "
+            "drift_thresholds together (the retrain leg), or neither "
+            "(compact/vacuum decisions only)"
         )
+    life = lifecycle_report(spark, root, components)
     trigger_metric, trigger_ratio = None, None
-    for metric in sorted(drift_thresholds):
-        thr = drift_thresholds[metric]
-        ratio = drift[metric]["ratio"]
-        if ratio is None:
-            continue  # zero baseline — q209 docstring's dead_cells case
-        tripped = ratio >= thr if thr >= 1.0 else ratio <= thr
-        if tripped:
-            trigger_metric, trigger_ratio = metric, float(ratio)
-            break
+    if drift_thresholds is not None:
+        drift = staleness_drift(spark, root, current_report)
+        missing = sorted(set(drift_thresholds) - set(drift))
+        if missing:
+            raise ValueError(
+                f"maintenance_plan: drift_thresholds name metrics "
+                f"absent from the report: {missing} (report carries "
+                f"{sorted(drift)})"
+            )
+        for metric in sorted(drift_thresholds):
+            thr = drift_thresholds[metric]
+            ratio = drift[metric]["ratio"]
+            if ratio is None:
+                continue  # zero baseline — q209's dead_cells case
+            tripped = ratio >= thr if thr >= 1.0 else ratio <= thr
+            if tripped:
+                trigger_metric, trigger_ratio = metric, float(ratio)
+                break
     row = (
         int(life["read_amplification"]),
         int(len(life["retired"])),

@@ -610,3 +610,32 @@ def test_maintenance_plan_branches(spark, tmp_path):
         plan(drift_thresholds={"not_a_metric": 2.0})
     with pytest.raises(ValueError, match="max_read_amplification"):
         plan(max_read_amplification=0)
+
+
+def test_maintenance_plan_without_baseline(spark, tmp_path):
+    """Omitting current_report + drift_thresholds together skips the
+    retrain leg (compact/vacuum-only deployments, or a root whose
+    baseline isn't pinned yet); supplying only one of the pair raises
+    — a half-configured alert must fail loudly, not silently skip."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i % 5} b{i % 3} c common") for i in range(80)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    text.build_bm25_index(docs, e0, n_buckets=1)
+    cow.set_current(spark, root, e0, expected=None)
+    p = cow.maintenance_plan(spark, root, ["postings"]).collect()[0].asDict()
+    assert not p["retrain_due"] and p["trigger_metric"] is None
+    assert p["read_amplification"] == 1 and not p["vacuum_due"]
+    rep = text.bm25_staleness_report(spark, root)
+    with pytest.raises(ValueError, match="together"):
+        cow.maintenance_plan(spark, root, ["postings"], current_report=rep)
+    with pytest.raises(ValueError, match="together"):
+        cow.maintenance_plan(
+            spark, root, ["postings"], drift_thresholds={"n_docs": 1.5}
+        )
