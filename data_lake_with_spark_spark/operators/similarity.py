@@ -3130,9 +3130,13 @@ def index_staleness_report(
         F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
             "recon_err_sum"
         ),
-        (
+        # an EMPTY sample stripe (every sampled id deleted by churn)
+        # must report NULL, not crash ANSI division (caught by the
+        # r14 family-agnostic plan test deleting the even stripe)
+        F.when(
+            F.col("n_sampled") > 0,
             F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
-            / F.col("n_sampled")
+            / F.col("n_sampled"),
         ).alias("mean_recon_err"),
     )
 
@@ -3226,9 +3230,13 @@ def pq_staleness_report(
         F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
             "recon_err_sum"
         ),
-        (
+        # an EMPTY sample stripe (every sampled id deleted by churn)
+        # must report NULL, not crash ANSI division (caught by the
+        # r14 family-agnostic plan test deleting the even stripe)
+        F.when(
+            F.col("n_sampled") > 0,
             F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
-            / F.col("n_sampled")
+            / F.col("n_sampled"),
         ).alias("mean_recon_err"),
     )
 
@@ -3300,9 +3308,11 @@ def ivf_staleness_report(
         F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0)).alias(
             "resid_sum"
         ),
-        (
+        # empty sample stripe -> NULL, not an ANSI divide-by-zero
+        F.when(
+            F.col("n_sampled") > 0,
             F.coalesce(F.col("_sum_e").cast("double"), F.lit(0.0))
-            / F.col("n_sampled")
+            / F.col("n_sampled"),
         ).alias("mean_resid"),
     )
 

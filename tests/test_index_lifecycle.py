@@ -639,3 +639,44 @@ def test_maintenance_plan_without_baseline(spark, tmp_path):
         cow.maintenance_plan(
             spark, root, ["postings"], drift_thresholds={"n_docs": 1.5}
         )
+
+
+def test_maintenance_plan_is_family_agnostic(spark, tmp_path):
+    """maintenance_plan claims any family's one-row report plugs in —
+    prove it on a DENSE family (IVF, whose report is self-contained)
+    with a FALLING-direction threshold: after a manifest DELETE of
+    half the vectors, n_vecs drops below the 0.8 ratio floor and the
+    plan names it; the lifecycle legs read the same root."""
+    rnd = random.Random(23)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    root = str(tmp_path / "root")
+    e0 = cow.new_epoch_path(spark, root)
+    similarity.build_ivf_index(emb, e0, centroid_mod=20)
+    cow.set_current(spark, root, e0, expected=None)
+    rep0 = similarity.ivf_staleness_report(spark, root)
+    similarity.write_staleness_baseline(spark, root, rep0)
+    e1 = cow.new_epoch_path(spark, root, label="gdpr")
+    similarity.delete_from_ivf_index(
+        spark,
+        cow.get_current(spark, root),
+        emb.where(F.col("vec_id") % 2 == 0).select("vec_id"),
+        e1,
+        layout="manifest",
+    )
+    cow.set_current(spark, root, e1, expected=e0)
+    p = cow.maintenance_plan(
+        spark,
+        root,
+        ["lists", "centroids"],
+        similarity.ivf_staleness_report(spark, root),
+        drift_thresholds={"n_vecs": 0.8},
+        max_read_amplification=4,
+        min_retired_bytes=1,
+    ).collect()[0].asDict()
+    assert p["retrain_due"] and p["trigger_metric"] == "n_vecs"
+    assert p["trigger_ratio"] is not None and p["trigger_ratio"] < 0.8
+    assert p["read_amplification"] == 2 and not p["compact_due"]
+    assert not p["vacuum_due"]  # the chain is fully live, no debt

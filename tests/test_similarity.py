@@ -702,3 +702,35 @@ def test_delete_from_ivf_index_reaches_serving(spark, tmp_path):
         similarity.delete_from_ivf_index(
             spark, del_idx, spark.createDataFrame([(1,)], ["vec_id"]), del_idx
         )
+
+
+def test_staleness_reports_tolerate_empty_sample_stripe(spark, tmp_path):
+    """Churn can delete EVERY id on the deterministic sample stripe —
+    the quantized families' error leg must then report n_sampled=0
+    with NULL means, not crash the ANSI division (found by the r14
+    family-agnostic maintenance-plan test on the IVF family; fixed
+    for all three reports)."""
+    import random
+
+    rnd = random.Random(5)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    no_sample = corpus.where(F.col("vec_id") % 10 != 0)
+    ivfpq = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(
+        corpus, ivfpq, dim=8, m=2, centroid_mod=12, n_buckets=2
+    )
+    r = similarity.index_staleness_report(
+        spark, ivfpq, no_sample
+    ).collect()[0].asDict()
+    assert r["n_sampled"] == 0 and r["mean_recon_err"] is None
+    pq = str(tmp_path / "pq")
+    similarity.build_pq_index(
+        corpus, pq, dim=8, m=2, centroid_mod=12, n_buckets=2
+    )
+    r2 = similarity.pq_staleness_report(
+        spark, pq, no_sample
+    ).collect()[0].asDict()
+    assert r2["n_sampled"] == 0 and r2["mean_recon_err"] is None
