@@ -1906,3 +1906,75 @@ def test_ingest_stats_sink_remaining_families(spark, tmp_path):
     post = graph.related_items_health(spark, root).collect()[0].asDict()
     assert strip(rows[-1]) == post
     assert rows[-1]["n_incidence"] == baskets.distinct().count()
+
+
+def test_stats_sink_composes_with_compaction_and_locked_store(
+    spark, tmp_path
+):
+    """Composition probes on the r14 surfaces (the r13 §14 lesson —
+    composition testing is what finds the real bugs): (a) the stats
+    sink keeps emitting one row per batch when compact_every fires
+    mid-stream, and the post-compact row describes the COMPACTED
+    epoch; (b) the whole ingest runs with LockedPointerStore as the
+    process default (every CAS commit through the O_EXCL lock), and
+    serving equals a from-scratch build."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_lake_with_spark_spark.operators import text as T
+    from data_lake_with_spark_spark.sources import cow
+    from data_lake_with_spark_spark.streaming.events import (
+        DOCUMENT_STREAM_SCHEMA,
+        index_maintenance_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i + j) % 31}" for j in range(6)), "en", "s")
+            for i in range(150)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stage, root, cp, stats = (
+        str(tmp_path / d) for d in ("stage", "root", "cp", "stats")
+    )
+    for part in range(3):
+        docs.where(F2.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).json(stage)
+    prev = cow.set_pointer_store(cow.LockedPointerStore(timeout_seconds=60))
+    try:
+        stream = (
+            spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(stage)
+        )
+        q = index_maintenance_ingest(
+            stream, root, checkpoint_dir=cp, compact_every=2,
+            stats_dir=stats,
+        )
+        q.awaitTermination(300)
+    finally:
+        cow.set_pointer_store(prev)
+    rows = sorted(
+        (r.asDict() for r in spark.read.parquet(stats).collect()),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in rows] == [0, 1, 2]
+    # a compaction fired mid-stream; the affected row names the epoch
+    # the pointer ended the batch on
+    assert any("compact" in os.path.basename(r["epoch"]) for r in rows)
+    post = T.bm25_staleness_report(spark, root).collect()[0].asDict()
+    assert {k: v for k, v in rows[-1].items()
+            if k not in ("batch_id", "epoch")} == post
+    # no lock residue, and serving equals a from-scratch build
+    assert not os.path.exists(f"{root}/current.json.lock")
+    scratch = str(tmp_path / "scratch")
+    T.build_bm25_index(docs.select("doc_id", "text"), scratch)
+    qs = spark.createDataFrame([(1, "t3 t7"), (2, "t20 t1")],
+                               ["query_id", "text"])
+    cur = cow.get_current(spark, root)
+    got = sorted(map(tuple, T.bm25_topk_indexed(spark, cur, qs, k=5).collect()))
+    exp = sorted(map(tuple, T.bm25_topk_indexed(spark, scratch, qs, k=5).collect()))
+    assert got == exp and len(got) > 0
