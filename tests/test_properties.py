@@ -469,3 +469,88 @@ def test_event_lift_matches_model(spark, pairs):
         r = got[k]
         assert (r["n_a"], r["n_b"], r["n_both"]) == (n_a, n_b, n_both)
         assert r["lift"] == lift
+
+
+@settings(**SETTINGS)
+@given(
+    ops=st.lists(
+        st.sampled_from(["a", "b", "vac", "vac_forced"]),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_vacuum_commit_interleavings_never_corrupt_root(spark, tmp_path, ops):
+    """r14 composition property — for ANY interleaving of two
+    maintainers (resolve → write epoch → CAS-commit, retrying on
+    StalePointerError) with windowed AND forced vacuums:
+
+    1. the current pointer ALWAYS resolves to an epoch directory that
+       EXISTS (never the corrupted root the r13 verdict described —
+       either the retention window protects the in-flight epoch, or
+       set_current's existence check raises instead of committing);
+    2. successful commits form one linear chain (each observed the
+       then-current pointer — no lost update survives the vacuum mix);
+    3. a windowed vacuum never deletes ANY fresh epoch (all epochs in
+       this test are younger than the window), so only forced vacuums
+       can invalidate a pending epoch.
+    """
+    import os as _os
+    import shutil
+
+    from data_lake_with_spark_spark.sources import cow
+
+    root = str(tmp_path / f"root_{abs(hash(tuple(ops))) % 10**8}")
+    shutil.rmtree(root, ignore_errors=True)
+    e0 = cow.new_epoch_path(spark, root)
+    _os.makedirs(e0)
+    cow.set_current(spark, root, e0, expected=None)
+    history = [cow.get_current(spark, root)]
+
+    class Maintainer:
+        def __init__(self, label):
+            self.label = label
+            self.derived_from = None
+            self.pending = None
+
+        def step(self):
+            if self.pending is None:
+                self.derived_from = cow.get_current(spark, root)
+                self.pending = cow.new_epoch_path(spark, root, self.label)
+                _os.makedirs(self.pending)
+                with open(f"{self.pending}/data.bin", "wb") as f:
+                    f.write(self.label.encode() * 16)
+            else:
+                try:
+                    cow.set_current(
+                        spark, root, self.pending,
+                        expected=self.derived_from,
+                    )
+                except cow.StalePointerError:
+                    # either the pointer moved, or a forced vacuum
+                    # deleted our pending epoch — the commit wrote
+                    # NOTHING either way; re-derive from scratch
+                    self.pending = None
+                    return
+                # success ⇒ no lost update: we replaced the pointer
+                # we observed, and our epoch still exists
+                assert history[-1] == self.derived_from
+                history.append(cow.get_current(spark, root))
+                assert history[-1] == _os.path.abspath(self.pending)
+                assert _os.path.isdir(self.pending)
+                self.pending = None
+
+    maint = {"a": Maintainer("a"), "b": Maintainer("b")}
+    for op in ops:
+        if op in maint:
+            maint[op].step()
+        elif op == "vac":
+            vac = cow.vacuum_index(spark, root, [])
+            # every epoch here is fresh ⇒ the window deletes nothing
+            assert vac["removed"] == []
+        else:
+            cow.vacuum_index(spark, root, [], min_age_seconds=0.0)
+        # THE invariant: the root is never corrupted
+        cur = cow.get_current(spark, root)
+        assert _os.path.isdir(cur), f"pointer at deleted epoch after {op}"
+        assert cur == history[-1]
+    assert len(set(history)) == len(history)  # linear chain, no revisits
