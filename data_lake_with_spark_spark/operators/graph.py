@@ -20,8 +20,26 @@ after the double→decimal cast's half-up tie diverged cross-engine.
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_RI_TRACE = bool(_os.environ.get("SPARK_GRAFT_RI_TRACE"))
+_ri_t0: list[float] = [0.0]
+
+
+def _tlog(label: str) -> None:
+    """Env-gated stage timer for the RI maintenance ops (measurement
+    aid, guide §1: attribute the op wall to its driver actions before
+    optimizing). No-op unless SPARK_GRAFT_RI_TRACE is set."""
+    if not _RI_TRACE:
+        return
+    now = _time.time()
+    if _ri_t0[0]:
+        print(f"[ri-trace] {now - _ri_t0[0]:7.2f}s  {label}", flush=True)
+    _ri_t0[0] = now
 
 
 def pagerank_fixed(
@@ -637,13 +655,29 @@ def _related_topk(
 
     if min_count > 1:
         pairs = pairs.where(F.col("n_ab") >= min_count)
+    # symmetrize by EXPLODING each (a, b) row into both directions
+    # rather than a union of two selects over `pairs`: the union form
+    # evaluated the entire pairs subtree twice (guide §7.2 duplicated
+    # subtrees — measured in plans/r14/q188_before.txt: the per-basket
+    # pair join + aggregation appear as two full copies under Union),
+    # while the explode form scans it once and emits two rows per pair
+    # — bit-identical output, half the upstream work
     sym = pairs.select(
-        F.col("a").alias("item"), F.col("b").alias("other"), "n_ab"
-    ).unionByName(
-        pairs.select(
-            F.col("b").alias("item"), F.col("a").alias("other"), "n_ab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("item"),
+                    F.col("b").alias("other"),
+                    F.col("n_ab"),
+                ),
+                F.struct(
+                    F.col("b").alias("item"),
+                    F.col("a").alias("other"),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.item", "_s.other", "_s.n_ab")
     if restrict is not None:
         sym = sym.join(restrict.select("item"), "item", "left_semi")
     scored = (
@@ -1409,17 +1443,20 @@ def delete_from_related_items_state(
     _ri_check_format(meta, base_path)
     n_buckets = meta["n_buckets"]
 
+    _tlog("del:start")
     ids = (
         basket_ids.select(F.col(basket_col).alias("basket"))
         .distinct()
         .localCheckpoint()
     )
+    _tlog("del:ids-ckpt")
     ch = sorted(
         r["b"]
         for r in ids.select(_ri_bucket(["basket"], n_buckets).alias("b"))
         .distinct()
         .collect()
     )
+    _tlog("del:ch-collect")
     bfilter = F.col("basket_bucket").isin(ch) if ch else F.lit(False)
     victims = (
         _ri_read(spark, base_path, "baskets", meta)
@@ -1428,15 +1465,18 @@ def delete_from_related_items_state(
         .select("basket", "item")
         .localCheckpoint()
     )
+    _tlog("del:victims-ckpt")
     stats = _apply_ri_state_delta(
         spark, base_path, victims, out_path, layout, meta, sign=-1
     )
+    _tlog("del:delta-core")
     stats["deleted_basket_rows"] = victims.count()
     # coverage counters (r12 ADVICE): requested vs actually-in-ledger,
     # so erasure pipelines can assert full coverage instead of
     # trusting idempotent success
     stats["requested_baskets"] = ids.count()
     stats["matched_baskets"] = victims.select("basket").distinct().count()
+    _tlog("del:stat-counts")
     return stats
 
 
@@ -1525,9 +1565,11 @@ def _apply_ri_state_delta(
         .agg((s * F.count(F.lit(1))).cast("bigint").alias("d_ab"))
         .localCheckpoint()
     )
+    _tlog("core:d_pairs-ckpt")
     d_items = nb.groupBy("item").agg(
         (s * F.count(F.lit(1))).cast("bigint").alias("d_item")
     ).localCheckpoint()
+    _tlog("core:d_items-ckpt")
 
     # --- pairs: sum signed deltas into the batch's hash buckets ------
     ch_pairs = sorted(
@@ -1541,6 +1583,7 @@ def _apply_ri_state_delta(
     pfilter = (
         F.col("pair_bucket").isin(ch_pairs) if ch_pairs else F.lit(False)
     )
+    _tlog("core:ch_pairs-collect")
     base_pairs = (
         _ri_read(spark, base_path, "pairs", meta)
         .where(pfilter)
@@ -1572,6 +1615,7 @@ def _apply_ri_state_delta(
                 "was edited out-of-band) — rebuild from the source "
                 "history"
             )
+    _tlog("core:pairs-negcheck")
     upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
         "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
     )
@@ -1581,6 +1625,7 @@ def _apply_ri_state_delta(
         .partitionBy("pair_bucket")
         .parquet(f"{out_path}/pairs")
     )
+    _tlog("core:pairs-write")
     if layout == "manifest":
         stats = cow.promote_via_manifest(
             spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
@@ -1591,6 +1636,7 @@ def _apply_ri_state_delta(
             "pair_bucket", ch_pairs,
         )
 
+    _tlog("core:pairs-promote")
     # --- items --------------------------------------------------------
     ch_items = sorted(
         r["b"]
@@ -1624,6 +1670,7 @@ def _apply_ri_state_delta(
                 "see the pair-support message; rebuild from the "
                 "source history"
             )
+    _tlog("core:items-negcheck")
     upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
         "item_bucket", _ri_bucket(["item"], n_buckets)
     )
@@ -1643,6 +1690,7 @@ def _apply_ri_state_delta(
             "item_bucket", ch_items,
         )
 
+    _tlog("core:items-write+promote")
     # --- baskets ledger ------------------------------------------------
     batch_basket_ids = nb.select("basket").distinct()
     ch_baskets = sorted(
@@ -1687,6 +1735,7 @@ def _apply_ri_state_delta(
             "basket_bucket", ch_baskets,
         )
 
+    _tlog("core:baskets-write+promote")
     # --- topk: recompute affected items only ---------------------------
     batch_items = nb.select("item").distinct()
     # partner discovery scans the BASE pair state (column-pruned to
@@ -1709,6 +1758,7 @@ def _apply_ri_state_delta(
     affected = (
         batch_items.unionByName(partners).distinct().localCheckpoint()
     )
+    _tlog("core:affected-ckpt")
     ch_topk = sorted(
         r["b"]
         for r in affected.select(
@@ -1779,6 +1829,7 @@ def _apply_ri_state_delta(
         .partitionBy("item_bucket")
         .parquet(f"{out_path}/topk")
     )
+    _tlog("core:topk-write")
     if layout == "manifest":
         cow.promote_via_manifest(
             spark, base_path, out_path, "topk", "item_bucket", ch_topk
@@ -1788,8 +1839,10 @@ def _apply_ri_state_delta(
             spark, f"{base_path}/topk", f"{out_path}/topk",
             "item_bucket", ch_topk,
         )
+    _tlog("core:topk-promote")
     cow.write_json(spark, _ri_meta_uri(out_path), meta)
     stats = dict(stats)
     stats["affected_items"] = affected.count()
     stats["changed_topk_partitions"] = ch_topk
+    _tlog("core:stats")
     return stats
