@@ -620,19 +620,40 @@ def related_items(
     n = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
-    x, y = b.alias("x"), b.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.basket") == F.col("y.basket"))
-            & (F.col("x.item") < F.col("y.item")),
-        )
-        .groupBy(
-            F.col("x.item").alias("a"), F.col("y.item").alias("b")
-        )
+    return _related_topk(_pair_supports(b), n, k, min_count)
+
+
+def _pair_supports(b: DataFrame) -> DataFrame:
+    """(a, b, n_ab) co-occurrence supports (a < b) over a DEDUPED
+    (basket, item) incidence frame — the shared pair-generation core
+    of :func:`related_items`, :func:`build_related_items_state` and
+    the maintenance delta (:func:`_apply_ri_state_delta`).
+
+    Implemented as ONE shuffle (groupBy basket → sorted item array)
+    plus an in-task pair expansion with array higher-order functions,
+    instead of the previous per-basket self-join: the join form
+    shuffled (or broadcast) the incidence TWICE to produce the same
+    Σ C(|basket|, 2) candidate rows (guide §2.4 — remove the
+    exchange, the data is already grouped by the join key after one
+    hash partition). Output rows are bounded by basket size exactly
+    as the join was (an array holds one basket's DISTINCT items, so
+    the expansion is C(|basket|, 2) — hub items still cost one row
+    per basket, never |baskets|²)."""
+    arrs = b.groupBy("basket").agg(
+        F.sort_array(F.collect_list("item")).alias("_items")
+    )
+    # all (x, y) with x before y in the sorted distinct array — the
+    # exact (x.item < y.item) predicate of the self-join form
+    pair_arr = F.expr(
+        "flatten(transform(_items, (x, i) -> "
+        "transform(slice(_items, i + 2, size(_items) - i - 1), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        arrs.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
-    return _related_topk(pairs, n, k, min_count)
 
 
 def _related_topk(
@@ -1088,17 +1109,7 @@ def build_related_items_state(
     n = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
-    x, y = b.alias("x"), b.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.basket") == F.col("y.basket"))
-            & (F.col("x.item") < F.col("y.item")),
-        )
-        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .localCheckpoint()
-    )
+    pairs = _pair_supports(b).localCheckpoint()
     n = n.localCheckpoint()
     pairs_w = pairs.withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
     items_w = n.withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
@@ -1554,15 +1565,9 @@ def _apply_ri_state_delta(
     s = F.lit(int(sign)).cast("bigint")
 
     # --- deltas (batch-sized) ---------------------------------------
-    x, y = nb.alias("x"), nb.alias("y")
     d_pairs = (
-        x.join(
-            y,
-            (F.col("x.basket") == F.col("y.basket"))
-            & (F.col("x.item") < F.col("y.item")),
-        )
-        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
-        .agg((s * F.count(F.lit(1))).cast("bigint").alias("d_ab"))
+        _pair_supports(nb)
+        .select("a", "b", (s * F.col("n_ab")).cast("bigint").alias("d_ab"))
         .localCheckpoint()
     )
     _tlog("core:d_pairs-ckpt")
