@@ -1106,6 +1106,7 @@ def build_related_items_state(
         import warnings
 
         warnings.warn(msg, stacklevel=2)
+    from data_lake_with_spark_spark.session import run_concurrent
     n = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
@@ -1119,18 +1120,25 @@ def build_related_items_state(
     topk_w = _related_topk(pairs, n, k, min_count).withColumn(
         "item_bucket", _ri_bucket(["item"], n_buckets)
     )
-    for comp, frame, bucket_col in (
-        ("pairs", pairs_w, "pair_bucket"),
-        ("items", items_w, "item_bucket"),
-        ("baskets", baskets_w, "basket_bucket"),
-        ("topk", topk_w, "item_bucket"),
-    ):
+    def _write(comp, frame, bucket_col):
         (
             frame.repartition(n_buckets, bucket_col)
             .write.mode("overwrite")
             .partitionBy(bucket_col)
             .parquet(f"{path}/{comp}")
         )
+
+    # the four component writes are independent (pairs/n are already
+    # checkpointed, each write targets its own directory) — overlap
+    # them so each job's task tail back-fills the others (guide §2.6)
+    run_concurrent(
+        [
+            lambda: _write("pairs", pairs_w, "pair_bucket"),
+            lambda: _write("items", items_w, "item_bucket"),
+            lambda: _write("baskets", baskets_w, "basket_bucket"),
+            lambda: _write("topk", topk_w, "item_bucket"),
+        ]
+    )
     cow.write_json(
         spark,
         _ri_meta_uri(path),
@@ -1481,12 +1489,17 @@ def delete_from_related_items_state(
         spark, base_path, victims, out_path, layout, meta, sign=-1
     )
     _tlog("del:delta-core")
-    stats["deleted_basket_rows"] = victims.count()
     # coverage counters (r12 ADVICE): requested vs actually-in-ledger,
     # so erasure pipelines can assert full coverage instead of
-    # trusting idempotent success
+    # trusting idempotent success. One aggregation job over the
+    # checkpointed victims frame instead of two separate counts.
+    vrow = victims.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct(F.col("basket")).alias("_matched"),
+    ).collect()[0]
+    stats["deleted_basket_rows"] = int(vrow["_rows"])
     stats["requested_baskets"] = ids.count()
-    stats["matched_baskets"] = victims.select("basket").distinct().count()
+    stats["matched_baskets"] = int(vrow["_matched"])
     _tlog("del:stat-counts")
     return stats
 
@@ -1559,44 +1572,59 @@ def _apply_ri_state_delta(
       neighborhood, through the shared :func:`_related_topk`
       expressions; unaffected rows carry verbatim, untouched buckets
       promote by link or manifest entry."""
+    from data_lake_with_spark_spark.session import run_concurrent
     from data_lake_with_spark_spark.sources import cow
 
     k, min_count, n_buckets = meta["k"], meta["min_count"], meta["n_buckets"]
     s = F.lit(int(sign)).cast("bigint")
 
-    # --- deltas (batch-sized) ---------------------------------------
-    d_pairs = (
-        _pair_supports(nb)
-        .select("a", "b", (s * F.col("n_ab")).cast("bigint").alias("d_ab"))
-        .localCheckpoint()
-    )
-    _tlog("core:d_pairs-ckpt")
-    d_items = nb.groupBy("item").agg(
-        (s * F.count(F.lit(1))).cast("bigint").alias("d_item")
-    ).localCheckpoint()
-    _tlog("core:d_items-ckpt")
-
-    # --- pairs: sum signed deltas into the batch's hash buckets ------
-    ch_pairs = sorted(
-        r["b"]
-        for r in d_pairs.select(
-            _ri_bucket(["a", "b"], n_buckets).alias("b")
+    # --- deltas (batch-sized; two independent materializations) ------
+    def _mk_d_pairs():
+        return (
+            _pair_supports(nb)
+            .select(
+                "a", "b", (s * F.col("n_ab")).cast("bigint").alias("d_ab")
+            )
+            .localCheckpoint()
         )
-        .distinct()
-        .collect()
-    )
-    pfilter = (
-        F.col("pair_bucket").isin(ch_pairs) if ch_pairs else F.lit(False)
-    )
-    _tlog("core:ch_pairs-collect")
-    base_pairs = (
-        _ri_read(spark, base_path, "pairs", meta)
-        .where(pfilter)
-        .select("a", "b", "n_ab")
-    )
-    summed_pairs = (
-        base_pairs.join(d_pairs, ["a", "b"], "full")
-        .select(
+
+    def _mk_d_items():
+        return (
+            nb.groupBy("item")
+            .agg((s * F.count(F.lit(1))).cast("bigint").alias("d_item"))
+            .localCheckpoint()
+        )
+
+    d_pairs, d_items = run_concurrent([_mk_d_pairs, _mk_d_items])
+    _tlog("core:deltas-ckpt")
+
+    # --- three component legs + partner discovery run CONCURRENTLY ---
+    # (guide §2.6): each leg is a chain of small jobs over its own
+    # component directory with no shared driver state; running them
+    # sequentially left most of the executor pool idle per job. The
+    # topk leg below is the only dependent step (it reads the UPDATED
+    # pairs/items), so it runs after the barrier.
+
+    def _pairs_leg():
+        ch_pairs = sorted(
+            r["b"]
+            for r in d_pairs.select(
+                _ri_bucket(["a", "b"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        pfilter = (
+            F.col("pair_bucket").isin(ch_pairs)
+            if ch_pairs
+            else F.lit(False)
+        )
+        base_pairs = (
+            _ri_read(spark, base_path, "pairs", meta)
+            .where(pfilter)
+            .select("a", "b", "n_ab")
+        )
+        summed_pairs = base_pairs.join(d_pairs, ["a", "b"], "full").select(
             "a",
             "b",
             (
@@ -1604,179 +1632,197 @@ def _apply_ri_state_delta(
                 + F.coalesce(F.col("d_ab"), F.lit(0))
             ).cast("bigint").alias("n_ab"),
         )
-    )
-    if sign < 0:
-        # integrity gate on the subtract path only (positive deltas
-        # can't go negative, and the merge shouldn't pay the extra
-        # materialization); checkpoint so the checked frame is the
-        # written frame
-        summed_pairs = summed_pairs.localCheckpoint()
-        if summed_pairs.where(F.col("n_ab") < 0).limit(1).count() > 0:
-            raise ValueError(
-                "_apply_ri_state_delta: a pair support went NEGATIVE "
-                "— the subtracted deltas exceed the stored aggregate, "
-                "which a ledger-driven inversion can never "
-                "legitimately do; the state is corrupt (or the ledger "
-                "was edited out-of-band) — rebuild from the source "
-                "history"
+        if sign < 0:
+            # integrity gate on the subtract path only (positive deltas
+            # can't go negative, and the merge shouldn't pay the extra
+            # materialization); checkpoint so the checked frame is the
+            # written frame
+            summed_pairs = summed_pairs.localCheckpoint()
+            if summed_pairs.where(F.col("n_ab") < 0).limit(1).count() > 0:
+                raise ValueError(
+                    "_apply_ri_state_delta: a pair support went NEGATIVE "
+                    "— the subtracted deltas exceed the stored aggregate, "
+                    "which a ledger-driven inversion can never "
+                    "legitimately do; the state is corrupt (or the ledger "
+                    "was edited out-of-band) — rebuild from the source "
+                    "history"
+                )
+        upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
+            "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
+        )
+        (
+            upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
+            .write.mode("overwrite")
+            .partitionBy("pair_bucket")
+            .parquet(f"{out_path}/pairs")
+        )
+        if layout == "manifest":
+            st = cow.promote_via_manifest(
+                spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
             )
-    _tlog("core:pairs-negcheck")
-    upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
-        "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
-    )
-    (
-        upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
-        .write.mode("overwrite")
-        .partitionBy("pair_bucket")
-        .parquet(f"{out_path}/pairs")
-    )
-    _tlog("core:pairs-write")
-    if layout == "manifest":
-        stats = cow.promote_via_manifest(
-            spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
-        )
-    else:
-        stats = cow.promote_unchanged_partitions(
-            spark, f"{base_path}/pairs", f"{out_path}/pairs",
-            "pair_bucket", ch_pairs,
-        )
-
-    _tlog("core:pairs-promote")
-    # --- items --------------------------------------------------------
-    ch_items = sorted(
-        r["b"]
-        for r in d_items.select(
-            _ri_bucket(["item"], n_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    ifilter = (
-        F.col("item_bucket").isin(ch_items) if ch_items else F.lit(False)
-    )
-    summed_items = (
-        _ri_read(spark, base_path, "items", meta)
-        .where(ifilter)
-        .select("item", "n_item")
-        .join(d_items, "item", "full")
-        .select(
-            "item",
-            (
-                F.coalesce(F.col("n_item"), F.lit(0))
-                + F.coalesce(F.col("d_item"), F.lit(0))
-            ).cast("bigint").alias("n_item"),
-        )
-    )
-    if sign < 0:
-        summed_items = summed_items.localCheckpoint()
-        if summed_items.where(F.col("n_item") < 0).limit(1).count() > 0:
-            raise ValueError(
-                "_apply_ri_state_delta: an item count went NEGATIVE — "
-                "see the pair-support message; rebuild from the "
-                "source history"
+        else:
+            st = cow.promote_unchanged_partitions(
+                spark, f"{base_path}/pairs", f"{out_path}/pairs",
+                "pair_bucket", ch_pairs,
             )
-    _tlog("core:items-negcheck")
-    upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
-        "item_bucket", _ri_bucket(["item"], n_buckets)
-    )
-    (
-        upd_items.repartition(max(1, len(ch_items)), "item_bucket")
-        .write.mode("overwrite")
-        .partitionBy("item_bucket")
-        .parquet(f"{out_path}/items")
-    )
-    if layout == "manifest":
-        cow.promote_via_manifest(
-            spark, base_path, out_path, "items", "item_bucket", ch_items
-        )
-    else:
-        cow.promote_unchanged_partitions(
-            spark, f"{base_path}/items", f"{out_path}/items",
-            "item_bucket", ch_items,
-        )
+        _tlog("core:pairs-leg")
+        return st
 
-    _tlog("core:items-write+promote")
-    # --- baskets ledger ------------------------------------------------
-    batch_basket_ids = nb.select("basket").distinct()
-    ch_baskets = sorted(
-        r["b"]
-        for r in batch_basket_ids.select(
-            _ri_bucket(["basket"], n_buckets).alias("b")
+    def _items_leg():
+        ch_items = sorted(
+            r["b"]
+            for r in d_items.select(
+                _ri_bucket(["item"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
-    bfilter = (
-        F.col("basket_bucket").isin(ch_baskets)
-        if ch_baskets
-        else F.lit(False)
-    )
-    base_led = (
-        _ri_read(spark, base_path, "baskets", meta)
-        .where(bfilter)
-        .select("basket", "item")
-    )
-    if sign > 0:
-        upd_baskets = base_led.unionByName(nb.select("basket", "item"))
-    else:
-        upd_baskets = base_led.join(batch_basket_ids, "basket", "left_anti")
-    upd_baskets = upd_baskets.withColumn(
-        "basket_bucket", _ri_bucket(["basket"], n_buckets)
-    )
-    (
-        upd_baskets.repartition(max(1, len(ch_baskets)), "basket_bucket")
-        .write.mode("overwrite")
-        .partitionBy("basket_bucket")
-        .parquet(f"{out_path}/baskets")
-    )
-    if layout == "manifest":
-        cow.promote_via_manifest(
-            spark, base_path, out_path, "baskets", "basket_bucket",
-            ch_baskets,
+        ifilter = (
+            F.col("item_bucket").isin(ch_items)
+            if ch_items
+            else F.lit(False)
         )
-    else:
-        cow.promote_unchanged_partitions(
-            spark, f"{base_path}/baskets", f"{out_path}/baskets",
-            "basket_bucket", ch_baskets,
+        summed_items = (
+            _ri_read(spark, base_path, "items", meta)
+            .where(ifilter)
+            .select("item", "n_item")
+            .join(d_items, "item", "full")
+            .select(
+                "item",
+                (
+                    F.coalesce(F.col("n_item"), F.lit(0))
+                    + F.coalesce(F.col("d_item"), F.lit(0))
+                ).cast("bigint").alias("n_item"),
+            )
         )
+        if sign < 0:
+            summed_items = summed_items.localCheckpoint()
+            if summed_items.where(F.col("n_item") < 0).limit(1).count() > 0:
+                raise ValueError(
+                    "_apply_ri_state_delta: an item count went NEGATIVE — "
+                    "see the pair-support message; rebuild from the "
+                    "source history"
+                )
+        upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
+            "item_bucket", _ri_bucket(["item"], n_buckets)
+        )
+        (
+            upd_items.repartition(max(1, len(ch_items)), "item_bucket")
+            .write.mode("overwrite")
+            .partitionBy("item_bucket")
+            .parquet(f"{out_path}/items")
+        )
+        if layout == "manifest":
+            cow.promote_via_manifest(
+                spark, base_path, out_path, "items", "item_bucket", ch_items
+            )
+        else:
+            cow.promote_unchanged_partitions(
+                spark, f"{base_path}/items", f"{out_path}/items",
+                "item_bucket", ch_items,
+            )
+        _tlog("core:items-leg")
 
-    _tlog("core:baskets-write+promote")
-    # --- topk: recompute affected items only ---------------------------
-    batch_items = nb.select("item").distinct()
-    # partner discovery scans the BASE pair state (column-pruned to
-    # (a, b)): for a delete the updated state may have DROPPED the
-    # very pairs whose disappearance forces a partner's re-rank; for
-    # a merge the base scan is equally sufficient — a brand-new
-    # pair's endpoints are both batch items already
-    pairs_all = _ri_read(spark, base_path, "pairs", meta).select("a", "b")
-    partners = (
-        pairs_all.join(
-            F.broadcast(batch_items.withColumnRenamed("item", "a")), "a"
+    def _baskets_leg():
+        batch_basket_ids = nb.select("basket").distinct()
+        ch_baskets = sorted(
+            r["b"]
+            for r in batch_basket_ids.select(
+                _ri_bucket(["basket"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .select(F.col("b").alias("item"))
-        .unionByName(
+        bfilter = (
+            F.col("basket_bucket").isin(ch_baskets)
+            if ch_baskets
+            else F.lit(False)
+        )
+        base_led = (
+            _ri_read(spark, base_path, "baskets", meta)
+            .where(bfilter)
+            .select("basket", "item")
+        )
+        if sign > 0:
+            upd_baskets = base_led.unionByName(nb.select("basket", "item"))
+        else:
+            upd_baskets = base_led.join(
+                batch_basket_ids, "basket", "left_anti"
+            )
+        upd_baskets = upd_baskets.withColumn(
+            "basket_bucket", _ri_bucket(["basket"], n_buckets)
+        )
+        (
+            upd_baskets.repartition(
+                max(1, len(ch_baskets)), "basket_bucket"
+            )
+            .write.mode("overwrite")
+            .partitionBy("basket_bucket")
+            .parquet(f"{out_path}/baskets")
+        )
+        if layout == "manifest":
+            cow.promote_via_manifest(
+                spark, base_path, out_path, "baskets", "basket_bucket",
+                ch_baskets,
+            )
+        else:
+            cow.promote_unchanged_partitions(
+                spark, f"{base_path}/baskets", f"{out_path}/baskets",
+                "basket_bucket", ch_baskets,
+            )
+        _tlog("core:baskets-leg")
+
+    def _affected_leg():
+        batch_items = nb.select("item").distinct()
+        # partner discovery scans the BASE pair state (column-pruned to
+        # (a, b)): for a delete the updated state may have DROPPED the
+        # very pairs whose disappearance forces a partner's re-rank; for
+        # a merge the base scan is equally sufficient — a brand-new
+        # pair's endpoints are both batch items already
+        pairs_all = _ri_read(spark, base_path, "pairs", meta).select(
+            "a", "b"
+        )
+        partners = (
             pairs_all.join(
-                F.broadcast(batch_items.withColumnRenamed("item", "b")), "b"
-            ).select(F.col("a").alias("item"))
+                F.broadcast(batch_items.withColumnRenamed("item", "a")),
+                "a",
+            )
+            .select(F.col("b").alias("item"))
+            .unionByName(
+                pairs_all.join(
+                    F.broadcast(
+                        batch_items.withColumnRenamed("item", "b")
+                    ),
+                    "b",
+                ).select(F.col("a").alias("item"))
+            )
         )
-    )
-    affected = (
-        batch_items.unionByName(partners).distinct().localCheckpoint()
-    )
-    _tlog("core:affected-ckpt")
-    ch_topk = sorted(
-        r["b"]
-        for r in affected.select(
-            _ri_bucket(["item"], n_buckets).alias("b")
+        affected = (
+            batch_items.unionByName(partners).distinct().localCheckpoint()
         )
-        .distinct()
-        .collect()
+        ch_topk = sorted(
+            r["b"]
+            for r in affected.select(
+                _ri_bucket(["item"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        _tlog("core:affected-leg")
+        return affected, ch_topk
+
+    stats, _, _, (affected, ch_topk) = run_concurrent(
+        [_pairs_leg, _items_leg, _baskets_leg, _affected_leg]
     )
+    _tlog("core:legs-barrier")
+
+    # --- topk: recompute affected items only (needs the UPDATED
+    # pairs/items written above, so it runs after the barrier) --------
     # pre-filter the pair state to the affected NEIGHBORHOOD before
     # the scoring tail (a broadcast membership probe on both
     # endpoints): the recompute's join/window input is then
     # neighborhood-sized, not state-sized — the full (a, b) scan
-    # above is the only state-wide pass this op makes
+    # in partner discovery is the only state-wide pass this op makes
     aff_a = F.broadcast(
         affected.select(F.col("item").alias("a")).withColumn(
             "_fa", F.lit(1)
@@ -1844,7 +1890,6 @@ def _apply_ri_state_delta(
             spark, f"{base_path}/topk", f"{out_path}/topk",
             "item_bucket", ch_topk,
         )
-    _tlog("core:topk-promote")
     cow.write_json(spark, _ri_meta_uri(out_path), meta)
     stats = dict(stats)
     stats["affected_items"] = affected.count()

@@ -171,6 +171,25 @@ def clear_persistent_rdds(spark: SparkSession) -> int:
         return 0
 
 
+def run_concurrent(thunks):
+    """Run independent Spark actions from a small driver thread pool
+    (optimization-guide §2.6: actions are only sequential because
+    driver code calls them sequentially — concurrent jobs back-fill
+    executors freed by each other's stragglers, and FIFO scheduling
+    keeps the earlier job first). Used by maintenance ops whose
+    component updates write to DISJOINT directories and share no
+    driver state. Returns results in input order; the first thunk
+    exception propagates (remaining jobs still run to completion —
+    bounded, idempotent writes to scratch paths)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 _SHIPPED_APP_IDS: set[str] = set()
 
 
