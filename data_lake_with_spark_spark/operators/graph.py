@@ -501,35 +501,51 @@ def label_propagation(
 
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # symmetrize by exploding each edge row into both directions —
+    # the previous union of two selects evaluated the whole `edges`
+    # subtree twice (guide §7.2 duplicated subtrees; the registry
+    # feeds a co-purchase projection here, so that doubled a join)
     if weight_col is None:
-        e0 = edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
         e = (
-            e0.unionByName(
-                e0.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(src_col).alias("src"),
+                            F.col(dst_col).alias("dst"),
+                        ),
+                        F.struct(
+                            F.col(dst_col).alias("src"),
+                            F.col(src_col).alias("dst"),
+                        ),
+                    )
+                ).alias("_e")
             )
+            .select("_e.src", "_e.dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint()
         )
         vote_agg = F.count(F.lit(1)).cast("bigint").alias("votes")
     else:
-        e0 = edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).cast("bigint").alias("w"),
-        )
         e = (
-            e0.unionByName(
-                e0.select(
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    F.col("w"),
-                )
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(src_col).alias("src"),
+                            F.col(dst_col).alias("dst"),
+                            F.col(weight_col).cast("bigint").alias("w"),
+                        ),
+                        F.struct(
+                            F.col(dst_col).alias("src"),
+                            F.col(src_col).alias("dst"),
+                            F.col(weight_col).cast("bigint").alias("w"),
+                        ),
+                    )
+                ).alias("_e")
             )
+            .select("_e.src", "_e.dst", "_e.w")
             .where(F.col("src") != F.col("dst"))
             .groupBy("src", "dst")
             .agg(F.sum("w").cast("bigint").alias("w"))
@@ -624,10 +640,12 @@ def related_items(
 
 
 def _pair_supports(b: DataFrame) -> DataFrame:
-    """(a, b, n_ab) co-occurrence supports (a < b) over a DEDUPED
-    (basket, item) incidence frame — the shared pair-generation core
-    of :func:`related_items`, :func:`build_related_items_state` and
-    the maintenance delta (:func:`_apply_ri_state_delta`).
+    """(a, b, n_ab) co-occurrence supports (a < b) over a (basket,
+    item) incidence frame (duplicates collapse per basket: n_ab counts
+    BASKETS containing both) — the shared pair-generation core of
+    :func:`related_items`, :func:`build_related_items_state`, the
+    maintenance delta (:func:`_apply_ri_state_delta`) and the
+    co-purchase graph projections in the query registry.
 
     Implemented as ONE shuffle (groupBy basket → sorted item array)
     plus an in-task pair expansion with array higher-order functions,
@@ -640,7 +658,7 @@ def _pair_supports(b: DataFrame) -> DataFrame:
     the expansion is C(|basket|, 2) — hub items still cost one row
     per basket, never |baskets|²)."""
     arrs = b.groupBy("basket").agg(
-        F.sort_array(F.collect_list("item")).alias("_items")
+        F.sort_array(F.collect_set("item")).alias("_items")
     )
     # all (x, y) with x before y in the sorted distinct array — the
     # exact (x.item < y.item) predicate of the self-join form

@@ -6030,20 +6030,18 @@ def _part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the order–part bipartite graph — the graph the
     triangle census and label spread run on (the bipartite frame
     itself has no odd cycles, hence no triangles)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )  # consumers canonicalize + distinct (an outer distinct here
-    #    would just add a pair-keyed exchange before theirs)
+    from data_lake_with_spark_spark.operators.graph import _pair_supports
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    # one-shuffle pair expansion (sorted per-order item set → C(n, 2)
+    # pairs in-task) instead of a lineitem self-join: same distinct
+    # pair set, one exchange (consumers canonicalize + distinct; the
+    # per-order dedup here only collapses repeat lineitems of a part)
+    return _pair_supports(li).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
 
 
 def q186_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6358,23 +6356,18 @@ def q191_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFra
     seeds = part.where(F.col("p_size") <= 5).select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
     )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from data_lake_with_spark_spark.operators.graph import _pair_supports
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    # the (src, dst, w) co-occurrence aggregate IS the shared
+    # _pair_supports core (w = orders containing both parts; the
+    # per-order item-set dedup replaces the old pre-join distinct)
+    pairs = _pair_supports(li).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("n_ab").alias("w"),
     )
     lab = label_propagation(pairs, seeds, iterations=2, weight_col="w")
     seed_nodes = seeds.select("node").withColumn("_is_seed", F.lit(1))
