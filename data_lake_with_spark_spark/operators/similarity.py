@@ -775,8 +775,16 @@ def build_ivf_index(
         assigned = _assign_argmax_arrow(
             corpus.select(id_col, vec_col), cents, vec_col, vec_dim
         ).select("cent_id", id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{path}/lists"
+    # keyed by the partition column with pool-scaled task count: ONE
+    # file per cell and parallel leaf-dir creation (see
+    # build_ivfpq_index's codes write for the measured rationale)
+    (
+        assigned.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, "cent_id"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/lists")
     )
     # stamp the EFFECTIVE quantizer budget rule: the streaming
     # ingest's fresh-stripe enforcement must track the mod the INDEX
@@ -863,9 +871,14 @@ def merge_ivf_index(
             "partitions live across epochs, so there is no complete "
             "directory to link from; pass layout='manifest'"
         )
+    from data_lake_with_spark_spark.session import run_concurrent
+
     cents = cow.read_component(spark, base_path, "centroids")
     new_ids = new_vecs.select(F.col(id_col)).distinct()
-    if validate_centroids:
+
+    def _validate():
+        if not validate_centroids:
+            return
         stale = new_ids.join(
             F.broadcast(cents.select(F.col("cent_id").alias(id_col))),
             id_col,
@@ -878,40 +891,54 @@ def merge_ivf_index(
                 "recovery (or pass validate_centroids=False to accept frozen-"
                 "centroid semantics explicitly)"
             )
-    batch = new_vecs.select(id_col, vec_col)
-    if vec_dim is None:
-        w_assign = Window.partitionBy(id_col).orderBy(
-            F.col("cos_c").desc(), F.col("cent_id").asc()
-        )
-        assigned = (
-            batch.crossJoin(F.broadcast(cents))
-            .withColumn("cos_c", F.round(cosine_expr(vec_col, "cent_v"), 6))
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .where(F.col("_rn") == 1)
-            .select("cent_id", id_col, vec_col)
-        )
-    else:
-        assigned = _assign_argmax_arrow(batch, cents, vec_col, vec_dim).select(
-            "cent_id", id_col, vec_col
-        )
-    # pinned: consumed twice (changed-set collect + the write) — and
-    # the collect is size-gated by the frozen centroid budget (one row
-    # per touched centroid, ≤ n_centroids)
-    assigned = assigned.localCheckpoint()
+
+    def _assign():
+        batch = new_vecs.select(id_col, vec_col)
+        if vec_dim is None:
+            w_assign = Window.partitionBy(id_col).orderBy(
+                F.col("cos_c").desc(), F.col("cent_id").asc()
+            )
+            a = (
+                batch.crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "cos_c", F.round(cosine_expr(vec_col, "cent_v"), 6)
+                )
+                .withColumn("_rn", F.row_number().over(w_assign))
+                .where(F.col("_rn") == 1)
+                .select("cent_id", id_col, vec_col)
+            )
+        else:
+            a = _assign_argmax_arrow(batch, cents, vec_col, vec_dim).select(
+                "cent_id", id_col, vec_col
+            )
+        # pinned: consumed twice (changed-set collect + the write) —
+        # and the collect is size-gated by the frozen centroid budget
+        # (one row per touched centroid, ≤ n_centroids)
+        return a.localCheckpoint()
+
+    def _changed_old():
+        # partitions that lose a replaced id: column-pruned scan of
+        # the base lists' (cent_id, id) projection — never the vector
+        # column
+        return {
+            r["cent_id"]
+            for r in cow.read_component(spark, base_path, "lists")
+            .select("cent_id", id_col)
+            .join(new_ids, id_col, "left_semi")
+            .select("cent_id")
+            .distinct()
+            .collect()
+        }
+
+    # the three prep legs are independent (the stale-centroid check
+    # raises before anything is WRITTEN either way) — overlap them
+    # (guide §2.6); the changed-set collect and write stay sequential
+    _, assigned, changed_old = run_concurrent(
+        [_validate, _assign, _changed_old]
+    )
     changed_new = {
         r["cent_id"]
         for r in assigned.select("cent_id").distinct().collect()
-    }
-    # partitions that lose a replaced id: column-pruned scan of the
-    # base lists' (cent_id, id) projection — never the vector column
-    changed_old = {
-        r["cent_id"]
-        for r in cow.read_component(spark, base_path, "lists")
-        .select("cent_id", id_col)
-        .join(new_ids, id_col, "left_semi")
-        .select("cent_id")
-        .distinct()
-        .collect()
     }
     changed = sorted(changed_new | changed_old)
     part_filter = (
@@ -924,9 +951,18 @@ def merge_ivf_index(
         .join(new_ids, id_col, "left_anti")
     )
     merged = base_keep.unionByName(assigned)
-    merged.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{out_path}/lists"
+    # keyed by the partition column with pool-scaled task count: ONE
+    # file per touched cell (an unkeyed write emits one file per
+    # upstream partition per cell) and leaf-dir creation parallelizes
+    # (see build_ivfpq_index's codes write)
+    par = (
+        max(len(changed), spark.sparkContext.defaultParallelism)
+        if changed
+        else 1
     )
+    merged.repartition(par, "cent_id").write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(f"{out_path}/lists")
     _carry_ivf_meta(spark, base_path, out_path)
     if layout == "manifest":
         stats = cow.promote_via_manifest(
@@ -1026,9 +1062,15 @@ def delete_from_ivf_index(
         .where(part_filter)
         .join(ids, id_col, "left_anti")
     )
-    kept.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{out_path}/lists"
+    # pool-wide single-file-per-cell write (see build_ivfpq_index)
+    par = (
+        max(len(changed), spark.sparkContext.defaultParallelism)
+        if changed
+        else 1
     )
+    kept.repartition(par, "cent_id").write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(f"{out_path}/lists")
     _carry_ivf_meta(spark, base_path, out_path)
     if layout == "manifest":
         stats = cow.promote_via_manifest(
@@ -2402,11 +2444,20 @@ def build_ivfpq_index(
     codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
         "id_bucket", _pq_bucket(id_col, n_buckets)
     )
-    # one task per bucket: each writes only its own bucket dir's
-    # nested cell dirs (avoids the input_partitions × leaf_dirs file
-    # explosion an unrepartitioned partitioned write produces)
+    # repartition by BOTH partition columns so each (bucket, cell)
+    # leaf lands in exactly one task (one file per leaf — avoids the
+    # input_partitions × leaf_dirs file explosion an unrepartitioned
+    # partitioned write produces), with task count scaled to the
+    # executor pool instead of n_buckets: leaf-file creation is
+    # FS-metadata-bound, and 8 bucket-keyed tasks serially creating
+    # 40 nested cell dirs each measured 2.1s vs 1.3s with the pool
+    # doing it 32-wide (same 1-file-per-leaf layout either way)
     (
-        codes.repartition(n_buckets, "id_bucket")
+        codes.repartition(
+            max(1, min(spark.sparkContext.defaultParallelism,
+                       n_buckets * n_cells)),
+            "id_bucket", "cent_id",
+        )
         .write.mode("overwrite")
         .partitionBy("id_bucket", "cent_id")
         .parquet(f"{path}/codes")
@@ -2664,8 +2715,17 @@ def merge_ivfpq_index(
     merged = base_keep.unionByName(
         batch_codes.select("id_bucket", "cent_id", id_col, "subspace", "code")
     )
+    # keyed by both partition columns, task count from the pool (not
+    # the changed-bucket count): one file per touched leaf either
+    # way, but leaf-dir creation parallelizes across the executors
+    # (see build_ivfpq_index's codes write)
+    par = (
+        max(len(changed), spark.sparkContext.defaultParallelism)
+        if changed
+        else 1
+    )
     (
-        merged.repartition(max(1, len(changed)), "id_bucket")
+        merged.repartition(par, "id_bucket", "cent_id")
         .write.mode("overwrite")
         .partitionBy("id_bucket", "cent_id")
         .parquet(f"{out_path}/codes")
@@ -2743,8 +2803,15 @@ def delete_from_ivfpq_index(
         .where(part_filter)
         .join(ids, id_col, "left_anti")
     )
+    # pool-wide leaf write, keyed by both partition columns (see
+    # build_ivfpq_index's codes write)
+    par = (
+        max(len(changed), spark.sparkContext.defaultParallelism)
+        if changed
+        else 1
+    )
     (
-        kept.repartition(max(1, len(changed)), "id_bucket")
+        kept.repartition(par, "id_bucket", "cent_id")
         .write.mode("overwrite")
         .partitionBy("id_bucket", "cent_id")
         .parquet(f"{out_path}/codes")
