@@ -148,14 +148,23 @@ def pagerank_fixed(
                 "pagerank_fixed: node with non-positive total "
                 "out-weight — weights must be positive counts"
             )
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    r = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    # node count collected ONCE to a literal: the previous per-round
+    # crossJoin(broadcast(n_nodes)) re-evaluated the nodes
+    # distinct+count subtree on every broadcast build (iterations + 1
+    # redundant passes over the edge frame); a bigint→double literal
+    # divides bit-identically to the column form
+    n = int(
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()[0][
+            "n"
+        ]
     )
+    r = nodes.select("node", (F.lit(1.0) / F.lit(n).cast("bigint")).alias("rank"))
     # the per-iteration frames are rank-table-sized; pin each round so
     # the next one consumes a materialized table, not 2^t plan copies
     r = r.localCheckpoint()
-    contribs = e.join(outdeg, "src")
+    # pinned once: every round otherwise re-runs the outdeg aggregate
+    # and the edge⋈outdeg join (iterations − 1 redundant shuffles)
+    contribs = e.join(outdeg, "src").localCheckpoint()
     for _ in range(iterations):
         incoming = (
             contribs.join(r.withColumnRenamed("node", "src"), "src")
@@ -166,17 +175,13 @@ def pagerank_fixed(
             .groupBy("node")
             .agg((F.sum("_c") / F.lit(1e15)).alias("_s"))
         )
-        r = (
-            incoming.crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.col("_s")
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        r = incoming.select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.lit(n).cast("bigint")
+                + F.lit(damping) * F.col("_s")
+            ).alias("rank"),
+        ).localCheckpoint()
     return r
 
 
@@ -250,7 +255,9 @@ def pagerank_personalized(
         "node", (F.lit(1.0) / F.col("ns")).alias("s")
     ).localCheckpoint()
     r = s.select("node", F.col("s").alias("rank"))
-    contribs = e.join(outdeg, "src")
+    # pinned once — see pagerank_fixed: unpinned, every round re-runs
+    # the outdeg aggregate and the edge⋈outdeg join
+    contribs = e.join(outdeg, "src").localCheckpoint()
     for _ in range(iterations):
         incoming = (
             contribs.join(r.withColumnRenamed("node", "src"), "src")
