@@ -111,13 +111,27 @@ def run_pipeline(
     """Materialize the curation flow: caches the survivor set (shared
     by the chunk and pack sinks), writes survivors/chunks/packed as
     parquet, returns the stage map."""
+    from data_lake_with_spark_spark.session import run_concurrent
+
     stages = curate_documents(docs, **kwargs)
     stages["survivors"].cache()
     try:
-        for name in ("survivors", "chunks", "packed"):
-            stages[name].write.mode("overwrite").parquet(
-                os.path.join(out_dir, name)
-            )
+        # survivors first (populates the shared cache), then the two
+        # downstream sinks — which read only cached survivor rows —
+        # overlap (guide §2.6)
+        stages["survivors"].write.mode("overwrite").parquet(
+            os.path.join(out_dir, "survivors")
+        )
+        run_concurrent(
+            [
+                lambda: stages["chunks"]
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "chunks")),
+                lambda: stages["packed"]
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "packed")),
+            ]
+        )
     finally:
         stages["survivors"].unpersist()
     return stages

@@ -183,12 +183,27 @@ def run_pipeline(
         "time": ["year", "month"],
         "songplays": ["year", "month"],
     }
-    for name, df in tables.items():
+    def _write(name: str) -> None:
+        df = tables[name]
         out = df if coalesce_output is None else df.coalesce(coalesce_output)
         writer = out.write.mode("overwrite")
         if partitioning[name]:
             writer = writer.partitionBy(*partitioning[name])
         writer.parquet(os.path.join(out_dir, name))
+
+    # two dependency-aware phases (guide §2.6): songs/users populate
+    # the two source caches (one each, no overlap), then the three
+    # remaining sinks read ONLY cached data and overlap freely
+    from data_lake_with_spark_spark.session import run_concurrent
+
+    run_concurrent([lambda: _write("songs"), lambda: _write("users")])
+    run_concurrent(
+        [
+            lambda: _write("artists"),
+            lambda: _write("time"),
+            lambda: _write("songplays"),
+        ]
+    )
     song_df.unpersist()
     log_df.unpersist()
     return tables
