@@ -5394,9 +5394,7 @@ def q175_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.relational import top_k
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetrize_edges(pairs)
     # edges are symmetrized by construction — danglers impossible, so
     # skip the validate pass (an extra full-edge action per call)
     r = pagerank_fixed(edges, iterations=3, damping=0.85, validate=False)
@@ -5674,9 +5672,7 @@ def q180_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     pairs = _copurchase_pairs(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetrize_edges(pairs)
     seeds = c.where(F.col("c_mktsegment") == "BUILDING").select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
@@ -5983,6 +5979,25 @@ SELECT bigram, c_ab, c_a, c_b, lift, rank FROM (
 # the cheap end of their queries.
 
 
+def _symmetrize_edges(pairs: DataFrame, *extra: str) -> DataFrame:
+    """Both directions of an edge frame by EXPLODING each row —
+    the union-of-two-selects form evaluated the whole upstream edge
+    projection twice (guide §7.2 duplicated subtrees; here that
+    upstream is the orders⋈lineitem co-purchase join). ``extra``
+    names weight columns carried through both directions."""
+    fwd = F.struct(
+        F.col("src"), F.col("dst"), *[F.col(c) for c in extra]
+    )
+    rev = F.struct(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *[F.col(c) for c in extra],
+    )
+    return pairs.select(F.explode(F.array(fwd, rev)).alias("_e")).select(
+        "_e.src", "_e.dst", *[f"_e.{c}" for c in extra]
+    )
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customer→part purchase pairs ('c…'/'p…' string node
     ids) — the bipartite frame q175/q180 symmetrize and q181 ranks
@@ -6280,11 +6295,7 @@ def q190_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     pairs = _copurchase_weighted(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
+    edges = _symmetrize_edges(pairs, "w")
     seeds = c.where(F.col("c_mktsegment") == "BUILDING").select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
