@@ -460,3 +460,72 @@ def test_hub_clustering_pushdown_equals_full_attribution(spark):
     }
     for node, _deg, n_tri, _lc, _pos in out1:
         assert n_tri == full.get(node, 0), (node, n_tri, full.get(node, 0))
+
+
+def test_run_concurrent_order_and_exception_propagation():
+    """run_concurrent (the §2.6 overlap helper the maintenance ops use)
+    must return results in input order and surface a leg's exception —
+    the RI delta core's negative-support integrity raise rides on it."""
+    import time
+
+    from data_lake_with_spark_spark.session import run_concurrent
+
+    def slow():
+        time.sleep(0.2)
+        return "slow"
+
+    assert run_concurrent([slow, lambda: "fast", lambda: 3]) == [
+        "slow",
+        "fast",
+        3,
+    ]
+    assert run_concurrent([lambda: "only"]) == ["only"]
+
+    def boom():
+        raise ValueError("leg failed")
+
+    try:
+        run_concurrent([lambda: 1, boom, lambda: 2])
+    except ValueError as e:
+        assert "leg failed" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("exception was swallowed")
+
+
+def test_pair_supports_matches_self_join(spark):
+    """_pair_supports (one-shuffle array expansion) must equal the
+    self-join formulation it replaced — including on incidence with
+    duplicate (basket, item) rows, which collapse per basket."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import graph
+
+    rng = random.Random(14)
+    rows = []
+    for basket in range(60):
+        items = rng.sample(range(25), rng.randint(1, 7))
+        for it in items:
+            for _ in range(rng.randint(1, 3)):  # duplicates
+                rows.append((basket, it))
+    b = spark.createDataFrame(rows, "basket int, item int")
+    got = sorted(
+        map(tuple, graph._pair_supports(b).collect())
+    )
+    bd = b.distinct()
+    x, y = bd.alias("x"), bd.alias("y")
+    want = sorted(
+        map(
+            tuple,
+            x.join(
+                y,
+                (F.col("x.basket") == F.col("y.basket"))
+                & (F.col("x.item") < F.col("y.item")),
+            )
+            .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 50
