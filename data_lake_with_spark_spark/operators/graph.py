@@ -369,6 +369,13 @@ def _triangles(
     need no dedup at all, and the caller (:func:`hub_clustering`)
     localCheckpoints the triangle snapshot ONCE so every attribution
     reads the same frame — at identical pushdown economics."""
+    # JOIN STRATEGY (guide §3.1, measured): both joins here pair the
+    # edge-sized oriented frame against the wedge-sized stream, and
+    # sort-merge would SORT the ΣC(outdeg, 2) wedge side — the
+    # quadratically larger one. Hinting shuffled-hash builds the hash
+    # table on the EDGE side (bounded per partition at any scale) and
+    # streams the wedges unsorted: 6.7s → 3.0s on the sf0.1
+    # co-purchase graph (1.2M edges), identical rows.
     o2 = oriented.select(
         F.col("u"),
         F.col("v").alias("w"),
@@ -379,19 +386,22 @@ def _triangles(
     )
     if members is None:
         wedges = (
-            oriented.join(o2, "u").where(order_ok).select("u", "v", "w")
+            oriented.hint("shuffle_hash")
+            .join(o2, "u")
+            .where(order_ok)
+            .select("u", "v", "w")
         )
     else:
         hub_uv = F.col("u").isin(members) | F.col("v").isin(members)
-        a = oriented.where(hub_uv).join(o2, "u")
-        b = oriented.where(~hub_uv).join(
+        a = oriented.where(hub_uv).hint("shuffle_hash").join(o2, "u")
+        b = oriented.where(~hub_uv).hint("shuffle_hash").join(
             o2.where(F.col("w").isin(members)), "u"
         )
         wa, wb = (x.where(order_ok).select("u", "v", "w") for x in (a, b))
         wedges = wa.unionByName(wb)
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
-    )
+    ).hint("shuffle_hash")
     return wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
 
 
