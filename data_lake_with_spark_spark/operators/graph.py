@@ -582,7 +582,14 @@ def label_propagation(
     )
     for _ in range(iterations):
         votes = (
-            e.join(labels.withColumnRenamed("node", "src"), "src")
+            # shuffled-hash on the node-sized label frame — the edge
+            # frame streams unsorted (guide §3.1)
+            e.join(
+                labels.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node"), F.col("label"))
             .agg(vote_agg)
         )
