@@ -26,20 +26,31 @@ import time as _time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RI_TRACE = bool(_os.environ.get("SPARK_GRAFT_RI_TRACE"))
-_ri_t0: list[float] = [0.0]
+import threading as _threading
+
+_ri_tls = _threading.local()
 
 
 def _tlog(label: str) -> None:
     """Env-gated stage timer for the RI maintenance ops (measurement
     aid, guide §1: attribute the op wall to its driver actions before
-    optimizing). No-op unless SPARK_GRAFT_RI_TRACE is set."""
-    if not _RI_TRACE:
+    optimizing). No-op unless SPARK_GRAFT_RI_TRACE is set (read per
+    call, so tests/probes can toggle it). The previous-timestamp slot
+    is THREAD-LOCAL and every line also carries the absolute stamp:
+    the legs run on run_concurrent threads, and a single shared slot
+    interleaved deltas across threads into noise (r14 ADVICE)."""
+    if not _os.environ.get("SPARK_GRAFT_RI_TRACE"):
         return
     now = _time.time()
-    if _ri_t0[0]:
-        print(f"[ri-trace] {now - _ri_t0[0]:7.2f}s  {label}", flush=True)
-    _ri_t0[0] = now
+    prev = getattr(_ri_tls, "t0", 0.0)
+    if prev:
+        print(
+            f"[ri-trace] {now % 1000:8.2f} +{now - prev:6.2f}s  {label}",
+            flush=True,
+        )
+    else:
+        print(f"[ri-trace] {now % 1000:8.2f}   start  {label}", flush=True)
+    _ri_tls.t0 = now
 
 
 def pagerank_fixed(
@@ -1149,11 +1160,17 @@ def build_related_items_state(
 
         warnings.warn(msg, stacklevel=2)
     from data_lake_with_spark_spark.session import run_concurrent
-    n = b.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+
+    # the two irreducible aggregates are independent passes over the
+    # checkpointed incidence — materialize them concurrently (§2.6)
+    pairs, n = run_concurrent(
+        [
+            lambda: _pair_supports(b).localCheckpoint(),
+            lambda: b.groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+            .localCheckpoint(),
+        ]
     )
-    pairs = _pair_supports(b).localCheckpoint()
-    n = n.localCheckpoint()
     pairs_w = pairs.withColumn("pair_bucket", _ri_bucket(["a", "b"], n_buckets))
     items_w = n.withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
     baskets_w = b.withColumn(
@@ -1399,33 +1416,46 @@ def merge_related_items_state(
         .distinct()
         .localCheckpoint()
     )
-    new_basket_ids = nb.select("basket").distinct().localCheckpoint()
     # --- validate: every batch basket id must be NEW ---------------
+    # The bucket list is collected once and shared with the delta
+    # core's ledger leg; the replay probe itself runs as the core's
+    # pre_write_check — concurrent with the (read-only) delta
+    # materializations, strictly before any component write.
     ch_baskets = sorted(
         r["b"]
-        for r in new_basket_ids.select(
-            _ri_bucket(["basket"], n_buckets).alias("b")
-        )
+        for r in nb.select(_ri_bucket(["basket"], n_buckets).alias("b"))
         .distinct()
         .collect()
     )
-    bfilter = (
-        F.col("basket_bucket").isin(ch_baskets) if ch_baskets else F.lit(False)
-    )
-    replayed = (
-        _ri_read(spark, base_path, "baskets", meta)
-        .where(bfilter)
-        .join(new_basket_ids, "basket", "left_semi")
-    )
-    if replayed.limit(1).count() > 0:
-        raise ValueError(
-            "merge_related_items_state: batch re-delivers basket ids "
-            "already in the state — merging would double-count their "
-            "pairs; deliver only new baskets (or rebuild)"
+
+    def _replay_check():
+        bfilter = (
+            F.col("basket_bucket").isin(ch_baskets)
+            if ch_baskets
+            else F.lit(False)
         )
+        replayed = (
+            _ri_read(spark, base_path, "baskets", meta)
+            .where(bfilter)
+            .join(nb.select("basket").distinct(), "basket", "left_semi")
+        )
+        if replayed.limit(1).count() > 0:
+            raise ValueError(
+                "merge_related_items_state: batch re-delivers basket ids "
+                "already in the state — merging would double-count their "
+                "pairs; deliver only new baskets (or rebuild)"
+            )
 
     return _apply_ri_state_delta(
-        spark, base_path, nb, out_path, layout, meta, sign=1
+        spark,
+        base_path,
+        nb,
+        out_path,
+        layout,
+        meta,
+        sign=1,
+        pre_write_check=_replay_check,
+        ch_baskets=ch_baskets,
     )
 
 
@@ -1511,12 +1541,13 @@ def delete_from_related_items_state(
         .localCheckpoint()
     )
     _tlog("del:ids-ckpt")
-    ch = sorted(
-        r["b"]
-        for r in ids.select(_ri_bucket(["basket"], n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # ONE aggregate yields the victims' bucket list AND the
+    # requested-coverage counter (two jobs before — r15 job-count fold)
+    idrow = ids.agg(
+        F.collect_set(_ri_bucket(["basket"], n_buckets)).alias("bk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ch, requested = sorted(idrow["bk"]), int(idrow["n"])
     _tlog("del:ch-collect")
     bfilter = F.col("basket_bucket").isin(ch) if ch else F.lit(False)
     victims = (
@@ -1527,22 +1558,37 @@ def delete_from_related_items_state(
         .localCheckpoint()
     )
     _tlog("del:victims-ckpt")
-    stats = _apply_ri_state_delta(
-        spark, base_path, victims, out_path, layout, meta, sign=-1
-    )
-    _tlog("del:delta-core")
+    from data_lake_with_spark_spark.session import run_concurrent
+
     # coverage counters (r12 ADVICE): requested vs actually-in-ledger,
     # so erasure pipelines can assert full coverage instead of
-    # trusting idempotent success. One aggregation job over the
-    # checkpointed victims frame instead of two separate counts.
-    vrow = victims.agg(
-        F.count(F.lit(1)).alias("_rows"),
-        F.count_distinct(F.col("basket")).alias("_matched"),
-    ).collect()[0]
+    # trusting idempotent success. The aggregate only reads the
+    # checkpointed victims frame, so it overlaps the delta core
+    # (guide §2.6); `ch` is the requested ids' buckets — a superset of
+    # the victims' buckets exactly when some ids are absent from the
+    # ledger, which the core documents as the correct/cheap trade.
+    stats, vrow = run_concurrent(
+        [
+            lambda: _apply_ri_state_delta(
+                spark,
+                base_path,
+                victims,
+                out_path,
+                layout,
+                meta,
+                sign=-1,
+                ch_baskets=ch,
+            ),
+            lambda: victims.agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.count_distinct(F.col("basket")).alias("_matched"),
+            ).collect()[0],
+        ]
+    )
+    _tlog("del:delta-core")
     stats["deleted_basket_rows"] = int(vrow["_rows"])
-    stats["requested_baskets"] = ids.count()
+    stats["requested_baskets"] = requested
     stats["matched_baskets"] = int(vrow["_matched"])
-    _tlog("del:stat-counts")
     return stats
 
 
@@ -1591,6 +1637,8 @@ def _apply_ri_state_delta(
     layout: str,
     meta: dict,
     sign: int,
+    pre_write_check=None,
+    ch_baskets: "list[int] | None" = None,
 ) -> dict:
     """Shared delta core of :func:`merge_related_items_state`
     (``sign=+1``, ``nb`` = the new baskets' deduped incidence) and
@@ -1613,206 +1661,65 @@ def _apply_ri_state_delta(
       add no partners beyond batch items) — over the UPDATED
       neighborhood, through the shared :func:`_related_topk`
       expressions; unaffected rows carry verbatim, untouched buckets
-      promote by link or manifest entry."""
+      promote by link or manifest entry.
+
+    Execution shape (r15: the op's wall at bench scale was JOB COUNT —
+    90 driver-issued jobs for the GDPR delete at ~150 ms fixed cost
+    each, and the driver's 8-vs-32-core ratios of 0.7–1.0 proved the
+    pool was never the limit): TWO dependency phases, each a
+    ``run_concurrent`` batch —
+
+    A. everything that READS: per-component chains (batch delta →
+       changed-bucket collect → summed component, CHECKPOINTED, with
+       the sign<0 NEGATIVE-support integrity gate), the
+       affected-neighborhood discovery, and the caller's
+       ``pre_write_check`` (merge replay validation). A
+       detected-corrupt state therefore raises BEFORE any component
+       write starts (r14 ADVICE: the raise used to happen inside one
+       concurrent leg while sibling legs completed their writes).
+    B. all FOUR component writes concurrently — the topk recompute
+       consumes the phase-A checkpoints (summed changed buckets ∪
+       base unchanged buckets — row-identical to the files the
+       sibling legs are writing) instead of re-reading ``out_path``,
+       which removes the write→recompute barrier that serialized the
+       op's two most expensive legs.
+
+    Scalar actions are FOLDED: the affected-item count and its bucket
+    list come from one aggregate; callers pass ``ch_baskets`` (the
+    ledger buckets they already collected — the merge's replay check
+    and the delete's victim probe need the same list) so the ledger
+    leg re-collects nothing. For the delete path ``ch_baskets`` may be
+    a SUPERSET (the requested ids' buckets — ids absent from the
+    ledger contribute a bucket with no victim rows): the anti-join
+    rewrites such a bucket byte-identical instead of promoting it,
+    which is correct either way and free in the common
+    all-ids-matched case."""
     from data_lake_with_spark_spark.session import run_concurrent
     from data_lake_with_spark_spark.sources import cow
 
     k, min_count, n_buckets = meta["k"], meta["min_count"], meta["n_buckets"]
     s = F.lit(int(sign)).cast("bigint")
 
-    # --- deltas (batch-sized; two independent materializations) ------
+    # --- phase 1: deltas + read-only discovery + caller validation ---
     def _mk_d_pairs():
-        return (
+        out = (
             _pair_supports(nb)
             .select(
                 "a", "b", (s * F.col("n_ab")).cast("bigint").alias("d_ab")
             )
             .localCheckpoint()
         )
+        _tlog("core:d-pairs")
+        return out
 
     def _mk_d_items():
-        return (
+        out = (
             nb.groupBy("item")
             .agg((s * F.count(F.lit(1))).cast("bigint").alias("d_item"))
             .localCheckpoint()
         )
-
-    d_pairs, d_items = run_concurrent([_mk_d_pairs, _mk_d_items])
-    _tlog("core:deltas-ckpt")
-
-    # --- three component legs + partner discovery run CONCURRENTLY ---
-    # (guide §2.6): each leg is a chain of small jobs over its own
-    # component directory with no shared driver state; running them
-    # sequentially left most of the executor pool idle per job. The
-    # topk leg below is the only dependent step (it reads the UPDATED
-    # pairs/items), so it runs after the barrier.
-
-    def _pairs_leg():
-        ch_pairs = sorted(
-            r["b"]
-            for r in d_pairs.select(
-                _ri_bucket(["a", "b"], n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
-        pfilter = (
-            F.col("pair_bucket").isin(ch_pairs)
-            if ch_pairs
-            else F.lit(False)
-        )
-        base_pairs = (
-            _ri_read(spark, base_path, "pairs", meta)
-            .where(pfilter)
-            .select("a", "b", "n_ab")
-        )
-        summed_pairs = base_pairs.join(d_pairs, ["a", "b"], "full").select(
-            "a",
-            "b",
-            (
-                F.coalesce(F.col("n_ab"), F.lit(0))
-                + F.coalesce(F.col("d_ab"), F.lit(0))
-            ).cast("bigint").alias("n_ab"),
-        )
-        if sign < 0:
-            # integrity gate on the subtract path only (positive deltas
-            # can't go negative, and the merge shouldn't pay the extra
-            # materialization); checkpoint so the checked frame is the
-            # written frame
-            summed_pairs = summed_pairs.localCheckpoint()
-            if summed_pairs.where(F.col("n_ab") < 0).limit(1).count() > 0:
-                raise ValueError(
-                    "_apply_ri_state_delta: a pair support went NEGATIVE "
-                    "— the subtracted deltas exceed the stored aggregate, "
-                    "which a ledger-driven inversion can never "
-                    "legitimately do; the state is corrupt (or the ledger "
-                    "was edited out-of-band) — rebuild from the source "
-                    "history"
-                )
-        upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
-            "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
-        )
-        (
-            upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
-            .write.mode("overwrite")
-            .partitionBy("pair_bucket")
-            .parquet(f"{out_path}/pairs")
-        )
-        if layout == "manifest":
-            st = cow.promote_via_manifest(
-                spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
-            )
-        else:
-            st = cow.promote_unchanged_partitions(
-                spark, f"{base_path}/pairs", f"{out_path}/pairs",
-                "pair_bucket", ch_pairs,
-            )
-        _tlog("core:pairs-leg")
-        return st
-
-    def _items_leg():
-        ch_items = sorted(
-            r["b"]
-            for r in d_items.select(
-                _ri_bucket(["item"], n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
-        ifilter = (
-            F.col("item_bucket").isin(ch_items)
-            if ch_items
-            else F.lit(False)
-        )
-        summed_items = (
-            _ri_read(spark, base_path, "items", meta)
-            .where(ifilter)
-            .select("item", "n_item")
-            .join(d_items, "item", "full")
-            .select(
-                "item",
-                (
-                    F.coalesce(F.col("n_item"), F.lit(0))
-                    + F.coalesce(F.col("d_item"), F.lit(0))
-                ).cast("bigint").alias("n_item"),
-            )
-        )
-        if sign < 0:
-            summed_items = summed_items.localCheckpoint()
-            if summed_items.where(F.col("n_item") < 0).limit(1).count() > 0:
-                raise ValueError(
-                    "_apply_ri_state_delta: an item count went NEGATIVE — "
-                    "see the pair-support message; rebuild from the "
-                    "source history"
-                )
-        upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
-            "item_bucket", _ri_bucket(["item"], n_buckets)
-        )
-        (
-            upd_items.repartition(max(1, len(ch_items)), "item_bucket")
-            .write.mode("overwrite")
-            .partitionBy("item_bucket")
-            .parquet(f"{out_path}/items")
-        )
-        if layout == "manifest":
-            cow.promote_via_manifest(
-                spark, base_path, out_path, "items", "item_bucket", ch_items
-            )
-        else:
-            cow.promote_unchanged_partitions(
-                spark, f"{base_path}/items", f"{out_path}/items",
-                "item_bucket", ch_items,
-            )
-        _tlog("core:items-leg")
-
-    def _baskets_leg():
-        batch_basket_ids = nb.select("basket").distinct()
-        ch_baskets = sorted(
-            r["b"]
-            for r in batch_basket_ids.select(
-                _ri_bucket(["basket"], n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
-        bfilter = (
-            F.col("basket_bucket").isin(ch_baskets)
-            if ch_baskets
-            else F.lit(False)
-        )
-        base_led = (
-            _ri_read(spark, base_path, "baskets", meta)
-            .where(bfilter)
-            .select("basket", "item")
-        )
-        if sign > 0:
-            upd_baskets = base_led.unionByName(nb.select("basket", "item"))
-        else:
-            upd_baskets = base_led.join(
-                batch_basket_ids, "basket", "left_anti"
-            )
-        upd_baskets = upd_baskets.withColumn(
-            "basket_bucket", _ri_bucket(["basket"], n_buckets)
-        )
-        (
-            upd_baskets.repartition(
-                max(1, len(ch_baskets)), "basket_bucket"
-            )
-            .write.mode("overwrite")
-            .partitionBy("basket_bucket")
-            .parquet(f"{out_path}/baskets")
-        )
-        if layout == "manifest":
-            cow.promote_via_manifest(
-                spark, base_path, out_path, "baskets", "basket_bucket",
-                ch_baskets,
-            )
-        else:
-            cow.promote_unchanged_partitions(
-                spark, f"{base_path}/baskets", f"{out_path}/baskets",
-                "basket_bucket", ch_baskets,
-            )
-        _tlog("core:baskets-leg")
+        _tlog("core:d-items")
+        return out
 
     def _affected_leg():
         batch_items = nb.select("item").distinct()
@@ -1842,99 +1749,315 @@ def _apply_ri_state_delta(
         affected = (
             batch_items.unionByName(partners).distinct().localCheckpoint()
         )
-        ch_topk = sorted(
+        # ONE aggregate job yields both the changed-bucket list and the
+        # affected count the stats need (two collects before)
+        row = affected.agg(
+            F.collect_set(_ri_bucket(["item"], n_buckets)).alias("bk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        _tlog("core:affected-leg")
+        return affected, sorted(row["bk"]), int(row["n"])
+
+    # --- phase A: everything that READS — per-thread chains (delta →
+    # changed buckets → summed component + sign<0 integrity gate), the
+    # affected-neighborhood discovery, and the caller's validation.
+    # The summed frames are checkpointed on BOTH signs: the gate (when
+    # present) must probe a materialized frame, the component write
+    # consumes it, and the topk leg re-reads it IN MEMORY instead of
+    # re-reading the just-written files — which is what lets phase B
+    # run the topk recompute concurrently with the component writes.
+    def _sum_pairs():
+        d_pairs = _mk_d_pairs()
+        ch_pairs = sorted(
             r["b"]
-            for r in affected.select(
+            for r in d_pairs.select(
+                _ri_bucket(["a", "b"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        pfilter = (
+            F.col("pair_bucket").isin(ch_pairs)
+            if ch_pairs
+            else F.lit(False)
+        )
+        base_pairs = (
+            _ri_read(spark, base_path, "pairs", meta)
+            .where(pfilter)
+            .select("a", "b", "n_ab")
+        )
+        summed_pairs = base_pairs.join(d_pairs, ["a", "b"], "full").select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("n_ab"), F.lit(0))
+                + F.coalesce(F.col("d_ab"), F.lit(0))
+            ).cast("bigint").alias("n_ab"),
+        ).localCheckpoint()
+        if sign < 0:
+            # integrity gate on the subtract path only (positive
+            # deltas can't go negative); the probe scans the
+            # checkpointed frame — the exact frame that will be
+            # written — BEFORE any component write starts
+            if summed_pairs.where(F.col("n_ab") < 0).limit(1).count() > 0:
+                raise ValueError(
+                    "_apply_ri_state_delta: a pair support went NEGATIVE "
+                    "— the subtracted deltas exceed the stored aggregate, "
+                    "which a ledger-driven inversion can never "
+                    "legitimately do; the state is corrupt (or the ledger "
+                    "was edited out-of-band) — rebuild from the source "
+                    "history"
+                )
+        _tlog("core:sum-pairs")
+        return ch_pairs, summed_pairs
+
+    def _sum_items():
+        d_items = _mk_d_items()
+        ch_items = sorted(
+            r["b"]
+            for r in d_items.select(
                 _ri_bucket(["item"], n_buckets).alias("b")
             )
             .distinct()
             .collect()
         )
-        _tlog("core:affected-leg")
-        return affected, ch_topk
+        ifilter = (
+            F.col("item_bucket").isin(ch_items)
+            if ch_items
+            else F.lit(False)
+        )
+        summed_items = (
+            _ri_read(spark, base_path, "items", meta)
+            .where(ifilter)
+            .select("item", "n_item")
+            .join(d_items, "item", "full")
+            .select(
+                "item",
+                (
+                    F.coalesce(F.col("n_item"), F.lit(0))
+                    + F.coalesce(F.col("d_item"), F.lit(0))
+                ).cast("bigint").alias("n_item"),
+            )
+            .localCheckpoint()
+        )
+        if sign < 0:
+            if summed_items.where(F.col("n_item") < 0).limit(1).count() > 0:
+                raise ValueError(
+                    "_apply_ri_state_delta: an item count went NEGATIVE — "
+                    "see the pair-support message; rebuild from the "
+                    "source history"
+                )
+        _tlog("core:sum-items")
+        return ch_items, summed_items
 
-    stats, _, _, (affected, ch_topk) = run_concurrent(
-        [_pairs_leg, _items_leg, _baskets_leg, _affected_leg]
+    phase_a = [_sum_pairs, _sum_items, _affected_leg]
+    if pre_write_check is not None:
+        phase_a.append(pre_write_check)
+    (
+        (ch_pairs, summed_pairs),
+        (ch_items, summed_items),
+        (affected, ch_topk, n_affected),
+    ) = run_concurrent(phase_a)[:3]
+    if ch_baskets is None:
+        ch_baskets = sorted(
+            r["b"]
+            for r in nb.select(
+                _ri_bucket(["basket"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+    _tlog("core:phaseA-barrier")
+
+    # --- phase B: the four component writes, ALL concurrent — the
+    # topk recompute consumes the checkpointed summed frames, not the
+    # files the sibling legs are writing, so nothing here depends on
+    # anything else here
+    def _pairs_leg():
+        upd_pairs = summed_pairs.where(F.col("n_ab") > 0).withColumn(
+            "pair_bucket", _ri_bucket(["a", "b"], n_buckets)
+        )
+        (
+            upd_pairs.repartition(max(1, len(ch_pairs)), "pair_bucket")
+            .write.mode("overwrite")
+            .partitionBy("pair_bucket")
+            .parquet(f"{out_path}/pairs")
+        )
+        if layout == "manifest":
+            st = cow.promote_via_manifest(
+                spark, base_path, out_path, "pairs", "pair_bucket", ch_pairs
+            )
+        else:
+            st = cow.promote_unchanged_partitions(
+                spark, f"{base_path}/pairs", f"{out_path}/pairs",
+                "pair_bucket", ch_pairs,
+            )
+        _tlog("core:pairs-leg")
+        return st
+
+    def _items_leg():
+        upd_items = summed_items.where(F.col("n_item") > 0).withColumn(
+            "item_bucket", _ri_bucket(["item"], n_buckets)
+        )
+        (
+            upd_items.repartition(max(1, len(ch_items)), "item_bucket")
+            .write.mode("overwrite")
+            .partitionBy("item_bucket")
+            .parquet(f"{out_path}/items")
+        )
+        if layout == "manifest":
+            cow.promote_via_manifest(
+                spark, base_path, out_path, "items", "item_bucket", ch_items
+            )
+        else:
+            cow.promote_unchanged_partitions(
+                spark, f"{base_path}/items", f"{out_path}/items",
+                "item_bucket", ch_items,
+            )
+        _tlog("core:items-leg")
+
+    def _baskets_leg():
+        bfilter = (
+            F.col("basket_bucket").isin(ch_baskets)
+            if ch_baskets
+            else F.lit(False)
+        )
+        base_led = (
+            _ri_read(spark, base_path, "baskets", meta)
+            .where(bfilter)
+            .select("basket", "item")
+        )
+        if sign > 0:
+            upd_baskets = base_led.unionByName(nb.select("basket", "item"))
+        else:
+            upd_baskets = base_led.join(
+                nb.select("basket").distinct(), "basket", "left_anti"
+            )
+        upd_baskets = upd_baskets.withColumn(
+            "basket_bucket", _ri_bucket(["basket"], n_buckets)
+        )
+        (
+            upd_baskets.repartition(
+                max(1, len(ch_baskets)), "basket_bucket"
+            )
+            .write.mode("overwrite")
+            .partitionBy("basket_bucket")
+            .parquet(f"{out_path}/baskets")
+        )
+        if layout == "manifest":
+            cow.promote_via_manifest(
+                spark, base_path, out_path, "baskets", "basket_bucket",
+                ch_baskets,
+            )
+        else:
+            cow.promote_unchanged_partitions(
+                spark, f"{base_path}/baskets", f"{out_path}/baskets",
+                "basket_bucket", ch_baskets,
+            )
+        _tlog("core:baskets-leg")
+
+    def _topk_leg():
+        # recompute affected items only, over the UPDATED pairs/items —
+        # reconstructed as (checkpointed summed changed buckets) ∪
+        # (base unchanged buckets), which is row-identical to reading
+        # the files the sibling legs are writing (written = the summed
+        # frames; promoted = the base's unchanged buckets) but carries
+        # no dependency on those writes, so this leg overlaps them.
+        upd_pairs_full = summed_pairs.where(F.col("n_ab") > 0).select(
+            "a", "b", "n_ab"
+        )
+        if ch_pairs:
+            upd_pairs_full = (
+                _ri_read(spark, base_path, "pairs", meta)
+                .where(~F.col("pair_bucket").isin(ch_pairs))
+                .select("a", "b", "n_ab")
+                .unionByName(upd_pairs_full)
+            )
+        upd_items_full = summed_items.where(F.col("n_item") > 0).select(
+            "item", "n_item"
+        )
+        if ch_items:
+            upd_items_full = (
+                _ri_read(spark, base_path, "items", meta)
+                .where(~F.col("item_bucket").isin(ch_items))
+                .select("item", "n_item")
+                .unionByName(upd_items_full)
+            )
+        # pre-filter the pair state to the affected NEIGHBORHOOD before
+        # the scoring tail (a broadcast membership probe on both
+        # endpoints): the recompute's join/window input is then
+        # neighborhood-sized, not state-sized — the full (a, b) scan
+        # in partner discovery is the only state-wide pass this op makes
+        aff_a = F.broadcast(
+            affected.select(F.col("item").alias("a")).withColumn(
+                "_fa", F.lit(1)
+            )
+        )
+        aff_b = F.broadcast(
+            affected.select(F.col("item").alias("b")).withColumn(
+                "_fb", F.lit(1)
+            )
+        )
+        pairs_near = (
+            upd_pairs_full.join(aff_a, "a", "left")
+            .join(aff_b, "b", "left")
+            .where(F.col("_fa").isNotNull() | F.col("_fb").isNotNull())
+            .select("a", "b", "n_ab")
+        )
+        # the scoring tail joins item counts on BOTH endpoints; every
+        # endpoint it can reference is an endpoint of pairs_near, so the
+        # items side semi-joins down to the neighborhood too — without
+        # this the recompute shuffles the full |catalog| counts table
+        # against a neighborhood-sized frame every nightly batch
+        endpoints = (
+            pairs_near.select(F.col("a").alias("item"))
+            .unionByName(pairs_near.select(F.col("b").alias("item")))
+            .distinct()
+        )
+        items_near = upd_items_full.join(endpoints, "item", "left_semi")
+        fresh = _related_topk(
+            pairs_near,
+            items_near,
+            k,
+            min_count,
+            restrict=affected,
+        )
+        tfilter = (
+            F.col("item_bucket").isin(ch_topk) if ch_topk else F.lit(False)
+        )
+        carried_topk = (
+            _ri_read(spark, base_path, "topk", meta)
+            .where(tfilter)
+            .select("item", "other", "n_ab", "score", "rank")
+            .join(affected, "item", "left_anti")
+        )
+        (
+            carried_topk.unionByName(fresh)
+            .withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
+            .repartition(max(1, len(ch_topk)), "item_bucket")
+            .write.mode("overwrite")
+            .partitionBy("item_bucket")
+            .parquet(f"{out_path}/topk")
+        )
+        if layout == "manifest":
+            cow.promote_via_manifest(
+                spark, base_path, out_path, "topk", "item_bucket", ch_topk
+            )
+        else:
+            cow.promote_unchanged_partitions(
+                spark, f"{base_path}/topk", f"{out_path}/topk",
+                "item_bucket", ch_topk,
+            )
+        _tlog("core:topk-leg")
+
+    stats, _, _, _ = run_concurrent(
+        [_pairs_leg, _items_leg, _baskets_leg, _topk_leg]
     )
     _tlog("core:legs-barrier")
-
-    # --- topk: recompute affected items only (needs the UPDATED
-    # pairs/items written above, so it runs after the barrier) --------
-    # pre-filter the pair state to the affected NEIGHBORHOOD before
-    # the scoring tail (a broadcast membership probe on both
-    # endpoints): the recompute's join/window input is then
-    # neighborhood-sized, not state-sized — the full (a, b) scan
-    # in partner discovery is the only state-wide pass this op makes
-    aff_a = F.broadcast(
-        affected.select(F.col("item").alias("a")).withColumn(
-            "_fa", F.lit(1)
-        )
-    )
-    aff_b = F.broadcast(
-        affected.select(F.col("item").alias("b")).withColumn(
-            "_fb", F.lit(1)
-        )
-    )
-    pairs_near = (
-        _ri_read(spark, out_path, "pairs", meta)
-        .select("a", "b", "n_ab")
-        .join(aff_a, "a", "left")
-        .join(aff_b, "b", "left")
-        .where(F.col("_fa").isNotNull() | F.col("_fb").isNotNull())
-        .select("a", "b", "n_ab")
-    )
-    # the scoring tail joins item counts on BOTH endpoints; every
-    # endpoint it can reference is an endpoint of pairs_near, so the
-    # items side semi-joins down to the neighborhood too — without
-    # this the recompute shuffles the full |catalog| counts table
-    # against a neighborhood-sized frame every nightly batch
-    endpoints = (
-        pairs_near.select(F.col("a").alias("item"))
-        .unionByName(pairs_near.select(F.col("b").alias("item")))
-        .distinct()
-    )
-    items_near = (
-        _ri_read(spark, out_path, "items", meta)
-        .select("item", "n_item")
-        .join(endpoints, "item", "left_semi")
-    )
-    fresh = _related_topk(
-        pairs_near,
-        items_near,
-        k,
-        min_count,
-        restrict=affected,
-    )
-    tfilter = (
-        F.col("item_bucket").isin(ch_topk) if ch_topk else F.lit(False)
-    )
-    carried_topk = (
-        _ri_read(spark, base_path, "topk", meta)
-        .where(tfilter)
-        .select("item", "other", "n_ab", "score", "rank")
-        .join(affected, "item", "left_anti")
-    )
-    (
-        carried_topk.unionByName(fresh)
-        .withColumn("item_bucket", _ri_bucket(["item"], n_buckets))
-        .repartition(max(1, len(ch_topk)), "item_bucket")
-        .write.mode("overwrite")
-        .partitionBy("item_bucket")
-        .parquet(f"{out_path}/topk")
-    )
-    _tlog("core:topk-write")
-    if layout == "manifest":
-        cow.promote_via_manifest(
-            spark, base_path, out_path, "topk", "item_bucket", ch_topk
-        )
-    else:
-        cow.promote_unchanged_partitions(
-            spark, f"{base_path}/topk", f"{out_path}/topk",
-            "item_bucket", ch_topk,
-        )
     cow.write_json(spark, _ri_meta_uri(out_path), meta)
     stats = dict(stats)
-    stats["affected_items"] = affected.count()
+    # folded into the phase-1 aggregate — no extra count job here
+    stats["affected_items"] = n_affected
     stats["changed_topk_partitions"] = ch_topk
     _tlog("core:stats")
     return stats
