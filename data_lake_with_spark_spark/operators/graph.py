@@ -169,23 +169,34 @@ def pagerank_fixed(
             "n"
         ]
     )
-    r = nodes.select("node", (F.lit(1.0) / F.lit(n).cast("bigint")).alias("rank"))
-    # the per-iteration frames are rank-table-sized; pin each round so
-    # the next one consumes a materialized table, not 2^t plan copies
-    r = r.localCheckpoint()
     # pinned once: every round otherwise re-runs the outdeg aggregate
     # and the edge⋈outdeg join (iterations − 1 redundant shuffles)
     contribs = e.join(outdeg, "src").localCheckpoint()
-    for _ in range(iterations):
+    r: DataFrame | None = None
+    for t in range(iterations):
+        if t == 0:
+            # the uniform start is a CONSTANT: r_0(src) = 1/n for every
+            # src (each src of e is a node by construction), so the
+            # first round needs no rank table and no join — the rank
+            # column is replaced by the same 1.0/n literal division
+            # the table held (bit-identical IEEE value), which removes
+            # the initial rank materialization AND round 1's shuffle
+            joined = contribs.withColumn(
+                "rank", F.lit(1.0) / F.lit(n).cast("bigint")
+            )
+        else:
+            joined = contribs.join(r.withColumnRenamed("node", "src"), "src")
         incoming = (
-            contribs.join(r.withColumnRenamed("node", "src"), "src")
-            .select(
+            joined.select(
                 F.col("dst").alias("node"),
                 contrib_units.alias("_c"),
             )
             .groupBy("node")
             .agg((F.sum("_c") / F.lit(1e15)).alias("_s"))
         )
+        # the per-iteration frames are rank-table-sized; pin each round
+        # so the next one consumes a materialized table, not 2^t plan
+        # copies
         r = incoming.select(
             "node",
             (
@@ -696,15 +707,29 @@ def _pair_supports(b: DataFrame) -> DataFrame:
         F.sort_array(F.collect_set("item")).alias("_items")
     )
     # all (x, y) with x before y in the sorted distinct array — the
-    # exact (x.item < y.item) predicate of the self-join form
-    pair_arr = F.expr(
-        "flatten(transform(_items, (x, i) -> "
-        "transform(slice(_items, i + 2, size(_items) - i - 1), "
-        "y -> struct(x AS a, y AS b))))"
+    # exact (x.item < y.item) predicate of the self-join form —
+    # expanded in TWO BOUNDED steps (r14 ADVICE): posexplode to one
+    # (items, i, a) row per item, then explode the tail slice per
+    # row. Peak per-row state is O(|basket|) both times; the previous
+    # single-expression flatten(transform(...)) materialized the whole
+    # C(|basket|, 2) struct array in memory before its explode, which
+    # one skewed basket (100k distinct items → ~5·10⁹ structs) turns
+    # into a task OOM that the streamed self-join never had.
+    lead = arrs.select(
+        F.col("_items"), F.posexplode("_items").alias("_i", "a")
     )
     return (
-        arrs.select(F.explode(pair_arr).alias("_p"))
-        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        lead.select(
+            "a",
+            F.explode(
+                F.slice(
+                    F.col("_items"),
+                    F.col("_i") + F.lit(2),
+                    F.size("_items") - F.col("_i") - F.lit(1),
+                )
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
 
@@ -924,18 +949,33 @@ def hits_fixed(
         if weight_col is None
         else F.col("score") * F.col("w")
     )
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    h = nodes.select(
-        "node", F.lit(1).cast("decimal(38,0)").alias("score")
-    ).localCheckpoint()
+    # h_0 ≡ 1 for EVERY node, so the first authority pass needs no
+    # node table and no join: the score column is the constant-1
+    # decimal literal (identical integer arithmetic) — this removes
+    # the nodes-distinct materialization and round 1's shuffle (r15
+    # job audit: fixed per-job cost dominates these entries)
+    h: DataFrame | None = None
+    # Under ANSI mode (the Spark 4 default) a DECIMAL(38,0) SUM
+    # overflow RAISES ARITHMETIC_OVERFLOW inside the aggregate itself,
+    # so the per-round NULL probe below is a redundant extra job
+    # (2 per iteration — measured as pure fixed cost in the r15 job
+    # audit); it exists for NON-ANSI sessions, where the overflowed
+    # sum silently returns NULL instead.
+    _ansi = (
+        str(
+            edges.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        ).lower()
+        == "true"
+    )
+
     def _no_overflow(frame: DataFrame, side: str) -> DataFrame:
         # non-ANSI Spark returns NULL on DECIMAL(38,0) SUM overflow;
         # unchecked, the NULL is dropped by the next round's SUM and
         # coalesced to 0 at the end — a silent corruption. The frame
         # is already localCheckpoint-materialized, so this scan is
         # cache-priced.
+        if _ansi:
+            return frame
         if frame.where(F.col("score").isNull()).limit(1).count() > 0:
             raise ArithmeticError(
                 f"hits_fixed: {side} sum overflowed DECIMAL(38,0) "
@@ -945,10 +985,14 @@ def hits_fixed(
         return frame
 
     a = None
-    for _ in range(iterations):
+    for t in range(iterations):
+        a_src = (
+            e.withColumn("score", F.lit(1).cast("decimal(38,0)"))
+            if t == 0
+            else e.join(h.withColumnRenamed("node", "src"), "src")
+        )
         a = _no_overflow(
-            e.join(h.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
+            a_src.groupBy(F.col("dst").alias("node"))
             .agg(F.sum(contrib).cast("decimal(38,0)").alias("score"))
             .localCheckpoint(),
             "authority",
