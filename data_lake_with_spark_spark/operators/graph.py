@@ -1658,17 +1658,24 @@ def compact_related_items_state(spark, path: str, out_path: str) -> dict:
     if meta is None:
         raise FileNotFoundError(f"no ri_meta.json under {path!r}")
     _ri_check_format(meta, path)
-    stats = {
-        comp: cow.compact_index_component(
-            spark, path, out_path, comp, bucket_col
-        )
-        for comp, bucket_col in (
-            ("pairs", "pair_bucket"),
-            ("items", "item_bucket"),
-            ("baskets", "basket_bucket"),
-            ("topk", "item_bucket"),
-        )
-    }
+    from data_lake_with_spark_spark.session import run_concurrent
+
+    comps = (
+        ("pairs", "pair_bucket"),
+        ("items", "item_bucket"),
+        ("baskets", "basket_bucket"),
+        ("topk", "item_bucket"),
+    )
+    # independent resolved views, disjoint target dirs (guide §2.6)
+    results = run_concurrent(
+        [
+            lambda comp=comp, bc=bc: cow.compact_index_component(
+                spark, path, out_path, comp, bc
+            )
+            for comp, bc in comps
+        ]
+    )
+    stats = {comp: st for (comp, _bc), st in zip(comps, results)}
     cow.write_json(spark, _ri_meta_uri(out_path), meta)
     return stats
 

@@ -755,7 +755,6 @@ def build_ivf_index(
     cents = corpus.where((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
     )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
     if vec_dim is None:
         w_assign = Window.partitionBy(id_col).orderBy(
             F.col("cos_c").desc(), F.col("cent_id").asc()
@@ -775,16 +774,33 @@ def build_ivf_index(
         assigned = _assign_argmax_arrow(
             corpus.select(id_col, vec_col), cents, vec_col, vec_dim
         ).select("cent_id", id_col, vec_col)
+    from data_lake_with_spark_spark.session import run_concurrent
+
     # keyed by the partition column with pool-scaled task count: ONE
     # file per cell and parallel leaf-dir creation (see
-    # build_ivfpq_index's codes write for the measured rationale)
-    (
-        assigned.repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism, "cent_id"
+    # build_ivfpq_index's codes write for the measured rationale).
+    # The centroids write overlaps the lists write: the lists job
+    # re-evaluates the (lazy) cents subtree for its broadcast anyway,
+    # so serializing the small centroids write before it bought
+    # nothing (guide §2.6).
+    def _write_lists():
+        (
+            assigned.repartition(
+                corpus.sparkSession.sparkContext.defaultParallelism,
+                "cent_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(f"{path}/lists")
         )
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(f"{path}/lists")
+
+    run_concurrent(
+        [
+            lambda: cents.write.mode("overwrite").parquet(
+                f"{path}/centroids"
+            ),
+            _write_lists,
+        ]
     )
     # stamp the EFFECTIVE quantizer budget rule: the streaming
     # ingest's fresh-stripe enforcement must track the mod the INDEX
@@ -913,8 +929,14 @@ def merge_ivf_index(
             )
         # pinned: consumed twice (changed-set collect + the write) —
         # and the collect is size-gated by the frozen centroid budget
-        # (one row per touched centroid, ≤ n_centroids)
-        return a.localCheckpoint()
+        # (one row per touched centroid, ≤ n_centroids); the collect
+        # rides the same thread so the barrier returns finished sets
+        a = a.localCheckpoint()
+        new = {
+            r["cent_id"]
+            for r in a.select("cent_id").distinct().collect()
+        }
+        return a, new
 
     def _changed_old():
         # partitions that lose a replaced id: column-pruned scan of
@@ -930,16 +952,16 @@ def merge_ivf_index(
             .collect()
         }
 
-    # the three prep legs are independent (the stale-centroid check
-    # raises before anything is WRITTEN either way) — overlap them
-    # (guide §2.6); the changed-set collect and write stay sequential
-    _, assigned, changed_old = run_concurrent(
-        [_validate, _assign, _changed_old]
+    # the CHEAP stale-centroid check runs FIRST (one bucket-pruned
+    # probe against the broadcast-small centroid frame): a failed
+    # validation must not leave the full assignment job's checkpoint
+    # RDDs persisted nor pay for it at all (r14 ADVICE). The two
+    # remaining prep legs are independent reads — overlap them
+    # (guide §2.6); the write stays sequential.
+    _validate()
+    (assigned, changed_new), changed_old = run_concurrent(
+        [_assign, _changed_old]
     )
-    changed_new = {
-        r["cent_id"]
-        for r in assigned.select("cent_id").distinct().collect()
-    }
     changed = sorted(changed_new | changed_old)
     part_filter = (
         F.col("cent_id").isin(changed) if changed else F.lit(False)
@@ -1096,13 +1118,20 @@ def compact_ivf_index(spark, index_path: str, out_path: str) -> dict:
     Delta-VACUUM discipline). Serving from the compacted index is
     bit-identical by construction (it rewrites the RESOLVED view;
     gated in tests/test_index_manifest.py)."""
+    from data_lake_with_spark_spark.session import run_concurrent
     from data_lake_with_spark_spark.sources import cow
 
-    stats = cow.compact_index_component(
-        spark, index_path, out_path, "lists", "cent_id"
-    )
-    cow.compact_index_component(
-        spark, index_path, out_path, "centroids", None
+    # the two component rewrites read independent resolved views and
+    # write disjoint directories — overlap them (guide §2.6)
+    stats, _ = run_concurrent(
+        [
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "lists", "cent_id"
+            ),
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "centroids", None
+            ),
+        ]
     )
     _carry_ivf_meta(spark, index_path, out_path)
     return stats
@@ -2157,13 +2186,19 @@ def compact_pq_index(spark, index_path: str, out_path: str) -> dict:
     ``cow.vacuum_index`` to retire the old epochs. Serving from the
     compacted index is bit-identical (it rewrites the RESOLVED
     view)."""
+    from data_lake_with_spark_spark.session import run_concurrent
     from data_lake_with_spark_spark.sources import cow
 
-    stats = cow.compact_index_component(
-        spark, index_path, out_path, "codes", "id_bucket"
-    )
-    cow.compact_index_component(
-        spark, index_path, out_path, "codebooks", None
+    # independent resolved views, disjoint target dirs (guide §2.6)
+    stats, _ = run_concurrent(
+        [
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "codes", "id_bucket"
+            ),
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "codebooks", None
+            ),
+        ]
     )
     meta = cow.read_json(spark, _pq_meta_uri(index_path))
     if meta is not None:
@@ -2424,10 +2459,22 @@ def build_ivfpq_index(
         import warnings
 
         warnings.warn(msg, stacklevel=2)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = _ivfpq_assign_resid(
-        corpus, cents, id_col, vec_col, vec_dim
-    ).localCheckpoint()
+    from data_lake_with_spark_spark.session import run_concurrent
+
+    # the frozen-centroid write and the assignment materialization are
+    # independent (cents is already checkpointed) — overlap them, then
+    # overlap the codebook write with the codes write (both consume
+    # the cb checkpoint; disjoint target dirs — guide §2.6)
+    _, assigned = run_concurrent(
+        [
+            lambda: cents.write.mode("overwrite").parquet(
+                f"{path}/centroids"
+            ),
+            lambda: _ivfpq_assign_resid(
+                corpus, cents, id_col, vec_col, vec_dim
+            ).localCheckpoint(),
+        ]
+    )
     w = dim // m
     slices = F.array(*[F.slice(F.col("rv"), s * w + 1, w) for s in range(m)])
     cb = (
@@ -2440,10 +2487,10 @@ def build_ivfpq_index(
         )
         .localCheckpoint()
     )
-    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
         "id_bucket", _pq_bucket(id_col, n_buckets)
     )
+
     # repartition by BOTH partition columns so each (bucket, cell)
     # leaf lands in exactly one task (one file per leaf — avoids the
     # input_partitions × leaf_dirs file explosion an unrepartitioned
@@ -2452,15 +2499,23 @@ def build_ivfpq_index(
     # FS-metadata-bound, and 8 bucket-keyed tasks serially creating
     # 40 nested cell dirs each measured 2.1s vs 1.3s with the pool
     # doing it 32-wide (same 1-file-per-leaf layout either way)
-    (
-        codes.repartition(
-            max(1, min(spark.sparkContext.defaultParallelism,
-                       n_buckets * n_cells)),
-            "id_bucket", "cent_id",
+    def _write_codes():
+        (
+            codes.repartition(
+                max(1, min(spark.sparkContext.defaultParallelism,
+                           n_buckets * n_cells)),
+                "id_bucket", "cent_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("id_bucket", "cent_id")
+            .parquet(f"{path}/codes")
         )
-        .write.mode("overwrite")
-        .partitionBy("id_bucket", "cent_id")
-        .parquet(f"{path}/codes")
+
+    run_concurrent(
+        [
+            lambda: cb.write.mode("overwrite").parquet(f"{path}/codebooks"),
+            _write_codes,
+        ]
     )
     from data_lake_with_spark_spark.sources import cow
 
@@ -2668,10 +2723,15 @@ def merge_ivfpq_index(
     if meta is None:
         raise FileNotFoundError(f"no ivfpq_meta.json under {base_path!r}")
     dim, m, n_buckets = meta["dim"], meta["m"], meta["n_buckets"]
+    from data_lake_with_spark_spark.session import run_concurrent
+
     cents = cow.read_component(spark, base_path, "centroids")
     cb = cow.read_component(spark, base_path, "codebooks")
     new_ids = new_vecs.select(F.col(id_col)).distinct()
-    if validate_frozen:
+
+    def _validate():
+        if not validate_frozen:
+            return
         frozen_src = (
             cents.select(F.col("cent_id").alias(id_col))
             .unionByName(cb.select(F.col("code").alias(id_col)))
@@ -2686,22 +2746,28 @@ def merge_ivfpq_index(
                 "lifecycle-safe recovery (or pass validate_frozen="
                 "False to accept doubly-frozen semantics explicitly)"
             )
+
+    def _changed():
+        # changed buckets: a pure function of the batch ids — replaced
+        # rows share them by construction (no base scan); size-gated
+        # collect (distinct buckets ≤ n_buckets rows)
+        return sorted(
+            r["id_bucket"]
+            for r in new_ids.select(
+                _pq_bucket(id_col, n_buckets).alias("id_bucket")
+            )
+            .distinct()
+            .collect()
+        )
+
+    # both prep legs are read-only; overlap them (guide §2.6) — a
+    # validation failure still raises at the barrier, before the write
+    _, changed = run_concurrent([_validate, _changed])
     assigned = _ivfpq_assign_resid(
         new_vecs.select(id_col, vec_col), cents, id_col, vec_col, vec_dim
     )
     batch_codes = _ivfpq_encode(assigned, cb, dim, m, id_col).withColumn(
         "id_bucket", _pq_bucket(id_col, n_buckets)
-    )
-    # changed buckets: a pure function of the batch ids — replaced
-    # rows share them by construction (no base scan); size-gated
-    # collect (distinct buckets ≤ n_buckets rows)
-    changed = sorted(
-        r["id_bucket"]
-        for r in new_ids.select(
-            _pq_bucket(id_col, n_buckets).alias("id_bucket")
-        )
-        .distinct()
-        .collect()
     )
     part_filter = (
         F.col("id_bucket").isin(changed) if changed else F.lit(False)
@@ -2843,16 +2909,23 @@ def compact_ivfpq_index(spark, index_path: str, out_path: str) -> dict:
     vacuum/OPTIMIZE step (see :func:`compact_ivf_index`); pair with
     ``cow.vacuum_index`` to retire the old epochs. The nested
     ``(id_bucket, cent_id)`` codes layout is preserved."""
+    from data_lake_with_spark_spark.session import run_concurrent
     from data_lake_with_spark_spark.sources import cow
 
-    stats = cow.compact_index_component(
-        spark, index_path, out_path, "codes", ["id_bucket", "cent_id"]
-    )
-    cow.compact_index_component(
-        spark, index_path, out_path, "centroids", None
-    )
-    cow.compact_index_component(
-        spark, index_path, out_path, "codebooks", None
+    # independent resolved views, disjoint target dirs (guide §2.6)
+    stats, _, _ = run_concurrent(
+        [
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "codes",
+                ["id_bucket", "cent_id"],
+            ),
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "centroids", None
+            ),
+            lambda: cow.compact_index_component(
+                spark, index_path, out_path, "codebooks", None
+            ),
+        ]
     )
     meta = cow.read_json(spark, _ivfpq_meta_uri(index_path))
     if meta is not None:
