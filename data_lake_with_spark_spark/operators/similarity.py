@@ -1657,7 +1657,13 @@ def pq_encode(
     Output ``(id, subspace, code)`` in long form: m small ints per
     vector instead of dim floats — the 32×-compressed representation
     ANN serving stores at 100 TB. One broadcast join + per-(id,
-    subspace) argmin window; the corpus never shuffles by value."""
+    subspace) argmin as ``min(struct(_d, code))`` (struct ordering is
+    field-wise, so the code field IS the asc tiebreak — identical
+    semantics to the row_number window this replaced), which
+    partial-aggregates MAP-SIDE after the broadcast codebook join:
+    the shuffle carries m rows per vector, never the corpus × |codes|
+    candidate frame the window sort-shuffled (guide §2.3 — the
+    :func:`_ivfpq_encode` kernel, backported to the flat-PQ family)."""
     w = dim // m
     slices = F.array(*[F.slice(F.col(vec_col), s * w + 1, w) for s in range(m)])
     sub_rows = corpus.select(
@@ -1667,15 +1673,12 @@ def pq_encode(
         F.col("pos").cast("bigint").alias("subspace"),
         F.col("col").alias("_sub_v"),
     )
-    w_arg = Window.partitionBy(id_col, "subspace").orderBy(
-        F.col("_d").asc(), F.col("code").asc()
-    )
     return (
         sub_rows.join(F.broadcast(codebooks), on="subspace")
         .withColumn("_d", F.round(l2sq_expr("_sub_v", "cent_sub"), 6))
-        .withColumn("_rn", F.row_number().over(w_arg))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "subspace", "code")
+        .groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b"))
+        .select(id_col, "subspace", F.col("_b.code").alias("code"))
     )
 
 
@@ -1772,8 +1775,14 @@ def pq_topk_rerank(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    # broadcast the SHORTLIST side explicitly: it is bounded by
+    # construction (n_queries × shortlist rows), while the planner —
+    # blind to the window's output size — was broadcasting the CORPUS
+    # projection instead (fine at fixture scale, impossible at 100 TB
+    # where the fetch must stay a corpus-scan probed by the bounded
+    # candidate set; guide §3.1 — pick the build side deliberately)
     rescored = (
-        short.join(cv, on="neighbor_id")
+        cv.join(F.broadcast(short), on="neighbor_id")
         .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",
@@ -2654,8 +2663,10 @@ def ivfpq_topk_rerank_indexed(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    # broadcast the bounded shortlist, never the corpus projection —
+    # see pq_topk_rerank (guide §3.1)
     rescored = (
-        short.join(cv, on="neighbor_id")
+        cv.join(F.broadcast(short), on="neighbor_id")
         .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",
@@ -3563,8 +3574,10 @@ def truncated_topk_rerank(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    # broadcast the bounded shortlist, never the corpus projection —
+    # see pq_topk_rerank (guide §3.1)
     rescored = (
-        short.join(cv, on="neighbor_id")
+        cv.join(F.broadcast(short), on="neighbor_id")
         .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",

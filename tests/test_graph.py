@@ -365,6 +365,25 @@ def test_hits_overflow_raises_not_zero(spark):
         hits_fixed(e, iterations=12)
 
 
+def test_hits_overflow_raises_under_non_ansi(spark):
+    """The r15 job-count fold gates the per-iteration NULL probe on
+    ANSI being OFF (under ANSI the SUM itself raises, making the
+    probe a redundant job) — so the non-ANSI path must still be loud:
+    with ansi disabled the probe is the ONLY guard, and it must fire.
+    """
+    from data_lake_with_spark_spark.operators.graph import hits_fixed
+
+    n = 60
+    rows = [(f"v{i}", f"v{j}") for i in range(n) for j in range(n) if i != j]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="(?i)overflow"):
+            hits_fixed(e, iterations=12)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
 def test_related_items_min_count_floor(spark):
     """min_count cuts sub-floor pairs BEFORE symmetrize+rank;
     min_count=1 is the identity. The floor changes membership, never

@@ -151,7 +151,14 @@ def test_r7_batch3_shuffle_budgets(spark, sf_dir):
     q136 diff (one keyed shuffle per side). Zero Python nodes."""
     budgets = {
         "q133_contamination_spans": 3,
-        "q134_truncated_topk_rerank": 4,
+        # r15: 5 — the exact-rerank fetch now BROADCASTS the bounded
+        # shortlist and streams the corpus (the planner previously
+        # broadcast the CORPUS projection, impossible at 100 TB), so
+        # the final rank window re-partitions the shortlist-sized
+        # rescored frame: one extra exchange that carries
+        # n_queries × shortlist rows, traded for a corpus that never
+        # crosses the broadcast path (guide §3.1)
+        "q134_truncated_topk_rerank": 5,
         "q135_percentile_clip": 2,
         "q136_snapshot_diff": 2,
     }
@@ -704,3 +711,61 @@ def test_r14_health_report_plan_budget(spark, tmp_path):
         assert "n_item" not in schema, schema
         if "n_ab" in schema:
             assert not re.search(r"<a:|,a:|,b:|<b:", schema), schema
+
+
+def test_r15_pq_encode_is_aggregate_not_window(spark, sf_dir):
+    """r15: pq_encode's per-(id, subspace) argmin is a map-side
+    partial aggregate (min over (distance, code) structs — the
+    _ivfpq_encode kernel), NOT a row_number window: the window form
+    sort-shuffled the corpus × |codes| candidate frame, the aggregate
+    shuffles one row per (vector, subspace). A Window node here means
+    the backport regressed (guide §2.3 — aggregate before you
+    shuffle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, dim=64, m=8, target_codes=10)
+    codes = similarity.pq_encode(emb, cb, dim=64, m=8)
+    p = codes._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" not in p, p
+    assert "Aggregate" in p, p
+
+
+def test_r15_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
+    """r15: the exact-rerank stage of the two-stage servers must
+    broadcast the BOUNDED side (the n_queries × shortlist candidate
+    set) and stream the corpus — the planner left to its estimates
+    broadcast the corpus projection, which works at fixture scale and
+    is impossible at 100 TB (8 GB broadcast cap). Gate: no
+    BroadcastExchange carries the corpus vector projection (_cv); the
+    query-vector broadcast (_qv, serving-batch-sized) is expected."""
+    import re
+
+    for name in ("q119_pq_topk_rerank", "q134_truncated_topk_rerank"):
+        df = Q.queries()[name](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        for m in re.finditer(
+            r"BroadcastExchange[^\n]*\n(?:[^\n]*\n){0,3}", p
+        ):
+            assert "_cv" not in m.group(0), (name, m.group(0))
+
+
+def test_r15_pair_supports_shape(spark):
+    """r15: _pair_supports expands pairs with two bounded generates
+    (posexplode + tail-slice explode — O(|basket|) peak per row) and
+    no join; exactly two exchanges (the basket groupBy and the pair
+    groupBy). A Join node or a third exchange means the one-shuffle
+    in-task expansion regressed to the self-join form; a single
+    flatten-transform generate would reintroduce the C(|basket|,2)
+    in-memory array the r14 advice flagged."""
+    from data_lake_with_spark_spark.operators import graph
+
+    b = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "d")],
+        ["basket", "item"],
+    )
+    p = (
+        graph._pair_supports(b)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "Join" not in p, p
+    assert p.count("Generate") == 2, p
+    assert p.count("Exchange") <= 2, p

@@ -275,6 +275,13 @@ def test_delta_core_negative_support_raises(spark, tmp_path):
             spark, base_p, phantom, str(tmp_path / "o"), "links",
             meta, sign=-1,
         )
+    # r15 (r14 ADVICE): the integrity gates run in the read-only
+    # phase A, so a detected-corrupt state raises BEFORE any
+    # component write — out_path must still be empty (previously the
+    # sibling legs completed their writes while the pairs leg raised)
+    out = tmp_path / "o"
+    for comp in ("pairs", "items", "baskets", "topk"):
+        assert not (out / comp).exists(), f"{comp} written before raise"
 
 
 def test_state_format_version_gates_maintenance(spark, tmp_path):
