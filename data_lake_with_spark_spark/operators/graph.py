@@ -395,9 +395,18 @@ def _triangles(
     # edge-sized oriented frame against the wedge-sized stream, and
     # sort-merge would SORT the ΣC(outdeg, 2) wedge side — the
     # quadratically larger one. Hinting shuffled-hash builds the hash
-    # table on the EDGE side (bounded per partition at any scale) and
-    # streams the wedges unsorted: 6.7s → 3.0s on the sf0.1
-    # co-purchase graph (1.2M edges), identical rows.
+    # table on the EDGE side and streams the wedges unsorted: 6.7s →
+    # 3.0s on the sf0.1 co-purchase graph (1.2M edges), identical
+    # rows; dropping the hint from wedge generation alone (the r14
+    # advice's suggestion — let the planner pick there) re-measured
+    # 2.2s → 8.5s min-of-3 interleaved, so the hint stays on both.
+    # SCALE BOUND (the advice's real concern): the build side is the
+    # oriented edge frame hash-partitioned on its join key, so each
+    # task's hash table holds ~E/P edge rows, where P =
+    # spark.sql.shuffle.partitions — a deployment-sized knob that
+    # grows with the data (guide §2.2/§9), not a constant; unlike
+    # sort-merge the build cannot spill, so P must keep E/P
+    # task-memory-sized — the same sizing rule every SHJ carries.
     o2 = oriented.select(
         F.col("u"),
         F.col("v").alias("w"),

@@ -193,11 +193,23 @@ def rank_overlap(
     # join); without pinning, the entire upstream retrieval lineage
     # re-runs per consumer (the ngram_rarity recompute class, caught
     # again by the exchange audit: 38 exchanges → 5). Top-k lists
-    # are k·|queries| rows — the checkpoint is trivially cheap.
-    an = a.select(F.col(query_col).alias("query_id"),
-                  F.col(doc_col).alias("doc_id")).localCheckpoint()
-    bn = b.select(F.col(query_col).alias("query_id"),
-                  F.col(doc_col).alias("doc_id")).localCheckpoint()
+    # are k·|queries| rows — the checkpoint is trivially cheap. The
+    # two upstream lineages are independent (typically the sparse and
+    # dense retrievers), so they materialize CONCURRENTLY (guide §2.6)
+    from data_lake_with_spark_spark.session import run_concurrent
+
+    an, bn = run_concurrent(
+        [
+            lambda: a.select(
+                F.col(query_col).alias("query_id"),
+                F.col(doc_col).alias("doc_id"),
+            ).localCheckpoint(),
+            lambda: b.select(
+                F.col(query_col).alias("query_id"),
+                F.col(doc_col).alias("doc_id"),
+            ).localCheckpoint(),
+        ]
+    )
     ca = an.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_a"))
     cb = bn.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_b"))
     common = (

@@ -273,6 +273,7 @@ def _low_dup_corpus(spark, n_docs, vocab=20000, doc_len=30, dup_rate=0.01):
     return spark.createDataFrame(docs, ["doc_id", "text"])
 
 
+@pytest.mark.slow
 def test_ppjoin_prefix_filter_wins_on_low_dup_corpus(spark):
     """PPJoin's value proposition, MEASURED on a realistic (non-dup-
     saturated) corpus — the r4 verdict asked for numbers replacing

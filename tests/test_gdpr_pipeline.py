@@ -28,6 +28,7 @@ import pytest
 
 
 @pytest.mark.parametrize("layout", ["links", "manifest"])
+@pytest.mark.slow
 def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     rnd = random.Random(42)
     n = 240
@@ -220,6 +221,7 @@ def test_gdpr_erasure_reaches_table_and_both_indexes(spark, tmp_path, layout):
     assert "BatchEvalPython" not in ivf_plan
 
 
+@pytest.mark.slow
 def test_gdpr_physical_erasure_delete_compact_vacuum(spark, tmp_path):
     """The REGULATORY composition the delete docstrings require:
     manifest-layout deletes are pointer-level (earlier epochs still
@@ -297,6 +299,7 @@ def test_gdpr_physical_erasure_delete_compact_vacuum(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_gdpr_physical_erasure_related_items_state(spark, tmp_path):
     """The regulatory tail for the FIFTH surface: a manifest-layout
     related-items delete is pointer-level (earlier epochs still hold

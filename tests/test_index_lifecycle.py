@@ -46,6 +46,7 @@ def test_pointer_guards(spark, tmp_path):
     assert cow.new_epoch_path(spark, root).endswith("epoch_00000002")
 
 
+@pytest.mark.slow
 def test_ivf_lifecycle_merge_merge_compact_vacuum_serve(spark, tmp_path):
     """The full operator sequence a serving fleet runs: build → merge
     → merge → compact → vacuum, with current.json re-pointed after
@@ -512,6 +513,7 @@ def test_locked_pointer_store_guards(spark, tmp_path):
     assert cow._POINTER_STORE is prev
 
 
+@pytest.mark.slow
 def test_maintenance_plan_branches(spark, tmp_path):
     """r13 verdict #4: cow.maintenance_plan composes lifecycle_report
     + pinned-baseline drift into one decision row. Each branch trips

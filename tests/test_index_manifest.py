@@ -104,6 +104,7 @@ def test_ivf_manifest_merge_then_delete_chain(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_bm25_manifest_merge_delete_serving(spark, tmp_path):
     """BM25 manifest maintenance: merge then delete through manifest
     epochs, serve with bm25_topk_indexed — identical to a from-scratch
@@ -170,6 +171,7 @@ def test_bm25_manifest_merge_delete_serving(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_compaction_collapses_epoch_chain(spark, tmp_path):
     """compact_*_index rewrites the RESOLVED view into one plain
     self-contained layout: no manifest files at the output, serving
@@ -230,6 +232,7 @@ def test_compaction_collapses_epoch_chain(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_randomized_maintenance_chain_equals_rebuild(spark, tmp_path):
     """Randomized (seeded, deterministic) maintenance chains: from a
     links-layout base, apply a random sequence of manifest merges
@@ -316,6 +319,7 @@ def test_randomized_maintenance_chain_equals_rebuild(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_randomized_bm25_chain_equals_rebuild(spark, tmp_path):
     """The BM25 twin of the randomized IVF chain: seeded merge/delete
     manifest epochs vs a tracked corpus dict; final served scores

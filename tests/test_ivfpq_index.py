@@ -145,6 +145,7 @@ def test_ivfpq_arrow_assignment_parity(spark, tmp_path):
     assert _serve(spark, sql_idx, qs) == _serve(spark, arrow_idx, qs)
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_recall_vs_exact(spark, sf_dir, tmp_path):
     """Approximation QUALITY pin (the test_similarity recall
     discipline applied to the composite index): recall@5 of the
@@ -208,6 +209,7 @@ def test_ivfpq_rerank_recall_vs_exact(spark, sf_dir, tmp_path):
     assert recalls[-1] >= 0.55  # every cell probed
 
 
+@pytest.mark.slow
 def test_ivfpq_merge_links_upsert_cow(spark, tmp_path):
     """Links-layout merge: upsert (one replace + appends) serves
     identically to a from-scratch build over the merged corpus with
@@ -278,6 +280,7 @@ def test_ivfpq_merge_links_upsert_cow(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_ivfpq_manifest_chain_merge_delete_compact_vacuum(spark, tmp_path):
     """Manifest epochs under a lifecycle root: merge then GDPR delete
     then compact then vacuum; each epoch holds only its changed

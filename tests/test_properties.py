@@ -8,6 +8,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
 import pyspark.sql.functions as F
 
 SETTINGS = dict(
@@ -124,6 +125,7 @@ def test_funnel_counts_monotone_nonincreasing(spark, events):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_connected_components_regimes_agree(spark, edges):
     """For ANY small graph, the two distributed regimes (pointer-jump
     min-label and two-phase large-star/small-star) must produce the
@@ -155,6 +157,7 @@ def test_connected_components_regimes_agree(spark, edges):
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
+@pytest.mark.slow
 def test_apply_cdc_split_invariance_property(spark, tmp_path_factory, data):
     """For ANY change set whose deletes are each their key's final
     change (the documented tombstone scope), every contiguous

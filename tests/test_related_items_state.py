@@ -107,6 +107,7 @@ def test_replayed_basket_rejected_and_floor_crossing(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_randomized_merge_chain_equals_rebuild(spark, tmp_path):
     """Seeded random chain of manifest merge epochs vs a tracked
     history list: after every epoch the served top-k equals the
@@ -147,6 +148,7 @@ def test_randomized_merge_chain_equals_rebuild(spark, tmp_path):
 
 
 @pytest.mark.parametrize("layout", ["links", "manifest"])
+@pytest.mark.slow
 def test_delete_equals_rebuild_over_survivors(spark, tmp_path, layout):
     """GDPR erasure (delete_from_related_items_state): tombstoning a
     basket-id set must serve bit-identical to a from-scratch
@@ -191,6 +193,7 @@ def test_delete_equals_rebuild_over_survivors(spark, tmp_path, layout):
     assert _topk_rows(graph.related_items_topk(spark, out2)) == exp
 
 
+@pytest.mark.slow
 def test_delete_erases_item_entirely_and_interleaves_with_merge(
     spark, tmp_path
 ):

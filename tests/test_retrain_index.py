@@ -34,6 +34,7 @@ def _ivf_serve(spark, path, qs):
     )
 
 
+@pytest.mark.slow
 def test_retrain_ivf_after_churn_equals_fresh_build(spark, tmp_path):
     """build → merge → delete → RETRAIN: the retrained epoch serves
     exactly a from-scratch build over the surviving corpus with the
@@ -95,6 +96,7 @@ def test_retrain_ivf_after_churn_equals_fresh_build(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_retrain_pq_and_ivfpq_guard_and_equality(spark, tmp_path):
     """PQ + IVFPQ retrains: (1) the id-set guard raises on a corpus
     that would resurrect a deleted id or drop a live one; (2) the

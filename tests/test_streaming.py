@@ -128,6 +128,7 @@ def test_session_counts_match_batch_sessions(spark, sf_dir, staged_stream):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_fuzzy_dedup_ingest_accepts_once_then_drops(spark, sf_dir, tmp_path):
     """Streaming fuzzy-dedup ingestion: first pass over the corpus
     accepts exactly the batch survivor set; re-ingesting the same
@@ -472,6 +473,7 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert finalized[10] == 1
 
 
+@pytest.mark.slow
 def test_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     """Streaming serving-index maintenance (index_maintenance_ingest):
     a corpus delivered as three file-source micro-batches (batch 0
@@ -529,6 +531,7 @@ def test_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_vector_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     """Dense-side streaming index maintenance
     (vector_index_maintenance_ingest): an embedding corpus delivered
@@ -666,6 +669,7 @@ def test_index_ingest_compact_every_bounds_chain(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_vector_index_ingest_bootstrap_replay_and_empty_stripe(
     spark, tmp_path
 ):
@@ -802,6 +806,7 @@ def test_vector_index_ingest_fresh_stripe_id_raises(spark, tmp_path):
         q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_index_ingest_deferred_vacuum_compacts_on_live_count(
     spark, tmp_path
 ):
@@ -1085,6 +1090,7 @@ def _ivfpq_rows(spark, idx, qs, **kw):
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_index_maintenance_ingest_matches_batch_build(
     spark, tmp_path
 ):
@@ -1147,6 +1153,7 @@ def test_ivfpq_index_maintenance_ingest_matches_batch_build(
     assert got == exp and len(got) == 5 * 5
 
 
+@pytest.mark.slow
 def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
     """Replay + doubly-frozen contract for the IVFPQ ingest: (1) a
     FULL re-delivery (fresh checkpoint, same root) is a no-op on the
@@ -1248,6 +1255,7 @@ def test_ivfpq_ingest_replay_and_fresh_stripe_guards(spark, tmp_path):
             q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
     """Retrain racing a streaming ingest (r12 verdict #4) — the
     DECIDED semantics, pinned: (a) mid-batch, the ingest's CAS commit
@@ -1351,6 +1359,7 @@ def test_ivfpq_retrain_under_ingest_cas_and_restart(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow
 def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
     """Streaming maintenance for the plain-PQ family (r12 verdict #3,
     second named family — pq_index_maintenance_ingest): bootstrap
@@ -1465,6 +1474,7 @@ def test_pq_index_maintenance_ingest_matches_batch_build(spark, tmp_path):
         q.awaitTermination(300)
 
 
+@pytest.mark.slow
 def test_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     """After a retrain CHANGES the quantizer budget, the ingest's
     fresh-stripe enforcement must key off the mod the index was
@@ -1548,6 +1558,7 @@ def test_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     assert got == exp and len(got) == 5 * 5
 
 
+@pytest.mark.slow
 def test_pq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     """The PQ twin of test_ingest_stripe_rule_tracks_retrained_mod: a
     coarser retrain (mod 20→40) makes a previously-seed id ordinary —
@@ -1616,6 +1627,7 @@ def test_pq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     assert got == exp and len(got) == 5 * 5
 
 
+@pytest.mark.slow
 def test_ivfpq_ingest_stripe_rule_tracks_retrained_mod(spark, tmp_path):
     """The IVFPQ twin: after a coarser retrain (mod 20→40), an id that
     was a seed under the bootstrap mod is ordinary under the retrained
@@ -1908,6 +1920,7 @@ def test_ingest_stats_sink_remaining_families(spark, tmp_path):
     assert rows[-1]["n_incidence"] == baskets.distinct().count()
 
 
+@pytest.mark.slow
 def test_stats_sink_composes_with_compaction_and_locked_store(
     spark, tmp_path
 ):

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from data_lake_with_spark_spark.operators import text
@@ -512,6 +513,7 @@ def test_assemble_contexts_rank_order(spark):
     assert out[2]["context"] == "cc"
 
 
+@pytest.mark.slow
 def test_bm25_indexed_matches_inline_and_prunes_buckets(
     spark, sf_dir, tmp_path
 ):
@@ -662,6 +664,7 @@ def test_boilerplate_prefixes_hand_case(spark):
         text.boilerplate_prefixes(docs, prefix_len=0)
 
 
+@pytest.mark.slow
 def test_merge_bm25_index_upsert_equals_scratch(spark, tmp_path):
     """The incremental-maintenance contract: merging a batch that
     APPENDS new docs AND REPLACES an existing one yields an index
@@ -713,6 +716,7 @@ def test_merge_bm25_index_upsert_equals_scratch(spark, tmp_path):
         text.merge_bm25_index(spark, base_idx, batch, base_idx)
 
 
+@pytest.mark.slow
 def test_delete_from_bm25_index_equals_scratch(spark, tmp_path):
     """Erasure propagates to the sparse serving index: after
     delete_from_bm25_index, served scores are BIT-identical to an
@@ -787,6 +791,7 @@ def test_collocations_lift_ranking(spark):
         text.collocations(docs, min_count=0)
 
 
+@pytest.mark.slow
 def test_bm25_staleness_report_fresh_merge_and_drift(spark, sf_dir, tmp_path):
     """r13 verdict #3 (BM25 half): the health report read off the
     persisted index must (a) on a FRESH build show stamped == live
