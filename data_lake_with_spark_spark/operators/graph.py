@@ -271,11 +271,15 @@ def pagerank_personalized(
         contrib_units = F.floor(
             ((F.col("rank") * F.col("w")) / F.col("outdeg")) * F.lit(1e15)
         )
-    s = seeds.select(F.col(seed_col).alias("node")).distinct()
-    n_seeds = s.agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
-    s = s.crossJoin(F.broadcast(n_seeds)).select(
-        "node", (F.lit(1.0) / F.col("ns")).alias("s")
-    ).localCheckpoint()
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
+    # seed count collected ONCE to a literal (the pagerank_fixed n
+    # pattern): the previous crossJoin(broadcast(agg)) paid an extra
+    # broadcast-build job for a scalar; lit(1.0)/lit(ns) is the same
+    # IEEE division the column form held
+    ns = sd.count()
+    s = sd.select(
+        "node", (F.lit(1.0) / F.lit(ns).cast("bigint")).alias("s")
+    )
     r = s.select("node", F.col("s").alias("rank"))
     # pinned once — see pagerank_fixed: unpinned, every round re-runs
     # the outdeg aggregate and the edge⋈outdeg join
