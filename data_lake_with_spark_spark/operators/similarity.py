@@ -1169,21 +1169,26 @@ def ivf_topk_indexed(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc()
     )
-    probes = (
+    probes_lazy = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cents))
         .withColumn("cos_c", F.round(cosine_expr("qv", "cent_v"), 6))
         .withColumn("_rn", F.row_number().over(w_probe))
         .where(F.col("_rn") <= nprobe)
         .select("cent_id", "query_id", "qv")
-        # Materialize once (bounded: n_queries × nprobe rows): the
-        # frame is consumed twice — collected for the partition
-        # filter AND broadcast into the scoring join — and without
-        # the checkpoint the centroid cross join + window would run
-        # twice (r4 ADVICE).
-        .localCheckpoint()
     )
-    probe_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    # Materialize once by COLLECTING the bounded frame (n_queries ×
+    # nprobe rows — a serving batch by the operator's scope contract):
+    # both consumers need it on the driver anyway (the partition
+    # filter as a scalar list, the scoring join as a broadcast), so
+    # one collect replaces the previous localCheckpoint + separate
+    # distinct-collect — one driver job instead of two, and the
+    # re-uploaded LocalTableScan broadcasts exactly as the checkpoint
+    # did (floats round-trip bit-exact through the driver). r15
+    # job-count audit; the r4-ADVICE double-evaluation stays fixed.
+    probe_rows = probes_lazy.collect()
+    probes = spark.createDataFrame(probe_rows, probes_lazy.schema)
+    probe_ids = sorted({r["cent_id"] for r in probe_rows})
     # Empty query batch → no probes; F.lit(False) keeps the result
     # schema while pruning every partition (isin([]) would too, but
     # this makes the short-circuit explicit in the plan).
@@ -2581,7 +2586,7 @@ def ivfpq_topk_indexed(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc()
     )
-    probes = (
+    probes_lazy = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
@@ -2592,13 +2597,14 @@ def ivfpq_topk_indexed(
         .select(
             "cent_id", "query_id", _resid_col("qv", "cent_v").alias("qrv")
         )
-        # consumed twice (partition-filter collect + the table join);
-        # bounded: n_queries × nprobe rows
-        .localCheckpoint()
     )
-    probe_ids = [
-        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
-    ]
+    # consumed twice (partition-filter list + the ADC table join);
+    # bounded at n_queries × nprobe rows, so ONE collect serves both
+    # consumers (see ivf_topk_indexed — the r15 job-count fold; the
+    # residual doubles round-trip bit-exact through the driver)
+    probe_rows = probes_lazy.collect()
+    probes = spark.createDataFrame(probe_rows, probes_lazy.schema)
+    probe_ids = sorted({r["cent_id"] for r in probe_rows})
     probe_filter = (
         F.col("cent_id").isin(probe_ids) if probe_ids else F.lit(False)
     )
