@@ -1256,7 +1256,11 @@ def bm25_topk_indexed(
     index, not the corpus."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    stats = spark.read.parquet(f"{path}/stats").localCheckpoint()
+    # the stats component is ONE row — collect it instead of paying a
+    # localCheckpoint job plus a broadcast build over a persisted RDD
+    # (r15 job-count fold; values round-trip bit-exact)
+    stats_src = spark.read.parquet(f"{path}/stats")
+    stats = spark.createDataFrame(stats_src.collect(), stats_src.schema)
     dl = spark.read.parquet(f"{path}/doclens")
     qvocab_rows = (
         queries.select(F.explode(tokens(F.col(text_col))).alias("tok"))
